@@ -1,0 +1,218 @@
+"""Kronecker-structured (separable space ⊗ time) sparse variational GPs.
+
+Re-design of the pptr experiment graphs: scripts/onoff.py (two-GP on/off),
+scripts/svgp.py (regression), scripts/classifier.py (probit classifier), and
+the predict modules onofftf/{onoffpred,svgppred,svcppred}.py — the reference's
+seven copy-pasted ``kron_inf``/``build_prior_kl`` closures collapse into the
+shared ``KronGP`` component here.
+
+The inducing grid is Z = Z_s × Z_t (e.g. 10 spatial kmeans centres × 100
+temporal knots ⇒ M=1000) but no M×M or B×B matrix is ever materialized: KL
+and conditional use the factored algebra in ops.{gauss_kl,conditionals}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.config import default_jitter
+from ..core.parameters import Parameter, param, positive_param
+from ..ops import conditionals, gauss_kl, linalg
+from ..ops.probit import probit_expectations
+from .onoff import OnOffPrediction
+
+
+def gen_input_masks(Zs: Sequence[np.ndarray]) -> Tuple[Tuple[int, ...], ...]:
+    """Columns of X handled by each factor — reference ``_gen_inp_mask``
+    (scripts/onoff.py:243-250): factors consume consecutive column blocks."""
+    masks = []
+    start = 0
+    for Z in Zs:
+        d = Z.shape[1]
+        masks.append(tuple(range(start, start + d)))
+        start += d
+    return tuple(masks)
+
+
+@struct.dataclass
+class KronGP:
+    """One GP with a Kronecker inducing grid and diagonal q(u) covariance."""
+
+    kernels: Tuple[Any, ...]
+    Zs: Tuple[Parameter, ...]
+    q_mu: Parameter
+    q_sqrt: Parameter  # diagonal std-devs, (M, 1), positive
+    input_masks: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
+    jitter: float = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(
+        cls,
+        kernels: Sequence,
+        Zs: Sequence[np.ndarray],
+        *,
+        jitter: Optional[float] = None,
+        q_mu_init: Optional[np.ndarray] = None,
+        q_mu_scale: float = 0.1,
+        lr: Optional[float] = None,
+        seed: int = 0,
+    ) -> "KronGP":
+        M = int(np.prod([Z.shape[0] for Z in Zs]))
+        rng = np.random.RandomState(seed)
+        q_mu = q_mu_init if q_mu_init is not None else rng.randn(M, 1) * q_mu_scale
+        return cls(
+            kernels=tuple(kernels),
+            Zs=tuple(param(Z, lr=lr) for Z in Zs),
+            q_mu=param(q_mu, lr=lr),
+            q_sqrt=positive_param(np.ones((M, 1)), lr=lr),
+            input_masks=gen_input_masks(Zs),
+            jitter=float(jitter if jitter is not None else default_jitter()),
+        )
+
+    @property
+    def factor_sizes(self) -> Tuple[int, ...]:
+        return tuple(p.shape[0] for p in self.Zs)
+
+    def gram_factors(self):
+        return [
+            linalg.add_jitter(k.K(Z.value), self.jitter)
+            for k, Z in zip(self.kernels, self.Zs)
+        ]
+
+    def prior_kl(self) -> jnp.ndarray:
+        return gauss_kl.gauss_kl_kron(self.q_mu.value, self.q_sqrt.value, self.gram_factors())
+
+    def predict_f(self, Xnew: jnp.ndarray):
+        return conditionals.kron_conditional(
+            Xnew,
+            self.kernels,
+            [Z.value for Z in self.Zs],
+            self.q_mu.value,
+            self.q_sqrt.value,
+            self.input_masks,
+            jitter=self.jitter,
+        )
+
+
+@struct.dataclass
+class KronSVGP:
+    """Single-GP Kronecker SVGP — regression (Gaussian) or classification
+    (Bernoulli), replacing scripts/svgp.py and scripts/classifier.py."""
+
+    gp: KronGP
+    likelihood: Any
+    mean_const: Optional[Parameter]
+    num_data: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, kernels, Zs, likelihood, *, num_data, mean_const=None, **kw) -> "KronSVGP":
+        return cls(
+            gp=KronGP.create(kernels, Zs, **kw),
+            likelihood=likelihood,
+            mean_const=None if mean_const is None else param(mean_const),
+            num_data=int(num_data),
+        )
+
+    def prior_kl(self):
+        return self.gp.prior_kl()
+
+    def predict_f(self, Xnew):
+        fmean, fvar = self.gp.predict_f(Xnew)
+        if self.mean_const is not None:
+            fmean = fmean + self.mean_const.value
+        return fmean, fvar
+
+    def predict_prob(self, Xnew):
+        """Classifier head: p(y=1|x) = Φ̃(μ/√(1+v)) (scripts/classifier.py:139).
+
+        Returns (pfmean, pfvar) with pfvar = p − p² as in the reference."""
+        fmean, fvar = self.predict_f(Xnew)
+        p = self.likelihood.predict_prob(fmean, fvar)
+        return p, p - jnp.square(p)
+
+    def elbo(self, X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+        kl = self.prior_kl()
+        fmean, fvar = self.predict_f(X)
+        var_exp = self.likelihood.variational_expectations(fmean, fvar, Y)
+        scale = jnp.asarray(self.num_data, dtype=X.dtype) / X.shape[0]
+        return jnp.sum(var_exp) * scale - kl
+
+    def loss(self, X, Y):
+        return -self.elbo(X, Y)
+
+
+@struct.dataclass
+class KronOnOffSVGP:
+    """Two-GP zero-inflated on/off model with Kronecker inducing grids —
+    the flagship pptr model (scripts/onoff.py)."""
+
+    f: KronGP
+    g: KronGP
+    likelihood: Any  # OnOffGaussian
+    mean_const: Optional[Parameter]
+    g_mean_shift: float = struct.field(pytree_node=False)
+    num_data: int = struct.field(pytree_node=False)
+    exact_owen_t: bool = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(
+        cls,
+        fkernels,
+        Zfs,
+        gkernels,
+        Zgs,
+        likelihood,
+        *,
+        num_data,
+        mean_const=None,
+        g_mean_shift: float = 0.0,
+        exact_owen_t: bool = False,
+        jitter=None,
+        seed: int = 0,
+        lr: Optional[float] = None,
+        q_mu_scale: float = 0.1,
+    ) -> "KronOnOffSVGP":
+        return cls(
+            f=KronGP.create(fkernels, Zfs, jitter=jitter, seed=seed, lr=lr, q_mu_scale=q_mu_scale),
+            g=KronGP.create(gkernels, Zgs, jitter=jitter, seed=seed + 1, lr=lr, q_mu_scale=q_mu_scale),
+            likelihood=likelihood,
+            mean_const=None if mean_const is None else param(mean_const),
+            g_mean_shift=float(g_mean_shift),
+            num_data=int(num_data),
+            exact_owen_t=exact_owen_t,
+        )
+
+    def prior_kl(self) -> jnp.ndarray:
+        return self.f.prior_kl() + self.g.prior_kl()
+
+    def predict(self, Xnew: jnp.ndarray) -> OnOffPrediction:
+        fmean, fvar = self.f.predict_f(Xnew)
+        if self.mean_const is not None:
+            fmean = fmean + self.mean_const.value
+        gmean, gvar = self.g.predict_f(Xnew)
+        # Optional constant prior-mean shift on g. The reference *predict*
+        # module applies −1.0 (onofftf/onoffpred.py:141) though training never
+        # does (scripts/onoff.py:172) — a train/predict inconsistency. Here it
+        # is one explicit config knob, default 0 (the training behaviour).
+        gmean = gmean + self.g_mean_shift
+        e_phi, e_phi_sq, var_phi = probit_expectations(gmean, gvar, exact=self.exact_owen_t)
+        gfmean = e_phi * fmean
+        gfvar = e_phi_sq * fvar
+        gfmeanu = var_phi * jnp.square(fmean)
+        return OnOffPrediction(gfmean, gfvar, gfmeanu, fmean, fvar, gmean, gvar, e_phi, var_phi)
+
+    def elbo(self, X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+        kl = self.prior_kl()
+        pred = self.predict(X)
+        var_exp = self.likelihood.variational_expectations(
+            pred.gfmean, pred.gfvar, pred.gfmeanu, Y
+        )
+        scale = jnp.asarray(self.num_data, dtype=X.dtype) / X.shape[0]
+        return jnp.sum(var_exp) * scale - kl
+
+    def loss(self, X, Y):
+        return -self.elbo(X, Y)

@@ -1,0 +1,163 @@
+"""Sparse-GP predictive conditionals q(f*) = ∫ p(f*|u) q(u) du.
+
+Dense path re-designs gpflow-0.4 ``conditionals.conditional`` (used at
+onoffgpf/OnOffSVGP.py:132-137) and the reference's ``GPConditional``
+(onofftf/main.py:257-305).
+
+Kronecker path replaces the 7 copy-pasted ``kron_inf`` closures
+(scripts/onoff.py:186-213 and clones). The reference materializes
+``tf_kron(*Kmm_inv)`` (1000×1000) and a dense (M×B) cross-gram, then takes
+``diag_part`` of *B×B* products. Here everything stays factored:
+
+    Kmn[(i₁..i_P), b] = Π_p Kmn_p[i_p, b]
+    A  = (⊗K_p⁻¹) Kmn  =>  A_p = K_p⁻¹ Kmn_p          (still factored!)
+    diag(Kmnᵀ A)[b]    = Π_p Σ_i Kmn_p[i,b]·A_p[i,b]
+    diag(Aᵀ S A)[b]    = contraction of S over ⊗_p A_p²   (P small matmuls)
+
+so the per-step cost is O(Σ_p M_p³ + Σ_p M_p² B) instead of the reference's
+O((Π M_p)² B). The contractions are plain matmuls -> MXU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from . import linalg
+
+
+def conditional(
+    Xnew: jnp.ndarray,
+    Z: jnp.ndarray,
+    kernel,
+    f: jnp.ndarray,
+    *,
+    full_cov: bool = False,
+    q_sqrt: Optional[jnp.ndarray] = None,
+    whiten: bool = False,
+    jitter: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-GP sparse conditional.
+
+    Xnew: (N, D), Z: (M, D), f: (M, L) inducing (whitened) means,
+    q_sqrt: None | (M, L) diag | (M, M, L) lower-triangular.
+    Returns (mean (N, L), var (N, L) or full cov (N, N, L)).
+    """
+    M = Z.shape[0]
+    Kmn = kernel.K(Z, Xnew)  # (M, N)
+    Kmm = linalg.add_jitter(kernel.K(Z), jitter)
+    Lm = linalg.cholesky(Kmm)
+
+    A = linalg.tri_solve(Lm, Kmn, lower=True)  # (M, N)
+
+    if full_cov:
+        fvar = kernel.K(Xnew) - A.T @ A  # (N, N)
+    else:
+        fvar = kernel.Kdiag(Xnew) - jnp.sum(jnp.square(A), axis=0)  # (N,)
+
+    if not whiten:
+        A = linalg.tri_solve(Lm.T, A, lower=False)
+
+    fmean = A.T @ f  # (N, L)
+    L_latent = f.shape[1]
+
+    if full_cov:
+        fvar = jnp.broadcast_to(fvar[None], (L_latent,) + fvar.shape)  # (L, N, N)
+    else:
+        fvar = jnp.broadcast_to(fvar[None], (L_latent, fvar.shape[0]))  # (L, N)
+
+    if q_sqrt is not None:
+        if q_sqrt.ndim == 2:
+            LTA = A[None] * q_sqrt.T[:, :, None]  # (L, M, N)
+        elif q_sqrt.ndim == 3:
+            Lq = jnp.tril(jnp.transpose(q_sqrt, (2, 0, 1)))  # (L, M, M)
+            LTA = jnp.einsum("lmk,mn->lkn", Lq, A)  # Lqᵀ A per latent
+        else:
+            raise ValueError(f"Bad q_sqrt ndim: {q_sqrt.ndim}")
+        if full_cov:
+            fvar = fvar + jnp.einsum("lmn,lmk->lnk", LTA, LTA)
+        else:
+            fvar = fvar + jnp.sum(jnp.square(LTA), axis=1)
+
+    fvar = jnp.transpose(fvar) if not full_cov else jnp.transpose(fvar, (1, 2, 0))
+    return fmean, fvar
+
+
+class KronConditionalState(NamedTuple):
+    """Precomputable per-step state shared by mean and variance."""
+
+    Ls: Tuple[jnp.ndarray, ...]  # per-factor chol(Kmm_p)
+    alpha: jnp.ndarray  # (⊗K_p⁻¹) q_mu, shape (M, 1)
+
+
+def kron_conditional(
+    Xnew: jnp.ndarray,
+    kernels: Sequence,
+    Zs: Sequence[jnp.ndarray],
+    q_mu: jnp.ndarray,
+    q_sqrt_diag: jnp.ndarray,
+    input_masks: Sequence[Sequence[int]],
+    *,
+    jitter: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Kronecker-structured sparse conditional with diagonal q(u) covariance.
+
+    kernels[p], Zs[p] (M_p, d_p): per-factor kernel and inducing locations.
+    input_masks[p]: columns of Xnew belonging to factor p (reference
+    ``_gen_inp_mask``, scripts/onoff.py:243-250).
+    q_mu, q_sqrt_diag: (M, 1) with M = Π M_p, row-major factor order.
+
+    Returns (mean (B, 1), var (B, 1)); matches the reference ``kron_inf``
+    (scripts/onoff.py:186-213) to fp tolerance while never materializing ⊗.
+    """
+    sizes = [Z.shape[0] for Z in Zs]
+    B = Xnew.shape[0]
+    dtype = Xnew.dtype
+
+    Kmms = [linalg.add_jitter(k.K(Z), jitter) for k, Z in zip(kernels, Zs)]
+    Ls = [linalg.cholesky(Kmm) for Kmm in Kmms]
+
+    # alpha = (⊗K_p⁻¹) q_mu, factored
+    alpha = linalg.kron_chol_solve(Ls, q_mu)  # (M, 1)
+
+    Knn = jnp.ones((B,), dtype=dtype)
+    Kmn_factors = []
+    A_factors = []
+    for p, (k, Z, L) in enumerate(zip(kernels, Zs, Ls)):
+        xp = Xnew[:, jnp.array(tuple(input_masks[p]))]
+        Knn = Knn * k.Kdiag(xp)
+        Kmn_p = k.K(Z, xp)  # (M_p, B)
+        Kmn_factors.append(Kmn_p)
+        A_factors.append(linalg.chol_solve(L, Kmn_p))  # K_p⁻¹ Kmn_p
+
+    # mean: mu[b] = Σ_m (Π_p Kmn_p[i_p, b]) alpha[m]
+    mu = _factored_contract(alpha[:, 0], sizes, Kmn_factors)  # (B,)
+
+    # c1[b] = diag(Kmnᵀ A)[b] = Π_p Σ_i Kmn_p[i,b] A_p[i,b]
+    c1 = jnp.ones((B,), dtype=dtype)
+    for Kmn_p, A_p in zip(Kmn_factors, A_factors):
+        c1 = c1 * jnp.sum(Kmn_p * A_p, axis=0)
+
+    # c2[b] = diag(Aᵀ S A)[b] = Σ_m S[m] (Π_p A_p[i_p, b])²
+    S = jnp.square(q_sqrt_diag[:, 0])
+    c2 = _factored_contract(S, sizes, [jnp.square(A_p) for A_p in A_factors])
+
+    var = Knn - c1 + c2
+    return mu[:, None], var[:, None]
+
+
+def _factored_contract(
+    w: jnp.ndarray, sizes: Sequence[int], factors: Sequence[jnp.ndarray]
+) -> jnp.ndarray:
+    """out[b] = Σ_{i₁..i_P} w[(i₁..i_P)] Π_p factors[p][i_p, b].
+
+    Sequential contraction: each step is one (M_p × rest)·(M_p × B) matmul.
+    """
+    t = w.reshape(tuple(sizes))  # (M_1, ..., M_P)
+    for p, F in enumerate(factors):
+        if p == 0:
+            t = jnp.einsum("i...,ib->b...", t, F)
+        else:
+            t = jnp.einsum("bi...,ib->b...", t, F)
+    return t  # (B,)

@@ -1,0 +1,69 @@
+"""Stationary kernels as jit-transparent pytrees.
+
+Replaces the reference's ``KernSE`` (onofftf/main.py:33-63), the numpy oracle
+``kernse_np`` (onofftf/utils.py:26-58), and gpflow ``kernels.RBF`` (notebook
+cell 7). Kernels are flax-struct dataclasses holding Parameters, so a kernel
+flows through jax.grad and optax like any other pytree.
+
+Gram construction uses the MXU-friendly quadratic expansion
+``-2·X X2ᵀ + |X|² + |X2|²`` exactly as the reference does — the matmul is the
+dominant FLOP and maps straight onto the systolic array. An opt-in Pallas
+fused gram kernel lives in zigp_tpu.ops.pallas.rbf_gram.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.parameters import Parameter, positive_param
+
+
+@struct.dataclass
+class SquaredExponential:
+    """ARD squared-exponential (RBF) kernel: σ² exp(-½ Σ_d (x_d - x'_d)²/ℓ_d²)."""
+
+    lengthscales: Parameter
+    variance: Parameter
+    active_dims: Optional[Tuple[int, ...]] = struct.field(pytree_node=False, default=None)
+
+    @classmethod
+    def create(cls, lengthscales, variance, active_dims=None, lr=None) -> "SquaredExponential":
+        ell = jnp.atleast_1d(jnp.asarray(lengthscales, dtype=jnp.result_type(float)))
+        return cls(
+            lengthscales=positive_param(ell, lr=lr),
+            variance=positive_param(variance, lr=lr),
+            active_dims=tuple(active_dims) if active_dims is not None else None,
+        )
+
+    def slice(self, X: jnp.ndarray) -> jnp.ndarray:
+        if self.active_dims is None:
+            return X
+        return X[:, jnp.array(self.active_dims)]
+
+    def square_dist(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Scaled squared distance matrix (may be slightly negative from fp
+        cancellation, exactly like the reference's form)."""
+        X = X / self.lengthscales.value
+        Xs = jnp.sum(jnp.square(X), axis=1)
+        if X2 is None:
+            d = -2.0 * (X @ X.T) + Xs[:, None] + Xs[None, :]
+        else:
+            X2 = X2 / self.lengthscales.value
+            X2s = jnp.sum(jnp.square(X2), axis=1)
+            d = -2.0 * (X @ X2.T) + Xs[:, None] + X2s[None, :]
+        return d
+
+    def K(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        X = self.slice(X)
+        X2 = self.slice(X2) if X2 is not None else None
+        return self.variance.value * jnp.exp(-0.5 * self.square_dist(X, X2))
+
+    def Kdiag(self, X: jnp.ndarray) -> jnp.ndarray:
+        return jnp.full((X.shape[0],), jnp.squeeze(self.variance.value), dtype=X.dtype)
+
+
+# The reference only ever uses the squared-exponential; keep the familiar name.
+RBF = SquaredExponential

@@ -1,0 +1,134 @@
+"""Dense and Kronecker-factored linear algebra primitives.
+
+TPU-native re-design of the reference's L2 layer (onofftf/main.py:187-387 and
+the per-script `__kron_mv`/`tf_kron` clones, e.g. scripts/onoff.py:215-241).
+
+The crucial difference from the reference: the reference *materializes* dense
+Kronecker products — ``tf_kron`` builds the full (prod M_p) x (prod M_p)
+matrix for the KL Cholesky (onofftf/main.py:356) and for the conditional's
+projection matrix (scripts/onoff.py:207). Here every Kronecker operation is
+factored: `(⊗_p A_p) x` is a sequence of small per-factor matmuls (MXU
+friendly, O(Σ M_p · N) instead of O(N²)), and `(⊗_p L_p)⁻¹ b` is a sequence of
+small triangular solves. `kron_dense` exists only for tests.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, cholesky as _cholesky, solve_triangular
+
+
+def add_jitter(K: jnp.ndarray, jitter: float) -> jnp.ndarray:
+    return K + jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
+
+
+def cholesky(K: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular Cholesky factor."""
+    return _cholesky(K, lower=True)
+
+
+def tri_solve(L: jnp.ndarray, b: jnp.ndarray, *, lower: bool = True, trans: bool = False):
+    return solve_triangular(L, b, lower=lower, trans=1 if trans else 0)
+
+
+def chol_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve K x = b given L = chol(K)."""
+    return cho_solve((L, True), b)
+
+
+def diag_of_inv_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    """diag(K⁻¹) from L = chol(K): (K⁻¹)_ii = Σ_k (L⁻¹)_ki²."""
+    Linv = solve_triangular(L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True)
+    return jnp.sum(jnp.square(Linv), axis=0)
+
+
+def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
+# ---------------------------------------------------------------------------
+# Kronecker algebra (factored — never materializes the product)
+# ---------------------------------------------------------------------------
+
+
+def kron_dense(*mats: jnp.ndarray) -> jnp.ndarray:
+    """Dense Kronecker product. Test/debug only — O(Π M_p²) memory.
+
+    Equivalent to the reference's ``tf_kron`` (onofftf/main.py:334-348).
+    """
+    return reduce(jnp.kron, mats)
+
+
+def _apply_factor_ops(ops, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply (⊗_p A_p) to vector(s) x, where ops[p](X) computes A_p @ X.
+
+    Implements the reshape-shuffle matvec (reference ``__kron_mv``,
+    scripts/onoff.py:215-225) with arbitrary per-factor linear operators so
+    the same loop serves matmul, triangular solve, and full solves. After each
+    factor is applied, a transpose-reshape rotates that factor's index to the
+    back; after all P factors the row-major index order is restored.
+
+    x: (N,) or (N, K) with N = Π M_p. Columns are independent (vmapped).
+    Returns the same shape as x.
+    """
+    N = 1
+    for _, s in ops:
+        N *= s
+
+    def apply1(v):  # v: (N,)
+        b = v
+        for op, size in ops:
+            X = b.reshape(size, N // size)
+            b = op(X).T.reshape(N)
+        return b
+
+    if x.ndim == 1:
+        return apply1(x)
+    return jax.vmap(apply1, in_axes=1, out_axes=1)(x)
+
+
+def kron_mv(mats: Sequence[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """y = (⊗_p mats[p]) x without materializing the Kronecker product."""
+    return _apply_factor_ops([(lambda X, A=A: A @ X, A.shape[0]) for A in mats], x)
+
+
+def kron_solve_lower(Ls: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
+    """x = (⊗_p L_p)⁻¹ b for lower-triangular factors L_p.
+
+    Since (⊗L_p)⁻¹ = ⊗(L_p⁻¹) this is the factored matvec with per-factor
+    triangular solves. Replaces the reference's dense Cholesky-of-Kronecker
+    (onofftf/main.py:355-358).
+    """
+    return _apply_factor_ops(
+        [(lambda X, L=L: solve_triangular(L, X, lower=True), L.shape[0]) for L in Ls], b
+    )
+
+
+def kron_chol_solve(Ls: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
+    """x = (⊗_p K_p)⁻¹ b given per-factor Cholesky factors L_p = chol(K_p)."""
+    return _apply_factor_ops(
+        [(lambda X, L=L: cho_solve((L, True), X), L.shape[0]) for L in Ls], b
+    )
+
+
+def kron_diag(diags: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """diag(⊗_p D_p) for diagonal factors given as vectors."""
+    out = diags[0]
+    for d in diags[1:]:
+        out = (out[:, None] * d[None, :]).reshape(-1)
+    return out
+
+
+def kron_logdet_from_chols(Ls: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """log det(⊗_p K_p) = Σ_p (M / M_p) · log det K_p, from factors' Choleskys."""
+    M = 1
+    for L in Ls:
+        M *= L.shape[0]
+    out = 0.0
+    for L in Ls:
+        out = out + (M // L.shape[0]) * logdet_from_chol(L)
+    return out

@@ -1,0 +1,97 @@
+"""Jitted training step and the fit loop.
+
+The reference's hot loop is ``sess.run([summary, train_op], feed_dict=...)``
+per iteration (scripts/onoff.py:375-388) — a python↔TF boundary crossing with
+feed_dict copies every step. Here the step is one jit-compiled function
+``(model, opt_state, X, Y) -> (model, opt_state, loss)``; the whole
+ELBO + grad + Adam update fuses into a single XLA executable and the host only
+feeds fixed-shape minibatches.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .data import DataSet
+
+
+def make_train_step(optimizer: optax.GradientTransformation, loss_fn: Optional[Callable] = None):
+    """Build a jitted step. ``loss_fn(model, X, Y)`` defaults to model.loss."""
+
+    def _loss(model, X, Y):
+        return loss_fn(model, X, Y) if loss_fn is not None else model.loss(X, Y)
+
+    @jax.jit
+    def step(model, opt_state, X, Y):
+        loss, grads = jax.value_and_grad(_loss)(model, X, Y)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step
+
+
+@dataclass
+class FitResult:
+    model: Any
+    opt_state: Any
+    losses: List[float] = field(default_factory=list)
+    steps_per_sec: float = 0.0
+
+
+def fit(
+    model,
+    data: DataSet,
+    *,
+    num_iter: int,
+    batch_size: int,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    learning_rate: float = 1e-3,
+    log_every: int = 200,
+    log_fn: Callable[[str], None] = print,
+    callback: Optional[Callable[[int, Any, float], None]] = None,
+    loss_fn: Optional[Callable] = None,
+) -> FitResult:
+    """Adam training loop matching the reference driver's shape
+    (scripts/onoff.py:375-427): minibatch, step, periodic logging/callback."""
+    from .optim import make_optimizer
+
+    if optimizer is None:
+        optimizer = make_optimizer(model, default_lr=learning_rate)
+    opt_state = optimizer.init(model)
+    step = make_train_step(optimizer, loss_fn)
+
+    losses: List[float] = []
+    t_start = time.time()
+    timed_steps = 0
+    for i in range(num_iter):
+        bx, by = data.next_batch(batch_size)
+        X = jnp.asarray(bx)
+        Y = jnp.asarray(by)
+        model, opt_state, loss = step(model, opt_state, X, Y)
+        if i == 0:
+            # exclude compile time from throughput
+            jax.block_until_ready(loss)
+            t_start = time.time()
+            timed_steps = 0
+        timed_steps += 1
+        if log_every and i % log_every == 0:
+            loss_val = float(loss)
+            losses.append(loss_val)
+            log_fn(f"iter {i:>8d}  loss {loss_val:.6f}")
+        if callback is not None:
+            callback(i, model, loss)
+    jax.block_until_ready(model)
+    elapsed = max(time.time() - t_start, 1e-12)
+    return FitResult(
+        model=model,
+        opt_state=opt_state,
+        losses=losses,
+        steps_per_sec=timed_steps / elapsed,
+    )
