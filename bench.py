@@ -1,0 +1,123 @@
+"""Benchmark: zero-inflated on/off GP optimizer steps/sec at the pptr
+production config (Kronecker 10×100 inducing grid per GP, minibatch 1000,
+Adam, full ELBO + gradients + update per step — the reference's hot loop,
+scripts/onoff.py:375-388).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": steps/sec on this device, "unit": "steps/s",
+   "vs_baseline": speedup vs a same-math dense CPU reference proxy}
+
+The reference publishes no wall-clock numbers (BASELINE.md), so the baseline
+is measured here: a numpy float64 re-enactment of the reference's *dense*
+per-step linear algebra (dense 1000×1000 Kronecker Cholesky + solves for the
+KL of both GPs, dense kron(Kmm⁻¹), dense M×B cross-gram and B×B diag products
+for both conditionals — exactly the tensors TF1 materializes per step,
+scripts/onoff.py:186-213 + onofftf/main.py:350-387), times a 3× reverse-mode
+factor for the backward pass. That proxy *underestimates* the true TF1
+feed_dict/session overhead, so vs_baseline is conservative.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_tpu_steps_per_sec(num_steps: int = 200, batch: int = 1000):
+    import jax
+
+    from __graft_entry__ import _batch, _flagship
+    from zigp_tpu.training import make_optimizer, make_train_step
+
+    model = _flagship()
+    optimizer = make_optimizer(model, default_lr=1e-3)
+    opt_state = optimizer.init(model)
+    step = make_train_step(optimizer)
+
+    X, Y = _batch(batch)
+    # warmup/compile
+    model, opt_state, loss = step(model, opt_state, X, Y)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for _ in range(num_steps):
+        model, opt_state, loss = step(model, opt_state, X, Y)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    return num_steps / dt, float(loss)
+
+
+def bench_reference_proxy_steps_per_sec(num_steps: int = 3, batch: int = 1000):
+    """Dense numpy re-enactment of the reference's per-step forward algebra."""
+    Ms, Mt, M, B = 10, 100, 1000, batch
+    rng = np.random.RandomState(0)
+    Zs = rng.rand(Ms, 2)
+    Zt = np.linspace(0, 1, Mt)[:, None]
+    Xb = rng.rand(B, 3)
+    q_mu = rng.randn(M, 1) * 0.1
+    q_sqrt = np.ones((M, 1))
+
+    def se(A, C, ell, var):
+        A = A / ell
+        C = C / ell
+        d = -2 * A @ C.T + (A**2).sum(1)[:, None] + (C**2).sum(1)[None, :]
+        return var * np.exp(-d / 2)
+
+    def forward():
+        total = 0.0
+        for _gp in range(2):  # f and g
+            Ks = se(Zs, Zs, 8.0, 20.0) + 1e-5 * np.eye(Ms)
+            Kt = se(Zt, Zt, 0.005, 20.0) + 1e-5 * np.eye(Mt)
+            # KL: dense kron cholesky + solves (GaussKLkron)
+            Lp = np.kron(np.linalg.cholesky(Ks), np.linalg.cholesky(Kt))
+            alpha = np.linalg.solve(Lp, q_mu)
+            Lp_inv = np.linalg.solve(Lp, np.eye(M))
+            K_inv = np.linalg.solve(Lp.T, Lp_inv)
+            total += (
+                np.sum(alpha**2)
+                + np.sum(np.diag(K_inv)[:, None] * q_sqrt**2)
+                + np.sum(np.log(np.diag(Lp) ** 2))
+            )
+            # conditional: dense kron(Kmm_inv), M×B cross-gram, B×B diag products
+            Kmm_inv = np.kron(np.linalg.inv(Ks), np.linalg.inv(Kt))
+            al = Kmm_inv @ q_mu
+            Kmn = (
+                se(Zs, Xb[:, :2], 8.0, 20.0)[:, None, :]
+                * se(Zt, Xb[:, 2:], 0.005, 20.0)[None, :, :]
+            ).reshape(M, B)
+            A = Kmm_inv @ Kmn
+            mu = Kmn.T @ al
+            S = q_sqrt[:, 0] ** 2
+            var = 20.0 * 20.0 - np.diag(Kmn.T @ A - (A * S[:, None]).T @ A)
+            total += float(mu.sum() + var.sum())
+        return total
+
+    forward()  # warmup numpy/BLAS
+    t0 = time.time()
+    for _ in range(num_steps):
+        forward()
+    fwd = (time.time() - t0) / num_steps
+    # reverse-mode AD of this graph costs ~2× forward on top (TF1 measured
+    # convention); total per train step ≈ 3× forward.
+    return 1.0 / (3.0 * fwd)
+
+
+def main():
+    tpu_sps, final_loss = bench_tpu_steps_per_sec()
+    ref_sps = bench_reference_proxy_steps_per_sec()
+    import jax
+
+    result = {
+        "metric": "onoff_pptr_train_steps_per_sec",
+        "value": round(tpu_sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(tpu_sps / ref_sps, 2),
+        "baseline_proxy_steps_per_sec": round(ref_sps, 3),
+        "device": str(jax.devices()[0]),
+        "final_loss": final_loss,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Toy-dataset parity tests against the reference notebook
+(zero-inflated-gpflow.ipynb): converged ELBO must match or beat the published
+488.7130771963765 (cell 10 output)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zigp_tpu.experiments.toy import REFERENCE_TOY_ELBO, ToyOnOffConfig, build_toy_model
+
+
+def test_toy_model_builds_and_evaluates():
+    model, x, y = build_toy_model()
+    assert x.shape == (450, 1)
+    elbo = float(model.elbo(jnp.asarray(x), jnp.asarray(y)))
+    assert np.isfinite(elbo)
+    # 9 interior inducing knots (notebook cell 7 linspace trick)
+    assert model.Zf.shape == (9, 1)
+
+
+def test_toy_short_lbfgs_improves_elbo():
+    from zigp_tpu.training.scipy_opt import scipy_optimize
+
+    model, x, y = build_toy_model()
+    X, Y = jnp.asarray(x), jnp.asarray(y)
+    before = float(model.elbo(X, Y))
+    m2, _ = scipy_optimize(model, lambda m: m.loss(X, Y), maxiter=50)
+    after = float(m2.elbo(X, Y))
+    assert after > before
+
+
+@pytest.mark.slow
+def test_toy_converged_elbo_beats_reference():
+    """Reference: 8000 L-BFGS iters -> ELBO 488.713 (not converged). Our
+    converged run must match or beat it."""
+    from zigp_tpu.training.scipy_opt import scipy_optimize
+
+    model, x, y = build_toy_model(ToyOnOffConfig(seed=0))
+    X, Y = jnp.asarray(x), jnp.asarray(y)
+    m2, res = scipy_optimize(model, lambda m: m.loss(X, Y), maxiter=60000, maxfun=60000)
+    elbo = float(m2.elbo(X, Y))
+    assert elbo >= REFERENCE_TOY_ELBO - 0.5, f"converged ELBO {elbo} below reference"

@@ -8,7 +8,7 @@ hurdle, zero-inflated GPC×GPR) on a single shared kernel/likelihood/
 variational core.
 """
 
-from . import core, likelihoods, models, ops, parallel, training, utils
+from . import core, io, likelihoods, models, ops, parallel, training, utils
 from .core import bijectors, config
 from .core.parameters import Parameter, param, positive_param
 

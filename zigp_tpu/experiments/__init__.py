@@ -1,0 +1,30 @@
+from . import builders, configs, runners, toy
+from .configs import (
+    ClassifierPptrConfig,
+    KronGridConfig,
+    OnOffPptrConfig,
+    SvgpPptrConfig,
+    ToyOnOffConfig,
+)
+from .runners import run_classifier, run_hurdle, run_onoff, run_svgp, run_zero_inflated
+from .toy import REFERENCE_TOY_ELBO, build_toy_model, run_toy
+
+__all__ = [
+    "builders",
+    "configs",
+    "runners",
+    "toy",
+    "OnOffPptrConfig",
+    "SvgpPptrConfig",
+    "ClassifierPptrConfig",
+    "KronGridConfig",
+    "ToyOnOffConfig",
+    "run_onoff",
+    "run_svgp",
+    "run_classifier",
+    "run_hurdle",
+    "run_zero_inflated",
+    "run_toy",
+    "build_toy_model",
+    "REFERENCE_TOY_ELBO",
+]

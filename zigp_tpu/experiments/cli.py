@@ -1,0 +1,150 @@
+"""Command-line experiment driver.
+
+Usage (replaces the reference's scripts/*.py entrypoints):
+
+    python -m zigp_tpu.experiments toy        [--maxiter 8000]
+    python -m zigp_tpu.experiments cvsplits   [--out DIR]
+    python -m zigp_tpu.experiments onoff      --fold 1 [--iters N] [--workdir DIR]
+    python -m zigp_tpu.experiments svgp       --fold 1 ...
+    python -m zigp_tpu.experiments classifier --fold 1 ...
+    python -m zigp_tpu.experiments hurdle     --fold 1 ...   (needs classifier results)
+    python -m zigp_tpu.experiments zi         --fold 1 ...   (needs classifier+svgp results)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import pickle
+import sys
+
+
+def _setup_logging(workdir: str, name: str):
+    os.makedirs(workdir, exist_ok=True)
+    logger = logging.getLogger("zigp")
+    logger.setLevel(logging.DEBUG)
+    fh = logging.FileHandler(os.path.join(workdir, f"modelsumm_{name}.log"))
+    sh = logging.StreamHandler(sys.stdout)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    return logger.info
+
+
+def _load_fold(args):
+    from ..io.datasets import load_pptr, make_cv_splits
+
+    splits = make_cv_splits(load_pptr(args.data))
+    if not 1 <= args.fold <= len(splits):
+        raise SystemExit(f"error: --fold must be in 1..{len(splits)}, got {args.fold}")
+    return splits[args.fold - 1]
+
+
+def _load_results(workdir: str, name: str, producer: str) -> dict:
+    path = os.path.join(workdir, name)
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"error: {path} not found — run the '{producer}' experiment for this "
+            f"fold/workdir first"
+        )
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _common(p):
+    p.add_argument("--fold", type=int, default=1, help="CV fold (1-5)")
+    p.add_argument("--data", type=str, default=None, help="pptr.pickle path")
+    p.add_argument("--workdir", type=str, default="runs/pptr")
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="zigp_tpu.experiments")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_toy = sub.add_parser("toy", help="toy 1-D on/off GP (notebook workflow)")
+    p_toy.add_argument("--maxiter", type=int, default=8000)
+    p_toy.add_argument("--plot", type=str, default=None, help="save diagnostic plot here")
+
+    p_cv = sub.add_parser("cvsplits", help="write 5-fold CV splits")
+    p_cv.add_argument("--out", type=str, default="runs/cv")
+    p_cv.add_argument("--data", type=str, default=None)
+
+    for name in ("onoff", "svgp", "classifier", "hurdle", "zi"):
+        _common(sub.add_parser(name))
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "toy":
+        from .configs import ToyOnOffConfig
+        from .toy import run_toy
+
+        res = run_toy(ToyOnOffConfig(maxiter=args.maxiter))
+        if args.plot:
+            from ..utils.plotting import plot_onoff_1d
+
+            plot_onoff_1d(res["model"], res["x"], res["y"], save_path=args.plot)
+            print(f"plot saved to {args.plot}")
+        return 0
+
+    if args.cmd == "cvsplits":
+        from ..io.datasets import load_pptr, make_cv_splits
+
+        splits = make_cv_splits(load_pptr(args.data))
+        for i, s in enumerate(splits, start=1):
+            d = os.path.join(args.out, str(i))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "data.pickle"), "wb") as f:
+                pickle.dump(
+                    {"Xtrain": s.Xtrain, "Ytrain": s.Ytrain, "Xtest": s.Xtest, "Ytest": s.Ytest},
+                    f,
+                )
+            print(f"fold {i}: train {s.Xtrain.shape} test {s.Xtest.shape} -> {d}")
+        return 0
+
+    split = _load_fold(args)
+    workdir = os.path.join(args.workdir, str(args.fold))
+    log = _setup_logging(workdir, args.cmd)
+
+    def _cfgkw(cfg):
+        kw = {}
+        if args.iters is not None:
+            kw["num_iter"] = args.iters
+        if args.batch is not None:
+            kw["batch_size"] = args.batch
+        return dataclasses.replace(cfg, **kw)
+
+    if args.cmd == "onoff":
+        from .configs import OnOffPptrConfig
+        from .runners import run_onoff
+
+        run_onoff(split, _cfgkw(OnOffPptrConfig()), workdir=workdir, log_fn=log)
+    elif args.cmd == "svgp":
+        from .configs import SvgpPptrConfig
+        from .runners import run_svgp
+
+        run_svgp(split, _cfgkw(SvgpPptrConfig()), workdir=workdir, log_fn=log)
+    elif args.cmd == "classifier":
+        from .configs import ClassifierPptrConfig
+        from .runners import run_classifier
+
+        run_classifier(split, _cfgkw(ClassifierPptrConfig()), workdir=workdir, log_fn=log)
+    elif args.cmd == "hurdle":
+        from .configs import SvgpPptrConfig
+        from .runners import run_hurdle
+
+        clf = _load_results(workdir, "results_scgp.pickle", "classifier")
+        run_hurdle(split, clf, _cfgkw(SvgpPptrConfig()), workdir=workdir, log_fn=log)
+    elif args.cmd == "zi":
+        from .runners import run_zero_inflated
+
+        clf = _load_results(workdir, "results_scgp.pickle", "classifier")
+        reg = _load_results(workdir, "results_svgp.pickle", "svgp")
+        run_zero_inflated(split, clf, reg, workdir=workdir, log_fn=log)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

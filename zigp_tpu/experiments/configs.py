@@ -1,0 +1,99 @@
+"""Typed experiment configs.
+
+The reference hard-codes every hyperparameter as literals inside each script
+(e.g. scripts/onoff.py:51-79: num_iter=50000, Kron grid [10,100], B=1000,
+init lengthscales/variances, lrs 1e-3, jitter 1e-5, plus a hard-coded cluster
+path at :24). Here each experiment has one dataclass preset that is also the
+CLI surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class KronGridConfig:
+    num_spatial: int = 10
+    num_temporal: int = 100
+
+
+@dataclass
+class KernelInit:
+    lengthscales: Tuple[float, ...]
+    variance: float
+
+
+@dataclass
+class OnOffPptrConfig:
+    """scripts/onoff.py defaults (lines 51-79)."""
+
+    num_iter: int = 50_000
+    batch_size: int = 1000
+    grid: KronGridConfig = field(default_factory=KronGridConfig)
+    fk_spatial: KernelInit = field(default_factory=lambda: KernelInit((8.0, 8.0), 20.0))
+    fk_temporal: KernelInit = field(default_factory=lambda: KernelInit((5.0 / 1000,), 20.0))
+    gk_spatial: KernelInit = field(default_factory=lambda: KernelInit((8.0, 8.0), 10.0))
+    gk_temporal: KernelInit = field(default_factory=lambda: KernelInit((5.0 / 1000,), 10.0))
+    noise_variance: float = 0.01
+    kern_lr: float = 1e-3
+    indp_lr: float = 1e-3
+    jitter: float = 1e-5
+    q_mu_scale: float = 0.1
+    seed: int = 0
+    log_every: int = 200
+    ckpt_every: int = 10_000
+    exact_owen_t: bool = False
+
+
+@dataclass
+class SvgpPptrConfig:
+    """scripts/svgp.py defaults."""
+
+    num_iter: int = 50_000
+    batch_size: int = 500
+    grid: KronGridConfig = field(default_factory=KronGridConfig)
+    k_spatial: KernelInit = field(default_factory=lambda: KernelInit((8.0, 8.0), 20.0))
+    k_temporal: KernelInit = field(default_factory=lambda: KernelInit((5.0 / 1000,), 20.0))
+    noise_variance: float = 0.01
+    lr: float = 1e-3
+    jitter: float = 1e-5
+    q_mu_scale: float = 0.1
+    seed: int = 0
+    log_every: int = 200
+    ckpt_every: int = 10_000
+
+
+@dataclass
+class ClassifierPptrConfig:
+    """scripts/classifier.py defaults (lines 60-84)."""
+
+    num_iter: int = 500
+    batch_size: int = 1000
+    grid: KronGridConfig = field(default_factory=KronGridConfig)
+    k_spatial: KernelInit = field(default_factory=lambda: KernelInit((5.0, 5.0), 20.0))
+    k_temporal: KernelInit = field(default_factory=lambda: KernelInit((5.0 / 1000,), 20.0))
+    lr: float = 1e-3
+    jitter: float = 1e-5
+    q_mu_scale: float = 0.01
+    num_gh: int = 0  # 0 = reference plug-in form; >0 = Gauss-Hermite
+    seed: int = 0
+    log_every: int = 100
+    ckpt_every: int = 10_000
+
+
+@dataclass
+class ToyOnOffConfig:
+    """Notebook config (cells 7-10): RBF ℓ=2, σ²f=1, σ²g=5, noise 0.01, M=10."""
+
+    num_inducing: int = 10
+    f_lengthscale: float = 2.0
+    f_variance: float = 1.0
+    g_lengthscale: float = 2.0
+    g_variance: float = 5.0
+    noise_variance: float = 0.01
+    jitter: float = 1e-6
+    optimizer: str = "lbfgs"  # reference uses scipy L-BFGS-B via gpflow
+    maxiter: int = 8000
+    seed: int = 0

@@ -1,0 +1,302 @@
+"""Experiment runners: the reference's L6 driver scripts, re-done.
+
+Each runner mirrors one reference script end-to-end (train → predict →
+metrics → results dict/pickle):
+
+- ``run_onoff``        ≡ scripts/onoff.py  onoff()
+- ``run_svgp``         ≡ scripts/svgp.py   svgp()
+- ``run_classifier``   ≡ scripts/classifier.py main()
+- ``run_hurdle``       ≡ scripts/hurdle.py main()
+- ``run_zero_inflated``≡ scripts/zero_inflated.py main()
+
+Prediction over large sets runs in fixed-size jitted chunks (single compiled
+shape; last chunk padded) — replacing the reference's per-test-point
+``tf.while_loop`` serial path (onofftf/onoffpred.py:176-195).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from dataclasses import replace as dc_replace
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.datasets import Split
+from ..models import hurdle_combine, hurdle_on_indices, zero_inflated_combine
+from ..training import DataSet, fit
+from ..utils import metrics
+from .builders import (
+    binarize_targets,
+    build_classifier_pptr,
+    build_onoff_pptr,
+    build_svgp_pptr,
+)
+from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
+
+logger = logging.getLogger("zigp")
+
+
+def predict_batched(predict_fn: Callable, X: np.ndarray, batch: int = 4096) -> Dict[str, np.ndarray]:
+    """Run a jitted predict fn over X in fixed-shape chunks.
+
+    predict_fn(X_chunk) must return a dict/NamedTuple of (B, k) arrays.
+    """
+    N = X.shape[0]
+    jitted = jax.jit(predict_fn)
+    outs = None
+    for start in range(0, N, batch):
+        chunk = X[start : start + batch]
+        pad = batch - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
+        res = jitted(jnp.asarray(chunk))
+        d = res._asdict() if hasattr(res, "_asdict") else dict(res)
+        d = {k: np.asarray(v)[: batch - pad if pad else batch] for k, v in d.items()}
+        if outs is None:
+            outs = {k: [v] for k, v in d.items()}
+        else:
+            for k, v in d.items():
+                outs[k].append(v)
+    return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+
+def _maybe_pickle(results: dict, workdir: Optional[str], name: str):
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+        with open(os.path.join(workdir, name), "wb") as f:
+            pickle.dump(results, f)
+
+
+def run_onoff(
+    split: Split,
+    cfg: Optional[OnOffPptrConfig] = None,
+    *,
+    workdir: Optional[str] = None,
+    log_fn: Callable[[str], None] = logger.info,
+) -> dict:
+    """Zero-inflated on/off GP on a pptr split (scripts/onoff.py:22-500)."""
+    cfg = cfg or OnOffPptrConfig()
+    model = build_onoff_pptr(cfg, split)
+    ds = DataSet(split.Xtrain, split.Ytrain)
+
+    t0 = time.time()
+    res = fit(
+        model,
+        ds,
+        num_iter=cfg.num_iter,
+        batch_size=cfg.batch_size,
+        learning_rate=cfg.indp_lr,
+        log_every=cfg.log_every,
+        log_fn=log_fn,
+    )
+    model = res.model
+    train_time = time.time() - t0
+
+    def predict(X):
+        return model.predict(X)
+
+    pred_test = predict_batched(predict, split.Xtest)
+    pred_test_clip = np.maximum(pred_test["gfmean"], 0)
+    test_rmse = metrics.rmse(pred_test_clip, split.Ytest, clip_at_zero=False)
+    test_mae = metrics.mae(pred_test_clip, split.Ytest, clip_at_zero=False)
+    log_fn(f"test rmse: {test_rmse}")
+    log_fn(f"test mae: {test_mae}")
+
+    results = {
+        "test_rmse": test_rmse,
+        "test_mae": test_mae,
+        "pred_test": pred_test,
+        "steps_per_sec": res.steps_per_sec,
+        "train_time_sec": train_time,
+        "losses": res.losses,
+    }
+    _maybe_pickle(results, workdir, "results_onoff.pickle")
+    results["model"] = model
+    return results
+
+
+def run_svgp(
+    split: Split,
+    cfg: Optional[SvgpPptrConfig] = None,
+    *,
+    workdir: Optional[str] = None,
+    log_fn: Callable[[str], None] = logger.info,
+) -> dict:
+    """Kronecker SVGP regression on a pptr split (scripts/svgp.py)."""
+    cfg = cfg or SvgpPptrConfig()
+    model = build_svgp_pptr(cfg, split)
+    ds = DataSet(split.Xtrain, split.Ytrain)
+    res = fit(
+        model,
+        ds,
+        num_iter=cfg.num_iter,
+        batch_size=cfg.batch_size,
+        learning_rate=cfg.lr,
+        log_every=cfg.log_every,
+        log_fn=log_fn,
+    )
+    model = res.model
+
+    def predict(X):
+        fmean, fvar = model.predict_f(X)
+        return {"fmean": fmean, "fvar": fvar}
+
+    pred_train = predict_batched(predict, split.Xtrain)
+    pred_test = predict_batched(predict, split.Xtest)
+    test_rmse = metrics.rmse(pred_test["fmean"], split.Ytest)
+    test_mae = metrics.mae(pred_test["fmean"], split.Ytest)
+    log_fn(f"test rmse: {test_rmse}")
+
+    results = {
+        "pred_train": pred_train,
+        "pred_test": pred_test,
+        "test_rmse": test_rmse,
+        "test_mae": test_mae,
+        "steps_per_sec": res.steps_per_sec,
+        "losses": res.losses,
+    }
+    _maybe_pickle(results, workdir, "results_svgp.pickle")
+    results["model"] = model
+    return results
+
+
+def run_classifier(
+    split: Split,
+    cfg: Optional[ClassifierPptrConfig] = None,
+    *,
+    workdir: Optional[str] = None,
+    log_fn: Callable[[str], None] = logger.info,
+) -> dict:
+    """Sparse GP classifier on binarized pptr (scripts/classifier.py)."""
+    cfg = cfg or ClassifierPptrConfig()
+    Ytrain_b = binarize_targets(split.Ytrain)
+    Ytest_b = binarize_targets(split.Ytest)
+    model = build_classifier_pptr(cfg, split)
+    ds = DataSet(split.Xtrain, Ytrain_b)
+    res = fit(
+        model,
+        ds,
+        num_iter=cfg.num_iter,
+        batch_size=cfg.batch_size,
+        learning_rate=cfg.lr,
+        log_every=cfg.log_every,
+        log_fn=log_fn,
+    )
+    model = res.model
+
+    def predict(X):
+        pfmean, pfvar = model.predict_prob(X)
+        return {"pfmean": pfmean, "pfvar": pfvar}
+
+    pred_train = predict_batched(predict, split.Xtrain)
+    pred_test = predict_batched(predict, split.Xtest)
+
+    results = {
+        "pred_train": pred_train,
+        "pred_test": pred_test,
+        "steps_per_sec": res.steps_per_sec,
+        "losses": res.losses,
+    }
+    for name, pred, actual in (
+        ("train", pred_train["pfmean"], Ytrain_b),
+        ("test", pred_test["pfmean"], Ytest_b),
+    ):
+        results[f"{name}_accuracy"] = metrics.accuracy(pred, actual)
+        results[f"{name}_precision"] = metrics.precision(pred, actual)
+        results[f"{name}_recall"] = metrics.recall(pred, actual)
+        results[f"{name}_auc"] = metrics.roc_auc(pred, actual)
+        log_fn(
+            f"{name}: acc {results[f'{name}_accuracy']:.4f} auc {results[f'{name}_auc']:.4f}"
+        )
+    _maybe_pickle(results, workdir, "results_scgp.pickle")
+    results["model"] = model
+    return results
+
+
+def run_hurdle(
+    split: Split,
+    clf_results: dict,
+    cfg: Optional[SvgpPptrConfig] = None,
+    *,
+    workdir: Optional[str] = None,
+    log_fn: Callable[[str], None] = logger.info,
+) -> dict:
+    """Hurdle composite (scripts/hurdle.py): SVGP regression on the
+    classifier-'on' subset, recombined with hard classifier labels."""
+    cfg = cfg or SvgpPptrConfig()
+    train_on_idx = hurdle_on_indices(clf_results["pred_train"]["pfmean"])
+    test_on_idx = hurdle_on_indices(clf_results["pred_test"]["pfmean"])
+
+    sub = Split(
+        split.Xtrain[train_on_idx],
+        split.Ytrain[train_on_idx],
+        split.Xtest[test_on_idx],
+        split.Ytest[test_on_idx],
+    )
+    reg = run_svgp(sub, cfg, log_fn=log_fn)
+
+    train_comb = hurdle_combine(
+        clf_results["pred_train"]["pfmean"], reg["pred_train"]["fmean"], train_on_idx
+    )
+    test_comb = hurdle_combine(
+        clf_results["pred_test"]["pfmean"], reg["pred_test"]["fmean"], test_on_idx
+    )
+
+    results = {
+        "train_pred_on_idx": train_on_idx,
+        "test_pred_on_idx": test_on_idx,
+        "train_hurdle_reg_rmse": metrics.rmse(reg["pred_train"]["fmean"], sub.Ytrain),
+        "test_hurdle_reg_rmse": metrics.rmse(reg["pred_test"]["fmean"], sub.Ytest),
+        "train_hurdle_reg_mae": metrics.mae(reg["pred_train"]["fmean"], sub.Ytrain),
+        "test_hurdle_reg_mae": metrics.mae(reg["pred_test"]["fmean"], sub.Ytest),
+        "train_pred_hurdle_comb": train_comb,
+        "test_pred_hurdle_comb": test_comb,
+        "train_hurdle_comb_rmse": metrics.rmse(train_comb, split.Ytrain),
+        "test_hurdle_comb_rmse": metrics.rmse(test_comb, split.Ytest),
+        "train_hurdle_comb_mae": metrics.mae(train_comb, split.Ytrain),
+        "test_hurdle_comb_mae": metrics.mae(test_comb, split.Ytest),
+    }
+    log_fn(f"hurdle test rmse: {results['test_hurdle_comb_rmse']}")
+    _maybe_pickle(results, workdir, "results_hurdle.pickle")
+    results["model"] = reg["model"]
+    return results
+
+
+def run_zero_inflated(
+    split: Split,
+    clf_results: dict,
+    reg_results: dict,
+    *,
+    workdir: Optional[str] = None,
+    log_fn: Callable[[str], None] = logger.info,
+) -> dict:
+    """Zero-inflated GPC×GPR product composite (scripts/zero_inflated.py)."""
+    train = zero_inflated_combine(
+        clf_results["pred_train"]["pfmean"], reg_results["pred_train"]["fmean"]
+    )
+    test = zero_inflated_combine(
+        clf_results["pred_test"]["pfmean"], reg_results["pred_test"]["fmean"]
+    )
+    results = {
+        "pred_train_zi_prob": train.pred_prob,
+        "pred_test_zi_prob": test.pred_prob,
+        "pred_train_zi_indc": train.pred_indicator,
+        "pred_test_zi_indc": test.pred_indicator,
+        "train_zi_prob_reg_rmse": metrics.rmse(train.pred_prob, split.Ytrain),
+        "test_zi_prob_reg_rmse": metrics.rmse(test.pred_prob, split.Ytest),
+        "train_zi_prob_reg_mae": metrics.mae(train.pred_prob, split.Ytrain),
+        "test_zi_prob_reg_mae": metrics.mae(test.pred_prob, split.Ytest),
+        "train_zi_indc_reg_rmse": metrics.rmse(train.pred_indicator, split.Ytrain),
+        "test_zi_indc_reg_rmse": metrics.rmse(test.pred_indicator, split.Ytest),
+        "train_zi_indc_reg_mae": metrics.mae(train.pred_indicator, split.Ytrain),
+        "test_zi_indc_reg_mae": metrics.mae(test.pred_indicator, split.Ytest),
+    }
+    log_fn(f"zi prob test rmse: {results['test_zi_prob_reg_rmse']}")
+    _maybe_pickle(results, workdir, "results_zi.pickle")
+    return results

@@ -100,6 +100,7 @@ def kron_conditional(
     input_masks: Sequence[Sequence[int]],
     *,
     jitter: float = 1e-6,
+    clip_variance: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kronecker-structured sparse conditional with diagonal q(u) covariance.
 
@@ -110,6 +111,13 @@ def kron_conditional(
 
     Returns (mean (B, 1), var (B, 1)); matches the reference ``kron_inf``
     (scripts/onoff.py:186-213) to fp tolerance while never materializing ⊗.
+
+    Numerics: the reference computes explicit ``matrix_inverse`` products; here
+    every quadratic form goes through the factor Choleskys — ``c1`` is a
+    product of ‖L_p⁻¹ k_p‖² terms, each non-negative by construction — which
+    keeps the float32 TPU path stable where the inverse form loses hundreds of
+    units to cancellation. ``clip_variance`` clamps the (theoretically
+    non-negative) predictive variance at 0 against residual f32 roundoff.
     """
     sizes = [Z.shape[0] for Z in Zs]
     B = Xnew.shape[0]
@@ -123,27 +131,32 @@ def kron_conditional(
 
     Knn = jnp.ones((B,), dtype=dtype)
     Kmn_factors = []
-    A_factors = []
+    V_factors = []  # V_p = L_p⁻¹ Kmn_p
+    A_factors = []  # A_p = K_p⁻¹ Kmn_p = L_p⁻ᵀ V_p
     for p, (k, Z, L) in enumerate(zip(kernels, Zs, Ls)):
         xp = Xnew[:, jnp.array(tuple(input_masks[p]))]
         Knn = Knn * k.Kdiag(xp)
         Kmn_p = k.K(Z, xp)  # (M_p, B)
         Kmn_factors.append(Kmn_p)
-        A_factors.append(linalg.chol_solve(L, Kmn_p))  # K_p⁻¹ Kmn_p
+        V_p = linalg.tri_solve(L, Kmn_p, lower=True)
+        V_factors.append(V_p)
+        A_factors.append(linalg.tri_solve(L.T, V_p, lower=False))
 
     # mean: mu[b] = Σ_m (Π_p Kmn_p[i_p, b]) alpha[m]
     mu = _factored_contract(alpha[:, 0], sizes, Kmn_factors)  # (B,)
 
-    # c1[b] = diag(Kmnᵀ A)[b] = Π_p Σ_i Kmn_p[i,b] A_p[i,b]
+    # c1[b] = diag(Kmnᵀ (⊗K⁻¹) Kmn)[b] = Π_p ‖V_p[:, b]‖²  (each factor ≥ 0)
     c1 = jnp.ones((B,), dtype=dtype)
-    for Kmn_p, A_p in zip(Kmn_factors, A_factors):
-        c1 = c1 * jnp.sum(Kmn_p * A_p, axis=0)
+    for V_p in V_factors:
+        c1 = c1 * jnp.sum(jnp.square(V_p), axis=0)
 
     # c2[b] = diag(Aᵀ S A)[b] = Σ_m S[m] (Π_p A_p[i_p, b])²
     S = jnp.square(q_sqrt_diag[:, 0])
     c2 = _factored_contract(S, sizes, [jnp.square(A_p) for A_p in A_factors])
 
     var = Knn - c1 + c2
+    if clip_variance:
+        var = jnp.maximum(var, 0.0)
     return mu[:, None], var[:, None]
 
 

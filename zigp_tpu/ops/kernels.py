@@ -43,18 +43,24 @@ class SquaredExponential:
             return X
         return X[:, jnp.array(self.active_dims)]
 
+    # Above this input dimension the MXU matmul expansion wins; below it the
+    # exact pairwise-difference form is both faster (D ≤ 3 here, the matmul
+    # contracts over almost nothing) and float32-safe. The expansion form
+    # computes O(1) distances as differences of O((x/ℓ)²) terms — with the
+    # pptr temporal column (t ≈ 5, ℓ ≈ 0.005 ⇒ (x/ℓ)² ≈ 10⁶) that loses ~15%
+    # of the gram to f32 cancellation and produces indefinite Kmm.
+    _EXPANSION_MIN_DIM = 16
+
     def square_dist(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """Scaled squared distance matrix (may be slightly negative from fp
-        cancellation, exactly like the reference's form)."""
+        """Scaled squared distance matrix."""
         X = X / self.lengthscales.value
+        X2 = X / 1.0 if X2 is None else X2 / self.lengthscales.value
+        if X.shape[1] < self._EXPANSION_MIN_DIM:
+            diff = X[:, None, :] - X2[None, :, :]
+            return jnp.sum(jnp.square(diff), axis=-1)
         Xs = jnp.sum(jnp.square(X), axis=1)
-        if X2 is None:
-            d = -2.0 * (X @ X.T) + Xs[:, None] + Xs[None, :]
-        else:
-            X2 = X2 / self.lengthscales.value
-            X2s = jnp.sum(jnp.square(X2), axis=1)
-            d = -2.0 * (X @ X2.T) + Xs[:, None] + X2s[None, :]
-        return d
+        X2s = jnp.sum(jnp.square(X2), axis=1)
+        return -2.0 * (X @ X2.T) + Xs[:, None] + X2s[None, :]
 
     def K(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         X = self.slice(X)

@@ -22,13 +22,23 @@ def make_optimizer(
     *,
     default_lr: float = 1e-3,
     opt_factory: Callable[[float], optax.GradientTransformation] = optax.adam,
+    zero_nans: bool = True,
 ) -> optax.GradientTransformation:
-    """Per-lr-group optimizer over a model pytree of Parameters."""
+    """Per-lr-group optimizer over a model pytree of Parameters.
+
+    ``zero_nans``: drop non-finite gradient components instead of poisoning
+    the parameters — a float32-TPU safety net (a transient NaN gradient, e.g.
+    from a marginally-PD Cholesky, costs one masked update instead of the
+    whole run). Parity-irrelevant: all-finite gradients pass through exactly.
+    """
     groups = collect_lrs(model, default_lr)
     transforms = {label: opt_factory(lr) for label, lr in groups.items()}
     transforms["frozen"] = optax.set_to_zero()
     labels = lr_labels(model)
-    return optax.multi_transform(transforms, labels)
+    tx = optax.multi_transform(transforms, labels)
+    if zero_nans:
+        tx = optax.chain(optax.zero_nans(), tx)
+    return tx
 
 
 def adam_per_group(model, default_lr: float = 1e-3) -> optax.GradientTransformation:

