@@ -1,0 +1,87 @@
+"""Pallas kernels in interpret mode vs XLA references (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zigp_tpu.ops.pallas import batched_small_cholesky, kron_mv_2, rbf_gram, small_cholesky
+from zigp_tpu.ops.kernels import RBF
+
+
+def _xla_gram(X, Z, ell, var):
+    Xs = X / ell
+    Zs = Z / ell
+    d = np.sum((Xs[:, None, :] - Zs[None, :, :]) ** 2, -1)
+    return var * np.exp(-0.5 * d)
+
+
+def test_rbf_gram_matches_xla(rng):
+    X = rng.randn(70, 3).astype(np.float32)
+    Z = rng.randn(33, 3).astype(np.float32)
+    ell = np.array([0.7, 1.3, 2.0], dtype=np.float32)
+    got = np.asarray(rbf_gram(jnp.asarray(X), jnp.asarray(Z), jnp.asarray(ell), 1.7, True))
+    want = _xla_gram(X.astype(np.float64), Z.astype(np.float64), ell.astype(np.float64), 1.7)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_rbf_gram_large_coordinates_stay_accurate(rng):
+    # the f32 killer case: coordinates ~5, lengthscale 0.005
+    X = (4.368 + 1.079 * rng.rand(40, 1)).astype(np.float32)
+    Z = np.linspace(4.368, 5.447, 25, dtype=np.float32)[:, None]
+    ell = np.array([0.005], dtype=np.float32)
+    got = np.asarray(rbf_gram(jnp.asarray(X), jnp.asarray(Z), jnp.asarray(ell), 20.0, True))
+    want = _xla_gram(X.astype(np.float64), Z.astype(np.float64), np.float64(0.005), 20.0)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_rbf_gram_gradients_match_xla(rng):
+    X = rng.randn(12, 2)
+    Z = rng.randn(7, 2)
+    ell = np.array([0.9, 1.4])
+    var = 1.3
+
+    def loss_pallas(X, Z, ell, var):
+        return jnp.sum(jnp.sin(rbf_gram(X, Z, ell, var, True)))
+
+    def loss_xla(X, Z, ell, var):
+        Xs = X / ell
+        Zs = Z / ell
+        d = jnp.sum((Xs[:, None, :] - Zs[None, :, :]) ** 2, -1)
+        return jnp.sum(jnp.sin(var * jnp.exp(-0.5 * d)))
+
+    args = (jnp.asarray(X), jnp.asarray(Z), jnp.asarray(ell), jnp.asarray(var))
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_small_cholesky(rng):
+    n = 24
+    A = rng.randn(n, n)
+    K = (A @ A.T + n * np.eye(n)).astype(np.float32)
+    L = np.asarray(small_cholesky(jnp.asarray(K), interpret=True))
+    np.testing.assert_allclose(L @ L.T, K, rtol=1e-4, atol=1e-3)
+    assert np.allclose(L, np.tril(L))
+
+
+def test_batched_small_cholesky(rng):
+    B, n = 5, 16
+    Ks = []
+    for _ in range(B):
+        A = rng.randn(n, n)
+        Ks.append(A @ A.T + n * np.eye(n))
+    Ks = np.stack(Ks).astype(np.float32)
+    Ls = np.asarray(batched_small_cholesky(jnp.asarray(Ks), interpret=True))
+    for b in range(B):
+        np.testing.assert_allclose(Ls[b] @ Ls[b].T, Ks[b], rtol=1e-4, atol=1e-3)
+
+
+def test_kron_mv_2(rng):
+    A = rng.randn(6, 6).astype(np.float32)
+    B = rng.randn(9, 9).astype(np.float32)
+    x = rng.randn(54).astype(np.float32)
+    got = np.asarray(kron_mv_2(jnp.asarray(A), jnp.asarray(B), jnp.asarray(x), interpret=True))
+    want = np.kron(A, B) @ x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

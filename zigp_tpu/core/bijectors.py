@@ -63,9 +63,11 @@ class Softplus(Bijector):
         return jnp.logaddexp(x, 0.0) + self.lower
 
     def inverse(self, y):
-        # log(exp(y - lower) - 1), stable form: y + log(1 - exp(-(y-lower)))
-        ys = np.asarray(y, dtype=np.float64) - self.lower
-        return ys + np.log(-np.expm1(-ys))
+        # log(exp(y - lower) - 1), stable form: y + log(1 - exp(-(y-lower))).
+        # jnp so it is traceable (used inside jitted natural-gradient steps);
+        # plain numpy inputs work too.
+        ys = jnp.asarray(y) - self.lower
+        return ys + jnp.log(-jnp.expm1(-ys))
 
 
 class Exp(Bijector):

@@ -45,6 +45,7 @@ class OnOffPptrConfig:
     log_every: int = 200
     ckpt_every: int = 10_000
     exact_owen_t: bool = False
+    scan_inner: int = 50  # lax.scan steps per dispatch; 0 = one dispatch per step
 
 
 @dataclass
@@ -63,6 +64,7 @@ class SvgpPptrConfig:
     seed: int = 0
     log_every: int = 200
     ckpt_every: int = 10_000
+    scan_inner: int = 50
 
 
 @dataclass
@@ -81,6 +83,7 @@ class ClassifierPptrConfig:
     seed: int = 0
     log_every: int = 100
     ckpt_every: int = 10_000
+    scan_inner: int = 50
 
 
 @dataclass

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..io.datasets import Split
 from ..models import hurdle_combine, hurdle_on_indices, zero_inflated_combine
-from ..training import DataSet, fit
+from ..training import DataSet, fit, fit_scanned
 from ..utils import metrics
 from .builders import (
     binarize_targets,
@@ -66,6 +66,32 @@ def predict_batched(predict_fn: Callable, X: np.ndarray, batch: int = 4096) -> D
     return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
 
+def _fit_auto(model, ds, cfg, *, learning_rate, log_fn):
+    """Use the scanned multi-step loop when the run is long enough for it
+    (scan_inner > 0 and at least one full block); single-dispatch otherwise."""
+    scan_inner = getattr(cfg, "scan_inner", 0)
+    if scan_inner and cfg.num_iter >= scan_inner:
+        return fit_scanned(
+            model,
+            ds,
+            num_iter=cfg.num_iter,
+            batch_size=cfg.batch_size,
+            num_inner=scan_inner,
+            learning_rate=learning_rate,
+            log_every_blocks=max(1, (cfg.log_every or scan_inner) // scan_inner),
+            log_fn=log_fn,
+        )
+    return fit(
+        model,
+        ds,
+        num_iter=cfg.num_iter,
+        batch_size=cfg.batch_size,
+        learning_rate=learning_rate,
+        log_every=cfg.log_every,
+        log_fn=log_fn,
+    )
+
+
 def _maybe_pickle(results: dict, workdir: Optional[str], name: str):
     if workdir:
         os.makedirs(workdir, exist_ok=True)
@@ -86,15 +112,7 @@ def run_onoff(
     ds = DataSet(split.Xtrain, split.Ytrain)
 
     t0 = time.time()
-    res = fit(
-        model,
-        ds,
-        num_iter=cfg.num_iter,
-        batch_size=cfg.batch_size,
-        learning_rate=cfg.indp_lr,
-        log_every=cfg.log_every,
-        log_fn=log_fn,
-    )
+    res = _fit_auto(model, ds, cfg, learning_rate=cfg.indp_lr, log_fn=log_fn)
     model = res.model
     train_time = time.time() - t0
 
@@ -132,15 +150,7 @@ def run_svgp(
     cfg = cfg or SvgpPptrConfig()
     model = build_svgp_pptr(cfg, split)
     ds = DataSet(split.Xtrain, split.Ytrain)
-    res = fit(
-        model,
-        ds,
-        num_iter=cfg.num_iter,
-        batch_size=cfg.batch_size,
-        learning_rate=cfg.lr,
-        log_every=cfg.log_every,
-        log_fn=log_fn,
-    )
+    res = _fit_auto(model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn)
     model = res.model
 
     def predict(X):
@@ -179,15 +189,7 @@ def run_classifier(
     Ytest_b = binarize_targets(split.Ytest)
     model = build_classifier_pptr(cfg, split)
     ds = DataSet(split.Xtrain, Ytrain_b)
-    res = fit(
-        model,
-        ds,
-        num_iter=cfg.num_iter,
-        batch_size=cfg.batch_size,
-        learning_rate=cfg.lr,
-        log_every=cfg.log_every,
-        log_fn=log_fn,
-    )
+    res = _fit_auto(model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn)
     model = res.model
 
     def predict(X):

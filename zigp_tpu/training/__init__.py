@@ -1,6 +1,8 @@
 from .data import DataSet
 from .loop import FitResult, fit, make_train_step
 from .optim import adam_per_group, make_optimizer
+from .scan import fit_scanned, make_scan_train_step, stage_batches
+from .scipy_opt import scipy_optimize
 
 __all__ = [
     "DataSet",
@@ -9,4 +11,8 @@ __all__ = [
     "make_train_step",
     "make_optimizer",
     "adam_per_group",
+    "make_scan_train_step",
+    "fit_scanned",
+    "stage_batches",
+    "scipy_optimize",
 ]

@@ -1,0 +1,151 @@
+"""Natural-gradient updates for the Gaussian variational parameters.
+
+The BASELINE quality option beyond the reference's plain Adam: for a Gaussian
+q(u) = N(m, S) with S = diag(s²) (the q_diag case used throughout), the
+natural gradient in the expectation parameters (η₁ = m, η₂ = m² + s²-style)
+has the classic closed form. We use the standard SVGP natural-gradient step in
+(m, s) via the dual parameters:
+
+    θ₁ = S⁻¹ m,  θ₂ = −½ S⁻¹          (natural parameters)
+    ∂L/∂η step in natural space  ⇔  θ ← θ − γ · ∂L/∂η
+
+with ∂L/∂η obtained from ∂L/∂(m, s²) by the chain rule:
+    ∂L/∂η₁ = ∂L/∂m − 2 (∂L/∂S) m
+    ∂L/∂η₂ = ∂L/∂S
+(diagonal S; all elementwise). This is the Salimbeni-et-al. "natural gradients
+in practice" recipe restricted to diagonal covariance.
+
+Exposed as a ``NaturalGradientTrainer`` that alternates one nat-grad step on
+each GP's (q_mu, q_sqrt) with an Adam step on all other parameters — the
+standard SVGP training split.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def natgrad_update_diag(q_mu, q_sqrt, dL_dmu, dL_dsqrt, lr: float):
+    """One natural-gradient step on (m, s) for diagonal N(m, diag(s²)).
+
+    dL_dmu/dL_dsqrt are ordinary gradients of the *loss* (−ELBO) w.r.t. the
+    constrained m and s. Returns new (m, s).
+    """
+    s2 = jnp.square(q_sqrt)
+    # gradients wrt (m, S=s²): dL/dS = dL/ds · ds/dS = dL_dsqrt / (2 s)
+    dL_dS = dL_dsqrt / (2.0 * q_sqrt)
+    # natural params
+    theta1 = q_mu / s2
+    theta2 = -0.5 / s2
+    # expectation-space gradients
+    dL_deta1 = dL_dmu - 2.0 * dL_dS * q_mu
+    dL_deta2 = dL_dS
+    # step in natural space
+    theta1_new = theta1 - lr * dL_deta1
+    theta2_new = theta2 - lr * dL_deta2
+    # map back, guarding positivity of the precision
+    theta2_new = jnp.minimum(theta2_new, -1e-10)
+    s2_new = -0.5 / theta2_new
+    m_new = s2_new * theta1_new
+    return m_new, jnp.sqrt(s2_new)
+
+
+class NaturalGradientTrainer:
+    """Alternating optimizer: natural gradient on every KronGP/SVGP
+    (q_mu, q_sqrt) pair, Adam on everything else (kernels, Z, likelihood).
+
+    Works on any model exposing ``.loss(X, Y)`` whose variational Parameters
+    are named ``q_mu``/``q_sqrt`` (KronGP) or ``u_*m``/``u_*s_sqrt``
+    (OnOffSVGP); discovery is by those name patterns over the pytree paths.
+    """
+
+    def __init__(self, model, *, gamma: float = 0.1, adam_lr: float = 1e-3):
+        from ..core.parameters import is_parameter, lr_labels
+
+        self.gamma = gamma
+        # freeze variational params for the Adam side by labelling them frozen
+        def label(path, leaf):
+            name = jax.tree_util.keystr(path)
+            if is_parameter(leaf) and self._is_variational(name):
+                return jax.tree_util.tree_map(lambda _: "frozen", leaf)
+            if is_parameter(leaf):
+                if not leaf.trainable:
+                    return jax.tree_util.tree_map(lambda _: "frozen", leaf)
+                return jax.tree_util.tree_map(lambda _: "adam", leaf)
+            return jax.tree_util.tree_map(lambda _: "adam", leaf)
+
+        labels = jax.tree_util.tree_map_with_path(label, model, is_leaf=is_parameter)
+        self.adam = optax.multi_transform(
+            {"adam": optax.adam(adam_lr), "frozen": optax.set_to_zero()}, labels
+        )
+        self._step = None
+
+    @staticmethod
+    def _is_variational(path_name: str) -> bool:
+        return (
+            "q_mu" in path_name
+            or "q_sqrt" in path_name
+            or "u_fm" in path_name
+            or "u_gm" in path_name
+            or "u_fs_sqrt" in path_name
+            or "u_gs_sqrt" in path_name
+        )
+
+    def init(self, model):
+        return self.adam.init(model)
+
+    def make_step(self):
+        from ..core.parameters import is_parameter
+
+        gamma = self.gamma
+        adam = self.adam
+        is_var = self._is_variational
+
+        @jax.jit
+        def step(model, opt_state, X, Y):
+            loss, grads = jax.value_and_grad(lambda m: m.loss(X, Y))(model)
+
+            # Adam on non-variational params
+            updates, opt_state = adam.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+
+            # natural gradient on each (q_mu, q_sqrt) pair: convert raw-space
+            # grads to constrained-space grads via the bijector jacobian
+            flat_m, treedef = jax.tree_util.tree_flatten_with_path(
+                model, is_leaf=is_parameter
+            )
+            flat_g = jax.tree_util.tree_flatten_with_path(grads, is_leaf=is_parameter)[0]
+            by_name = {jax.tree_util.keystr(p): (leaf, g[1]) for (p, leaf), g in zip(flat_m, flat_g)}
+
+            new_leaves = {}
+            for name, (leaf, gleaf) in by_name.items():
+                if not (is_parameter(leaf) and ("q_mu" in name or "u_fm" in name or "u_gm" in name)):
+                    continue
+                sq_name = (
+                    name.replace("q_mu", "q_sqrt")
+                    .replace("u_fm", "u_fs_sqrt")
+                    .replace("u_gm", "u_gs_sqrt")
+                )
+                if sq_name not in by_name:
+                    continue
+                sq_leaf, sq_g = by_name[sq_name]
+                mu = leaf.value
+                s = sq_leaf.value
+                # d loss / d constrained: mu is identity; s via softplus jac
+                dmu = gleaf.raw
+                ds_draw = jax.nn.sigmoid(sq_leaf.raw)  # softplus'
+                ds = sq_g.raw / jnp.maximum(ds_draw, 1e-12)
+                m_new, s_new = natgrad_update_diag(mu, s, dmu, ds, gamma)
+                new_leaves[name] = leaf.replace(raw=m_new)
+                new_leaves[sq_name] = sq_leaf.replace_value(s_new)
+
+            if new_leaves:
+                rebuilt = [
+                    new_leaves.get(jax.tree_util.keystr(p), leaf) for p, leaf in flat_m
+                ]
+                model = jax.tree_util.tree_unflatten(treedef, rebuilt)
+            return model, opt_state, loss
+
+        return step
