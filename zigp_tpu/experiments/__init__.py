@@ -1,4 +1,5 @@
-from . import builders, configs, runners, toy
+from . import builders, configs, cv, runners, toy
+from .cv import run_cv
 from .configs import (
     ClassifierPptrConfig,
     KronGridConfig,

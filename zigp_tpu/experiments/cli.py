@@ -75,6 +75,14 @@ def main(argv=None):
     for name in ("onoff", "svgp", "classifier", "hurdle", "zi"):
         _common(sub.add_parser(name))
 
+    p_cv = sub.add_parser("cv", help="run model variants over all 5 CV folds")
+    p_cv.add_argument("--models", type=str, default="onoff",
+                      help="comma-separated: onoff,svgp,classifier,hurdle,zi")
+    p_cv.add_argument("--data", type=str, default=None)
+    p_cv.add_argument("--workdir", type=str, default="runs/cv_full")
+    p_cv.add_argument("--iters", type=int, default=None)
+    p_cv.add_argument("--batch", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "toy":
@@ -102,6 +110,33 @@ def main(argv=None):
                     f,
                 )
             print(f"fold {i}: train {s.Xtrain.shape} test {s.Xtest.shape} -> {d}")
+        return 0
+
+    if args.cmd == "cv":
+        from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
+        from .cv import run_cv
+
+        def _ckw(cfg):
+            kw = {}
+            if args.iters is not None:
+                kw["num_iter"] = args.iters
+            if args.batch is not None:
+                kw["batch_size"] = args.batch
+            return dataclasses.replace(cfg, **kw)
+
+        from ..io.datasets import load_pptr, make_cv_splits
+
+        os.makedirs(args.workdir, exist_ok=True)
+        log = _setup_logging(args.workdir, "cv")
+        run_cv(
+            [m.strip() for m in args.models.split(",") if m.strip()],
+            splits=make_cv_splits(load_pptr(args.data)),
+            onoff_cfg=_ckw(OnOffPptrConfig(log_every=0)),
+            svgp_cfg=_ckw(SvgpPptrConfig(log_every=0)),
+            clf_cfg=_ckw(ClassifierPptrConfig(log_every=0)),
+            workdir=args.workdir,
+            log_fn=log,
+        )
         return 0
 
     split = _load_fold(args)

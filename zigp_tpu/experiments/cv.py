@@ -1,0 +1,88 @@
+"""5-fold cross-validation driver: the reference's full pptr experimental
+protocol (README.md:17-26 — five model variants over the KFold splits from
+scripts/create_cvsplits.py) as one call, with aggregate metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..io.datasets import Split, load_pptr, make_cv_splits
+from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
+from .runners import run_classifier, run_hurdle, run_onoff, run_svgp, run_zero_inflated
+
+
+def _agg(values: List[float]) -> Dict[str, float]:
+    a = np.asarray(values, dtype=np.float64)
+    return {"mean": float(a.mean()), "std": float(a.std()), "folds": [float(v) for v in a]}
+
+
+def run_cv(
+    models: List[str],
+    *,
+    splits: Optional[List[Split]] = None,
+    onoff_cfg: Optional[OnOffPptrConfig] = None,
+    svgp_cfg: Optional[SvgpPptrConfig] = None,
+    clf_cfg: Optional[ClassifierPptrConfig] = None,
+    workdir: Optional[str] = None,
+    log_fn: Callable[[str], None] = print,
+) -> dict:
+    """Run the requested model variants over all CV folds.
+
+    models ⊆ {"onoff", "svgp", "classifier", "hurdle", "zi"}. hurdle/zi
+    automatically pull in the classifier (and zi the svgp) per fold.
+    """
+    splits = splits or make_cv_splits(load_pptr())
+    need_clf = bool({"classifier", "hurdle", "zi"} & set(models))
+    need_svgp = bool({"svgp", "zi"} & set(models))
+
+    summary: Dict[str, Dict[str, List[float]]] = {}
+
+    def record(model: str, metric: str, value: float):
+        summary.setdefault(model, {}).setdefault(metric, []).append(float(value))
+
+    for k, split in enumerate(splits, start=1):
+        fold_dir = os.path.join(workdir, str(k)) if workdir else None
+        log_fn(f"===== fold {k}/{len(splits)} =====")
+        clf = reg = None
+        if need_clf:
+            clf = run_classifier(split, clf_cfg, workdir=fold_dir, log_fn=log_fn)
+            for m in ("accuracy", "precision", "recall", "auc"):
+                record("classifier", f"test_{m}", clf[f"test_{m}"])
+        if need_svgp:
+            reg = run_svgp(split, svgp_cfg, workdir=fold_dir, log_fn=log_fn)
+            record("svgp", "test_rmse", reg["test_rmse"])
+            record("svgp", "test_mae", reg["test_mae"])
+        if "onoff" in models:
+            res = run_onoff(split, onoff_cfg, workdir=fold_dir, log_fn=log_fn)
+            record("onoff", "test_rmse", res["test_rmse"])
+            record("onoff", "test_mae", res["test_mae"])
+            record("onoff", "steps_per_sec", res["steps_per_sec"])
+        if "hurdle" in models:
+            res = run_hurdle(split, clf, svgp_cfg, workdir=fold_dir, log_fn=log_fn)
+            record("hurdle", "test_rmse", res["test_hurdle_comb_rmse"])
+            record("hurdle", "test_mae", res["test_hurdle_comb_mae"])
+        if "zi" in models:
+            res = run_zero_inflated(split, clf, reg, workdir=fold_dir, log_fn=log_fn)
+            record("zi", "test_rmse_prob", res["test_zi_prob_reg_rmse"])
+            record("zi", "test_mae_prob", res["test_zi_prob_reg_mae"])
+            record("zi", "test_rmse_indc", res["test_zi_indc_reg_rmse"])
+            record("zi", "test_mae_indc", res["test_zi_indc_reg_mae"])
+
+    aggregates = {
+        model: {metric: _agg(vals) for metric, vals in metrics.items()}
+        for model, metrics in summary.items()
+    }
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+        with open(os.path.join(workdir, "cv_summary.json"), "w") as f:
+            json.dump(aggregates, f, indent=2)
+    for model, metrics in aggregates.items():
+        for metric, agg in metrics.items():
+            log_fn(f"{model}.{metric}: {agg['mean']:.4f} ± {agg['std']:.4f}")
+    return aggregates

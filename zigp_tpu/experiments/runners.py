@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.datasets import Split
+from ..io.native import make_dataset
 from ..models import hurdle_combine, hurdle_on_indices, zero_inflated_combine
 from ..training import DataSet, fit, fit_scanned
 from ..utils import metrics
@@ -109,7 +110,7 @@ def run_onoff(
     """Zero-inflated on/off GP on a pptr split (scripts/onoff.py:22-500)."""
     cfg = cfg or OnOffPptrConfig()
     model = build_onoff_pptr(cfg, split)
-    ds = DataSet(split.Xtrain, split.Ytrain)
+    ds = make_dataset(split.Xtrain, split.Ytrain)
 
     t0 = time.time()
     res = _fit_auto(model, ds, cfg, learning_rate=cfg.indp_lr, log_fn=log_fn)
@@ -149,7 +150,7 @@ def run_svgp(
     """Kronecker SVGP regression on a pptr split (scripts/svgp.py)."""
     cfg = cfg or SvgpPptrConfig()
     model = build_svgp_pptr(cfg, split)
-    ds = DataSet(split.Xtrain, split.Ytrain)
+    ds = make_dataset(split.Xtrain, split.Ytrain)
     res = _fit_auto(model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn)
     model = res.model
 
@@ -188,7 +189,7 @@ def run_classifier(
     Ytrain_b = binarize_targets(split.Ytrain)
     Ytest_b = binarize_targets(split.Ytest)
     model = build_classifier_pptr(cfg, split)
-    ds = DataSet(split.Xtrain, Ytrain_b)
+    ds = make_dataset(split.Xtrain, Ytrain_b)
     res = _fit_auto(model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn)
     model = res.model
 

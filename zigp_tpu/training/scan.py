@@ -44,9 +44,16 @@ def make_scan_train_step(
 
 
 def stage_batches(data, batch_size: int, num_inner: int):
-    """Pull num_inner minibatches from a DataSet into one (K, B, ...) block."""
+    """Pull num_inner minibatches from a DataSet into one (K, B, ...) block.
+
+    Uses the dataset's native block-staging fast path (io.native.NativeDataSet
+    ``next_block``, one C call) when present.
+    """
     import numpy as np
 
+    if hasattr(data, "next_block"):
+        bx, by = data.next_block(batch_size, num_inner)
+        return jnp.asarray(bx), jnp.asarray(by)
     xs, ys = [], []
     for _ in range(num_inner):
         bx, by = data.next_batch(batch_size)
