@@ -35,6 +35,7 @@ def build_onoff_pptr(cfg: OnOffPptrConfig, split: Split) -> KronOnOffSVGP:
         lr=cfg.indp_lr,
         q_mu_scale=cfg.q_mu_scale,
         exact_owen_t=cfg.exact_owen_t,
+        whiten=cfg.whiten,
     )
 
 

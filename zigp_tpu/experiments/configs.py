@@ -45,6 +45,7 @@ class OnOffPptrConfig:
     log_every: int = 200
     ckpt_every: int = 10_000
     exact_owen_t: bool = False
+    whiten: bool = False  # whitened variational parameterization (not in reference)
     scan_inner: int = 50  # lax.scan steps per dispatch; 0 = one dispatch per step
 
 

@@ -48,6 +48,7 @@ class KronGP:
     q_sqrt: Parameter  # diagonal std-devs, (M, 1), positive
     input_masks: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
     jitter: float = struct.field(pytree_node=False)
+    whiten: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(
@@ -60,6 +61,7 @@ class KronGP:
         q_mu_scale: float = 0.1,
         lr: Optional[float] = None,
         seed: int = 0,
+        whiten: bool = False,
     ) -> "KronGP":
         M = int(np.prod([Z.shape[0] for Z in Zs]))
         rng = np.random.RandomState(seed)
@@ -71,6 +73,7 @@ class KronGP:
             q_sqrt=positive_param(np.ones((M, 1)), lr=lr),
             input_masks=gen_input_masks(Zs),
             jitter=float(jitter if jitter is not None else default_jitter()),
+            whiten=whiten,
         )
 
     @property
@@ -84,6 +87,8 @@ class KronGP:
         ]
 
     def prior_kl(self) -> jnp.ndarray:
+        if self.whiten:
+            return gauss_kl.gauss_kl(self.q_mu.value, self.q_sqrt.value, None)
         return gauss_kl.gauss_kl_kron(self.q_mu.value, self.q_sqrt.value, self.gram_factors())
 
     def predict_f(self, Xnew: jnp.ndarray):
@@ -95,6 +100,7 @@ class KronGP:
             self.q_sqrt.value,
             self.input_masks,
             jitter=self.jitter,
+            whiten=self.whiten,
         )
 
 
@@ -175,10 +181,13 @@ class KronOnOffSVGP:
         seed: int = 0,
         lr: Optional[float] = None,
         q_mu_scale: float = 0.1,
+        whiten: bool = False,
     ) -> "KronOnOffSVGP":
         return cls(
-            f=KronGP.create(fkernels, Zfs, jitter=jitter, seed=seed, lr=lr, q_mu_scale=q_mu_scale),
-            g=KronGP.create(gkernels, Zgs, jitter=jitter, seed=seed + 1, lr=lr, q_mu_scale=q_mu_scale),
+            f=KronGP.create(fkernels, Zfs, jitter=jitter, seed=seed, lr=lr,
+                            q_mu_scale=q_mu_scale, whiten=whiten),
+            g=KronGP.create(gkernels, Zgs, jitter=jitter, seed=seed + 1, lr=lr,
+                            q_mu_scale=q_mu_scale, whiten=whiten),
             likelihood=likelihood,
             mean_const=None if mean_const is None else param(mean_const),
             g_mean_shift=float(g_mean_shift),

@@ -101,8 +101,16 @@ def kron_conditional(
     *,
     jitter: float = 1e-6,
     clip_variance: bool = True,
+    whiten: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kronecker-structured sparse conditional with diagonal q(u) covariance.
+
+    ``whiten=True`` interprets (q_mu, q_sqrt_diag) as the whitened variables
+    v with u = (⊗L_p) v — not present in the reference (its whiten branch
+    raises NotImplementedError, scripts/onoff.py:146) but strictly better
+    conditioned for optimization, and cheaper here: the whitened projection is
+    the already-computed V_p = L_p⁻¹ Kmn_p, so the second triangular solve
+    (A_p) disappears.
 
     kernels[p], Zs[p] (M_p, d_p): per-factor kernel and inducing locations.
     input_masks[p]: columns of Xnew belonging to factor p (reference
@@ -126,33 +134,38 @@ def kron_conditional(
     Kmms = [linalg.add_jitter(k.K(Z), jitter) for k, Z in zip(kernels, Zs)]
     Ls = [linalg.cholesky(Kmm) for Kmm in Kmms]
 
-    # alpha = (⊗K_p⁻¹) q_mu, factored
-    alpha = linalg.kron_chol_solve(Ls, q_mu)  # (M, 1)
-
     Knn = jnp.ones((B,), dtype=dtype)
     Kmn_factors = []
     V_factors = []  # V_p = L_p⁻¹ Kmn_p
-    A_factors = []  # A_p = K_p⁻¹ Kmn_p = L_p⁻ᵀ V_p
     for p, (k, Z, L) in enumerate(zip(kernels, Zs, Ls)):
         xp = Xnew[:, jnp.array(tuple(input_masks[p]))]
         Knn = Knn * k.Kdiag(xp)
         Kmn_p = k.K(Z, xp)  # (M_p, B)
         Kmn_factors.append(Kmn_p)
-        V_p = linalg.tri_solve(L, Kmn_p, lower=True)
-        V_factors.append(V_p)
-        A_factors.append(linalg.tri_solve(L.T, V_p, lower=False))
+        V_factors.append(linalg.tri_solve(L, Kmn_p, lower=True))
 
-    # mean: mu[b] = Σ_m (Π_p Kmn_p[i_p, b]) alpha[m]
-    mu = _factored_contract(alpha[:, 0], sizes, Kmn_factors)  # (B,)
+    S = jnp.square(q_sqrt_diag[:, 0])
+
+    if whiten:
+        # mean: Kmnᵀ L⁻ᵀ v = (⊗V_p)ᵀ v; posterior-cov term uses V_p directly
+        mu = _factored_contract(q_mu[:, 0], sizes, V_factors)
+        c2 = _factored_contract(S, sizes, [jnp.square(V_p) for V_p in V_factors])
+    else:
+        # alpha = (⊗K_p⁻¹) q_mu, factored
+        alpha = linalg.kron_chol_solve(Ls, q_mu)  # (M, 1)
+        A_factors = [
+            linalg.tri_solve(L.T, V_p, lower=False)  # A_p = K_p⁻¹ Kmn_p
+            for L, V_p in zip(Ls, V_factors)
+        ]
+        # mean: mu[b] = Σ_m (Π_p Kmn_p[i_p, b]) alpha[m]
+        mu = _factored_contract(alpha[:, 0], sizes, Kmn_factors)
+        # c2[b] = diag(Aᵀ S A)[b] = Σ_m S[m] (Π_p A_p[i_p, b])²
+        c2 = _factored_contract(S, sizes, [jnp.square(A_p) for A_p in A_factors])
 
     # c1[b] = diag(Kmnᵀ (⊗K⁻¹) Kmn)[b] = Π_p ‖V_p[:, b]‖²  (each factor ≥ 0)
     c1 = jnp.ones((B,), dtype=dtype)
     for V_p in V_factors:
         c1 = c1 * jnp.sum(jnp.square(V_p), axis=0)
-
-    # c2[b] = diag(Aᵀ S A)[b] = Σ_m S[m] (Π_p A_p[i_p, b])²
-    S = jnp.square(q_sqrt_diag[:, 0])
-    c2 = _factored_contract(S, sizes, [jnp.square(A_p) for A_p in A_factors])
 
     var = Knn - c1 + c2
     if clip_variance:

@@ -22,14 +22,16 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve, cholesky as _cholesky, solve_triangular
 
 
-def add_jitter(K: jnp.ndarray, jitter: float, *, relative_f32: float = 4.0e-6) -> jnp.ndarray:
+def add_jitter(K: jnp.ndarray, jitter: float, *, relative_f32: float = 2.0e-4) -> jnp.ndarray:
     """K + jitter·I, with an extra *relative* term in float32.
 
     The reference's absolute jitters (1e-4/1e-5/1e-6) are tuned for float64;
     on the f32 TPU path a gram with diag ≈ 20 and jitter 1e-5 (relative 5e-7,
-    below f32 eps) can lose positive-definiteness as lengthscales grow during
-    training. The f32 policy adds ``relative_f32 · mean(diag K)`` — scale-
-    invariant, a few ×f32-eps — and leaves float64 parity untouched.
+    below f32 eps) loses positive-definiteness — an M×M gram with
+    near-duplicate rows (e.g. 105 kmeans centres under a wide lengthscale)
+    carries f32 rounding eigen-perturbations of order M·eps·σ². The f32
+    policy adds ``relative_f32 · mean(diag K)`` — scale-invariant, ~1600×f32
+    eps, statistically negligible — and leaves float64 parity untouched.
     """
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     if K.dtype == jnp.float32 and relative_f32:

@@ -10,6 +10,7 @@ feeds fixed-shape minibatches.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, List, Optional
@@ -27,7 +28,9 @@ def make_train_step(optimizer: optax.GradientTransformation, loss_fn: Optional[C
     def _loss(model, X, Y):
         return loss_fn(model, X, Y) if loss_fn is not None else model.loss(X, Y)
 
-    @jax.jit
+    # donate model/opt_state: they are consumed and returned, so XLA can
+    # update parameters in place instead of allocating fresh buffers
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(model, opt_state, X, Y):
         loss, grads = jax.value_and_grad(_loss)(model, X, Y)
         updates, opt_state = optimizer.update(grads, opt_state, model)

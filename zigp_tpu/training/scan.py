@@ -10,6 +10,7 @@ amortizes one dispatch over K updates; the scanned body is compiled once.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -27,7 +28,7 @@ def make_scan_train_step(
     def _loss(model, X, Y):
         return loss_fn(model, X, Y) if loss_fn is not None else model.loss(X, Y)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(model, opt_state, Xs, Ys):
         def body(carry, batch):
             model, opt_state = carry
