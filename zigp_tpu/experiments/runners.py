@@ -127,9 +127,18 @@ def run_onoff(
     log_fn(f"test rmse: {test_rmse}")
     log_fn(f"test mae: {test_mae}")
 
+    # hard-gate variant (not in the reference's onoff script, but matching its
+    # hurdle convention): zero the prediction wherever the gate says off
+    hard = np.where(pred_test["pgmean"] > 0.5, np.maximum(pred_test["fmean"], 0), 0.0)
+    test_rmse_hard = metrics.rmse(hard, split.Ytest, clip_at_zero=False)
+    test_mae_hard = metrics.mae(hard, split.Ytest, clip_at_zero=False)
+    log_fn(f"test rmse (hard gate): {test_rmse_hard}")
+
     results = {
         "test_rmse": test_rmse,
         "test_mae": test_mae,
+        "test_rmse_hard": test_rmse_hard,
+        "test_mae_hard": test_mae_hard,
         "pred_test": pred_test,
         "steps_per_sec": res.steps_per_sec,
         "train_time_sec": train_time,
