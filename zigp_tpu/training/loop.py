@@ -60,9 +60,18 @@ def fit(
     log_fn: Callable[[str], None] = print,
     callback: Optional[Callable[[int, Any, float], None]] = None,
     loss_fn: Optional[Callable] = None,
+    ckpt_manager=None,
+    recover_on_nan: bool = True,
 ) -> FitResult:
     """Adam training loop matching the reference driver's shape
-    (scripts/onoff.py:375-427): minibatch, step, periodic logging/callback."""
+    (scripts/onoff.py:375-427): minibatch, step, periodic logging/callback.
+
+    Failure handling (the reference only has KeyboardInterrupt → save,
+    scripts/onoff.py:425-427): with a ``ckpt_manager``
+    (io.checkpoint.CheckpointManager), checkpoints are written at its cadence
+    and — when ``recover_on_nan`` — a non-finite loss at a log point triggers
+    a restore from the latest checkpoint instead of poisoning the run.
+    """
     from .optim import make_optimizer
 
     if optimizer is None:
@@ -86,8 +95,18 @@ def fit(
         timed_steps += 1
         if log_every and i % log_every == 0:
             loss_val = float(loss)
+            if not jnp.isfinite(loss_val):
+                log_fn(f"iter {i:>8d}  NON-FINITE loss")
+                if ckpt_manager is not None and recover_on_nan:
+                    restored = ckpt_manager.restore_latest(model, opt_state)
+                    if restored is not None:
+                        model, opt_state, from_step = restored
+                        log_fn(f"restored from checkpoint at step {from_step}")
+                        continue
             losses.append(loss_val)
             log_fn(f"iter {i:>8d}  loss {loss_val:.6f}")
+        if ckpt_manager is not None and i > 0:
+            ckpt_manager.maybe_save(i, model, opt_state)
         if callback is not None:
             callback(i, model, loss)
     jax.block_until_ready(model)
