@@ -55,6 +55,7 @@ def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> Kr
         seed=cfg.seed,
         lr=cfg.lr,
         q_mu_scale=cfg.q_mu_scale,
+        whiten=cfg.whiten,
     )
 
 
@@ -75,6 +76,7 @@ def build_classifier_pptr(cfg: ClassifierPptrConfig, split: Split) -> KronSVGP:
         seed=cfg.seed,
         lr=cfg.lr,
         q_mu_scale=cfg.q_mu_scale,
+        whiten=cfg.whiten,
     )
 
 

@@ -66,6 +66,7 @@ class SvgpPptrConfig:
     log_every: int = 200
     ckpt_every: int = 10_000
     scan_inner: int = 50
+    whiten: bool = False
 
 
 @dataclass
@@ -85,6 +86,7 @@ class ClassifierPptrConfig:
     log_every: int = 100
     ckpt_every: int = 10_000
     scan_inner: int = 50
+    whiten: bool = False
 
 
 @dataclass
