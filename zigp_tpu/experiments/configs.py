@@ -10,7 +10,7 @@ CLI surface.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 
 @dataclass

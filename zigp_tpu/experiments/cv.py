@@ -5,7 +5,6 @@ scripts/create_cvsplits.py) as one call, with aggregate metrics.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Callable, Dict, List, Optional

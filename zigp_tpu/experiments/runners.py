@@ -20,7 +20,6 @@ import logging
 import os
 import pickle
 import time
-from dataclasses import replace as dc_replace
 from typing import Callable, Dict, Optional
 
 import jax
@@ -30,7 +29,7 @@ import numpy as np
 from ..io.datasets import Split
 from ..io.native import make_dataset
 from ..models import hurdle_combine, hurdle_on_indices, zero_inflated_combine
-from ..training import DataSet, fit, fit_scanned
+from ..training import fit, fit_scanned
 from ..utils import metrics
 from .builders import (
     binarize_targets,

@@ -13,7 +13,7 @@ and conditional use the factored algebra in ops.{gauss_kl,conditionals}.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..core.config import default_float, default_jitter
+from ..core.config import default_jitter
 from ..core.parameters import Parameter, param, positive_param
 from ..ops import conditionals, gauss_kl, linalg
 

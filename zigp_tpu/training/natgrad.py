@@ -62,7 +62,7 @@ class NaturalGradientTrainer:
     """
 
     def __init__(self, model, *, gamma: float = 0.1, adam_lr: float = 1e-3):
-        from ..core.parameters import is_parameter, lr_labels
+        from ..core.parameters import is_parameter
 
         self.gamma = gamma
         # freeze variational params for the Adam side by labelling them frozen
