@@ -47,6 +47,7 @@ class OnOffPptrConfig:
     exact_owen_t: bool = False
     whiten: bool = False  # whitened variational parameterization (not in reference)
     scan_inner: int = 50  # lax.scan steps per dispatch; 0 = one dispatch per step
+    lr_schedule: str = ""  # "" = constant (reference); "cosine" = cosine decay
 
 
 @dataclass

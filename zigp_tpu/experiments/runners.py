@@ -68,7 +68,15 @@ def predict_batched(predict_fn: Callable, X: np.ndarray, batch: int = 4096) -> D
 
 def _fit_auto(model, ds, cfg, *, learning_rate, log_fn):
     """Use the scanned multi-step loop when the run is long enough for it
-    (scan_inner > 0 and at least one full block); single-dispatch otherwise."""
+    (scan_inner > 0 and at least one full block); single-dispatch otherwise.
+    Honors cfg.lr_schedule ("cosine" = cosine decay over the run)."""
+    from ..training.optim import cosine_adam, make_optimizer
+
+    optimizer = None
+    if getattr(cfg, "lr_schedule", "") == "cosine":
+        optimizer = make_optimizer(
+            model, default_lr=learning_rate, opt_factory=cosine_adam(cfg.num_iter)
+        )
     scan_inner = getattr(cfg, "scan_inner", 0)
     if scan_inner and cfg.num_iter >= scan_inner:
         return fit_scanned(
@@ -77,6 +85,7 @@ def _fit_auto(model, ds, cfg, *, learning_rate, log_fn):
             num_iter=cfg.num_iter,
             batch_size=cfg.batch_size,
             num_inner=scan_inner,
+            optimizer=optimizer,
             learning_rate=learning_rate,
             log_every_blocks=max(1, (cfg.log_every or scan_inner) // scan_inner),
             log_fn=log_fn,
@@ -86,6 +95,7 @@ def _fit_auto(model, ds, cfg, *, learning_rate, log_fn):
         ds,
         num_iter=cfg.num_iter,
         batch_size=cfg.batch_size,
+        optimizer=optimizer,
         learning_rate=learning_rate,
         log_every=cfg.log_every,
         log_fn=log_fn,

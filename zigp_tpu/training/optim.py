@@ -17,6 +17,22 @@ import optax
 from ..core.parameters import collect_lrs, lr_labels
 
 
+def cosine_adam(total_steps: int, *, warmup: int = 0, final_scale: float = 0.01):
+    """opt_factory: Adam with (optional warmup +) cosine decay to
+    final_scale·lr over total_steps."""
+
+    def factory(lr: float) -> optax.GradientTransformation:
+        if warmup:
+            sched = optax.warmup_cosine_decay_schedule(
+                0.0, lr, warmup, total_steps, end_value=lr * final_scale
+            )
+        else:
+            sched = optax.cosine_decay_schedule(lr, total_steps, alpha=final_scale)
+        return optax.adam(sched)
+
+    return factory
+
+
 def make_optimizer(
     model,
     *,
