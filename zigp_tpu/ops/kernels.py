@@ -21,6 +21,15 @@ from flax import struct
 from ..core.parameters import Parameter, positive_param
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 @struct.dataclass
 class SquaredExponential:
     """ARD squared-exponential (RBF) kernel: σ² exp(-½ Σ_d (x_d - x'_d)²/ℓ_d²)."""
@@ -28,14 +37,19 @@ class SquaredExponential:
     lengthscales: Parameter
     variance: Parameter
     active_dims: Optional[Tuple[int, ...]] = struct.field(pytree_node=False, default=None)
+    # opt-in fused Pallas gram build (float32 only; falls back otherwise)
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
-    def create(cls, lengthscales, variance, active_dims=None, lr=None) -> "SquaredExponential":
+    def create(
+        cls, lengthscales, variance, active_dims=None, lr=None, use_pallas: bool = False
+    ) -> "SquaredExponential":
         ell = jnp.atleast_1d(jnp.asarray(lengthscales, dtype=jnp.result_type(float)))
         return cls(
             lengthscales=positive_param(ell, lr=lr),
             variance=positive_param(variance, lr=lr),
             active_dims=tuple(active_dims) if active_dims is not None else None,
+            use_pallas=use_pallas,
         )
 
     def slice(self, X: jnp.ndarray) -> jnp.ndarray:
@@ -65,6 +79,12 @@ class SquaredExponential:
     def K(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         X = self.slice(X)
         X2 = self.slice(X2) if X2 is not None else None
+        if self.use_pallas and X.dtype == jnp.float32 and _on_tpu():
+            from .pallas.rbf_gram import rbf_gram
+
+            return rbf_gram(
+                X, X if X2 is None else X2, self.lengthscales.value, self.variance.value
+            )
         return self.variance.value * jnp.exp(-0.5 * self.square_dist(X, X2))
 
     def Kdiag(self, X: jnp.ndarray) -> jnp.ndarray:
