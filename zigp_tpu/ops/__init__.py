@@ -1,5 +1,5 @@
 from . import conditionals, gauss_kl, kernels, linalg, probit, quadrature
-from .kernels import RBF, SquaredExponential
+from .kernels import RBF, Constant, Matern, Product, SquaredExponential, Sum, White
 
 __all__ = [
     "conditionals",
@@ -10,4 +10,9 @@ __all__ = [
     "quadrature",
     "RBF",
     "SquaredExponential",
+    "Matern",
+    "White",
+    "Constant",
+    "Sum",
+    "Product",
 ]

@@ -93,3 +93,123 @@ class SquaredExponential:
 
 # The reference only ever uses the squared-exponential; keep the familiar name.
 RBF = SquaredExponential
+
+
+@struct.dataclass
+class Matern:
+    """Matérn kernel family (ν ∈ {1/2, 3/2, 5/2}) with ARD lengthscales.
+
+    Not in the reference (which is SE-only) — standard spatio-temporal
+    alternatives a user of a GP framework expects. Drop-in compatible with
+    every model here (same K/Kdiag protocol).
+    """
+
+    lengthscales: Parameter
+    variance: Parameter
+    nu2: int = struct.field(pytree_node=False, default=3)  # 2ν: 1, 3 or 5
+    active_dims: Optional[Tuple[int, ...]] = struct.field(pytree_node=False, default=None)
+
+    @classmethod
+    def create(cls, lengthscales, variance, nu: str = "3/2", active_dims=None, lr=None):
+        nu2 = {"1/2": 1, "3/2": 3, "5/2": 5}[nu]
+        ell = jnp.atleast_1d(jnp.asarray(lengthscales, dtype=jnp.result_type(float)))
+        return cls(
+            lengthscales=positive_param(ell, lr=lr),
+            variance=positive_param(variance, lr=lr),
+            nu2=nu2,
+            active_dims=tuple(active_dims) if active_dims is not None else None,
+        )
+
+    def slice(self, X):
+        if self.active_dims is None:
+            return X
+        return X[:, jnp.array(self.active_dims)]
+
+    def _r(self, X, X2):
+        X = X / self.lengthscales.value
+        X2 = X / 1.0 if X2 is None else X2 / self.lengthscales.value
+        d2 = jnp.sum(jnp.square(X[:, None, :] - X2[None, :, :]), axis=-1)
+        # safe sqrt: value exact, gradient finite at r = 0
+        return jnp.sqrt(jnp.maximum(d2, 1e-36))
+
+    def K(self, X, X2=None):
+        X = self.slice(X)
+        X2 = self.slice(X2) if X2 is not None else None
+        r = self._r(X, X2)
+        v = self.variance.value
+        if self.nu2 == 1:
+            return v * jnp.exp(-r)
+        if self.nu2 == 3:
+            s = jnp.sqrt(3.0) * r
+            return v * (1.0 + s) * jnp.exp(-s)
+        s = jnp.sqrt(5.0) * r
+        return v * (1.0 + s + jnp.square(s) / 3.0) * jnp.exp(-s)
+
+    def Kdiag(self, X):
+        return jnp.full((X.shape[0],), jnp.squeeze(self.variance.value), dtype=X.dtype)
+
+
+@struct.dataclass
+class White:
+    """White-noise kernel: σ²·I on matching inputs, 0 cross-covariance."""
+
+    variance: Parameter
+
+    @classmethod
+    def create(cls, variance: float = 1.0, lr=None):
+        return cls(variance=positive_param(variance, lr=lr))
+
+    def K(self, X, X2=None):
+        if X2 is None:
+            return self.variance.value * jnp.eye(X.shape[0], dtype=X.dtype)
+        return jnp.zeros((X.shape[0], X2.shape[0]), dtype=X.dtype)
+
+    def Kdiag(self, X):
+        return jnp.full((X.shape[0],), jnp.squeeze(self.variance.value), dtype=X.dtype)
+
+
+@struct.dataclass
+class Constant:
+    """Constant (bias) kernel: σ² everywhere."""
+
+    variance: Parameter
+
+    @classmethod
+    def create(cls, variance: float = 1.0, lr=None):
+        return cls(variance=positive_param(variance, lr=lr))
+
+    def K(self, X, X2=None):
+        n2 = X.shape[0] if X2 is None else X2.shape[0]
+        return jnp.full((X.shape[0], n2), jnp.squeeze(self.variance.value), dtype=X.dtype)
+
+    def Kdiag(self, X):
+        return jnp.full((X.shape[0],), jnp.squeeze(self.variance.value), dtype=X.dtype)
+
+
+@struct.dataclass
+class Sum:
+    """k₁ + k₂ — composite over the same inputs."""
+
+    k1: object
+    k2: object
+
+    def K(self, X, X2=None):
+        return self.k1.K(X, X2) + self.k2.K(X, X2)
+
+    def Kdiag(self, X):
+        return self.k1.Kdiag(X) + self.k2.Kdiag(X)
+
+
+@struct.dataclass
+class Product:
+    """k₁ · k₂ — composite over the same inputs (use active_dims on the
+    children for separable products over input blocks)."""
+
+    k1: object
+    k2: object
+
+    def K(self, X, X2=None):
+        return self.k1.K(X, X2) * self.k2.K(X, X2)
+
+    def Kdiag(self, X):
+        return self.k1.Kdiag(X) * self.k2.Kdiag(X)

@@ -23,7 +23,11 @@ from .data import DataSet
 
 
 def make_train_step(optimizer: optax.GradientTransformation, loss_fn: Optional[Callable] = None):
-    """Build a jitted step. ``loss_fn(model, X, Y)`` defaults to model.loss."""
+    """Build a jitted step. ``loss_fn(model, X, Y)`` defaults to model.loss.
+
+    model and opt_state buffers are DONATED: after a call, the arrays you
+    passed in are invalid — always continue from the returned pytrees.
+    """
 
     def _loss(model, X, Y):
         return loss_fn(model, X, Y) if loss_fn is not None else model.loss(X, Y)

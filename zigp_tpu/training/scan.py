@@ -23,7 +23,11 @@ def make_scan_train_step(
     loss_fn: Optional[Callable] = None,
 ):
     """Returns jitted (model, opt_state, Xs, Ys) -> (model, opt_state, losses)
-    where Xs: (K, B, D), Ys: (K, B, L); runs K sequential optimizer steps."""
+    where Xs: (K, B, D), Ys: (K, B, L); runs K sequential optimizer steps.
+
+    model and opt_state buffers are DONATED: after a call, the arrays you
+    passed in are invalid — always continue from the returned pytrees.
+    """
 
     def _loss(model, X, Y):
         return loss_fn(model, X, Y) if loss_fn is not None else model.loss(X, Y)
