@@ -103,6 +103,14 @@ class KronGP:
             whiten=self.whiten,
         )
 
+    def predict_f_samples(self, key, Xnew: jnp.ndarray, num_samples: int = 1) -> jnp.ndarray:
+        """Marginal posterior samples, (S, B, 1)."""
+        import jax
+
+        mu, var = self.predict_f(Xnew)
+        eps = jax.random.normal(key, (num_samples,) + mu.shape, dtype=mu.dtype)
+        return mu[None] + jnp.sqrt(jnp.maximum(var, 0.0))[None] * eps
+
 
 @struct.dataclass
 class KronSVGP:

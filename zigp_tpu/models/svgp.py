@@ -94,6 +94,28 @@ class SVGP:
             fmean = fmean + self.mean_const.value
         return fmean, fvar
 
+    def predict_f_samples(
+        self, key, Xnew: jnp.ndarray, num_samples: int = 1, *, full_cov: bool = False
+    ) -> jnp.ndarray:
+        """Posterior function samples, (S, N, L). full_cov draws jointly."""
+        import jax
+
+        fmean, fvar = self.predict_f(Xnew, full_cov=full_cov)
+        if full_cov:
+            # fvar: (N, N, L) -> per-latent joint draws
+            L_latent = fmean.shape[1]
+            eps = jax.random.normal(
+                key, (num_samples, Xnew.shape[0], L_latent), dtype=fmean.dtype
+            )
+            outs = []
+            for k in range(L_latent):
+                C = linalg.add_jitter(fvar[:, :, k], self.jitter)
+                Lc = linalg.cholesky(C)
+                outs.append(fmean[:, k][None] + eps[:, :, k] @ Lc.T)
+            return jnp.stack(outs, axis=-1)
+        eps = jax.random.normal(key, (num_samples,) + fmean.shape, dtype=fmean.dtype)
+        return fmean[None] + jnp.sqrt(jnp.maximum(fvar, 0.0))[None] * eps
+
     def elbo(self, X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
         kl = self.prior_kl()
         fmean, fvar = self.predict_f(X)
