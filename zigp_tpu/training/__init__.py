@@ -1,6 +1,7 @@
 from .data import DataSet
 from .loop import FitResult, fit, make_train_step
-from .optim import adam_per_group, make_optimizer
+from .natgrad import NaturalGradientTrainer, natgrad_update_diag
+from .optim import adam_per_group, cosine_adam, make_optimizer
 from .scan import fit_scanned, make_scan_train_step, stage_batches
 from .scipy_opt import scipy_optimize
 
@@ -11,8 +12,11 @@ __all__ = [
     "make_train_step",
     "make_optimizer",
     "adam_per_group",
+    "cosine_adam",
     "make_scan_train_step",
     "fit_scanned",
     "stage_batches",
     "scipy_optimize",
+    "NaturalGradientTrainer",
+    "natgrad_update_diag",
 ]
