@@ -27,11 +27,18 @@ import jax.numpy as jnp
 import optax
 
 
-def natgrad_update_diag(q_mu, q_sqrt, dL_dmu, dL_dsqrt, lr: float):
+def natgrad_update_diag(
+    q_mu, q_sqrt, dL_dmu, dL_dsqrt, lr: float, *, max_var_growth: float = 10.0
+):
     """One natural-gradient step on (m, s) for diagonal N(m, diag(s²)).
 
     dL_dmu/dL_dsqrt are ordinary gradients of the *loss* (−ELBO) w.r.t. the
     constrained m and s. Returns new (m, s).
+
+    Safeguards for large-scale use (an unclamped natural step on a freshly
+    initialised model can blow the variance up by orders of magnitude and
+    diverge): per-step variance growth is capped at ``max_var_growth``×, and
+    non-finite updates fall back to the previous values.
     """
     s2 = jnp.square(q_sqrt)
     # gradients wrt (m, S=s²): dL/dS = dL/ds · ds/dS = dL_dsqrt / (2 s)
@@ -45,10 +52,15 @@ def natgrad_update_diag(q_mu, q_sqrt, dL_dmu, dL_dsqrt, lr: float):
     # step in natural space
     theta1_new = theta1 - lr * dL_deta1
     theta2_new = theta2 - lr * dL_deta2
-    # map back, guarding positivity of the precision
-    theta2_new = jnp.minimum(theta2_new, -1e-10)
+    # precision must stay negative; cap variance growth at max_var_growth×
+    # (theta2 is negative — dividing it by the growth factor moves it toward
+    # zero, i.e. allows s² to grow by at most that factor per step)
+    theta2_new = jnp.minimum(theta2_new, theta2 / max_var_growth)
     s2_new = -0.5 / theta2_new
     m_new = s2_new * theta1_new
+    # non-finite fallback: keep the previous parameters for those entries
+    m_new = jnp.where(jnp.isfinite(m_new), m_new, q_mu)
+    s2_new = jnp.where(jnp.isfinite(s2_new), s2_new, s2)
     return m_new, jnp.sqrt(s2_new)
 
 
@@ -99,12 +111,11 @@ class NaturalGradientTrainer:
     def make_step(self):
         from ..core.parameters import is_parameter
 
-        gamma = self.gamma
+        default_gamma = self.gamma
         adam = self.adam
-        is_var = self._is_variational
 
         @jax.jit
-        def step(model, opt_state, X, Y):
+        def step(model, opt_state, X, Y, gamma=default_gamma):
             loss, grads = jax.value_and_grad(lambda m: m.loss(X, Y))(model)
 
             # Adam on non-variational params
