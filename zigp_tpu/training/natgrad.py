@@ -18,6 +18,13 @@ in practice" recipe restricted to diagonal covariance.
 Exposed as a ``NaturalGradientTrainer`` that alternates one nat-grad step on
 each GP's (q_mu, q_sqrt) with an Adam step on all other parameters — the
 standard SVGP training split.
+
+Status: exact on conjugate models (one γ=1 step recovers the analytic
+posterior — tested) and effective on small problems. On the full pptr config
+the freshly-initialised gate produces ~1e9-magnitude expectation-space
+gradients and the natural-parameter round trip diverges even with the
+per-step variance clamp; use Adam (+ cosine decay), the production default,
+or warm-start natgrad from a short Adam phase.
 """
 
 from __future__ import annotations
@@ -52,11 +59,14 @@ def natgrad_update_diag(
     # step in natural space
     theta1_new = theta1 - lr * dL_deta1
     theta2_new = theta2 - lr * dL_deta2
-    # precision must stay negative; cap variance growth at max_var_growth×
-    # (theta2 is negative — dividing it by the growth factor moves it toward
-    # zero, i.e. allows s² to grow by at most that factor per step)
-    theta2_new = jnp.minimum(theta2_new, theta2 / max_var_growth)
+    # precision must stay negative and finite
+    theta2_new = jnp.minimum(theta2_new, -1e-12)
     s2_new = -0.5 / theta2_new
+    # symmetric per-step variance clamp: a single natural step may neither
+    # grow nor shrink s² by more than max_var_growth× (an unclamped step on a
+    # freshly initialised model can send the precision to ±inf, after which
+    # the softplus-inverse of s = 0 is -inf and the run is poisoned)
+    s2_new = jnp.clip(s2_new, s2 / max_var_growth, s2 * max_var_growth)
     m_new = s2_new * theta1_new
     # non-finite fallback: keep the previous parameters for those entries
     m_new = jnp.where(jnp.isfinite(m_new), m_new, q_mu)
@@ -89,8 +99,11 @@ class NaturalGradientTrainer:
             return jax.tree_util.tree_map(lambda _: "adam", leaf)
 
         labels = jax.tree_util.tree_map_with_path(label, model, is_leaf=is_parameter)
-        self.adam = optax.multi_transform(
-            {"adam": optax.adam(adam_lr), "frozen": optax.set_to_zero()}, labels
+        self.adam = optax.chain(
+            optax.zero_nans(),
+            optax.multi_transform(
+                {"adam": optax.adam(adam_lr), "frozen": optax.set_to_zero()}, labels
+            ),
         )
         self._step = None
 
