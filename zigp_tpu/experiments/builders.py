@@ -36,6 +36,7 @@ def build_onoff_pptr(cfg: OnOffPptrConfig, split: Split) -> KronOnOffSVGP:
         q_mu_scale=cfg.q_mu_scale,
         exact_owen_t=cfg.exact_owen_t,
         whiten=cfg.whiten,
+        g_mean_shift=cfg.g_mean_shift,
     )
 
 
