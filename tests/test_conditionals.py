@@ -82,3 +82,30 @@ def test_kron_conditional_variance_positive(rng):
         jnp.asarray(q_mu), jnp.asarray(q_sqrt), [(0, 1), (2,)], jitter=1e-5,
     )
     assert np.all(np.asarray(var) > 0)
+
+
+@pytest.mark.parametrize("q_diag", [True, False])
+def test_dense_conditional_full_cov(rng, q_diag):
+    M, N, D, L = 7, 9, 2, 1
+    Z = rng.randn(M, D)
+    X = rng.randn(N, D)
+    f = rng.randn(M, L)
+    if q_diag:
+        q_sqrt = np.abs(rng.randn(M, L)) + 0.1
+    else:
+        q_sqrt = (np.tril(rng.randn(M, M)) + 2 * np.eye(M))[:, :, None]
+    k = RBF.create([1.0, 0.8], 1.2)
+    oracle = SEKernelNp(np.array([1.0, 0.8]), 1.2)
+    got_mean, got_cov = conditionals.conditional(
+        jnp.asarray(X), jnp.asarray(Z), k, jnp.asarray(f),
+        q_sqrt=jnp.asarray(q_sqrt), full_cov=True, jitter=1e-6,
+    )
+    want_mean, want_cov = conditional_dense(
+        X, Z, oracle, f, q_sqrt=q_sqrt, full_cov=True, jitter=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(got_mean), want_mean, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got_cov), want_cov, rtol=1e-7, atol=1e-9)
+    # returned covariance is symmetric PSD per latent
+    C = np.asarray(got_cov)[:, :, 0]
+    np.testing.assert_allclose(C, C.T, rtol=1e-10)
+    assert np.linalg.eigvalsh(C).min() > -1e-8
