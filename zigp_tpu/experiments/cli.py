@@ -58,6 +58,9 @@ def _common(p):
     p.add_argument("--workdir", type=str, default="runs/pptr")
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--preset", type=str, default="reference",
+                   choices=("reference", "best"),
+                   help="reference = the paper's config; best = RESULTS.md ablated config")
 
 
 def main(argv=None):
@@ -151,21 +154,25 @@ def main(argv=None):
             kw["batch_size"] = args.batch
         return dataclasses.replace(cfg, **kw)
 
+    best = getattr(args, "preset", "reference") == "best"
     if args.cmd == "onoff":
-        from .configs import OnOffPptrConfig
+        from .configs import OnOffPptrConfig, best_onoff_config
         from .runners import run_onoff
 
-        run_onoff(split, _cfgkw(OnOffPptrConfig()), workdir=workdir, log_fn=log)
+        cfg = best_onoff_config() if best else OnOffPptrConfig()
+        run_onoff(split, _cfgkw(cfg), workdir=workdir, log_fn=log)
     elif args.cmd == "svgp":
-        from .configs import SvgpPptrConfig
+        from .configs import SvgpPptrConfig, tuned_svgp_config
         from .runners import run_svgp
 
-        run_svgp(split, _cfgkw(SvgpPptrConfig()), workdir=workdir, log_fn=log)
+        cfg = tuned_svgp_config() if best else SvgpPptrConfig()
+        run_svgp(split, _cfgkw(cfg), workdir=workdir, log_fn=log)
     elif args.cmd == "classifier":
-        from .configs import ClassifierPptrConfig
+        from .configs import ClassifierPptrConfig, tuned_classifier_config
         from .runners import run_classifier
 
-        run_classifier(split, _cfgkw(ClassifierPptrConfig()), workdir=workdir, log_fn=log)
+        cfg = tuned_classifier_config() if best else ClassifierPptrConfig()
+        run_classifier(split, _cfgkw(cfg), workdir=workdir, log_fn=log)
     elif args.cmd == "hurdle":
         from .configs import SvgpPptrConfig
         from .runners import run_hurdle

@@ -91,6 +91,42 @@ class ClassifierPptrConfig:
     whiten: bool = False
 
 
+def best_onoff_config() -> "OnOffPptrConfig":
+    """The ablated best on/off configuration (RESULTS.md): whitened
+    parameterization, 32×200 grid, exact Owen's T, cosine lr 3e-3, B=4000.
+    5-fold pptr: RMSE 0.570 ± 0.033, MAE 0.103 ± 0.002."""
+    return OnOffPptrConfig(
+        whiten=True,
+        grid=KronGridConfig(num_spatial=32, num_temporal=200),
+        fk_spatial=KernelInit((2.0, 2.0), 20.0),
+        gk_spatial=KernelInit((2.0, 2.0), 10.0),
+        exact_owen_t=True,
+        lr_schedule="cosine",
+        indp_lr=3e-3,
+        kern_lr=3e-3,
+        batch_size=4000,
+    )
+
+
+def tuned_svgp_config() -> "SvgpPptrConfig":
+    """Whitened 32×200 svgp (RESULTS.md tuned table: RMSE 0.592 ± 0.035)."""
+    return SvgpPptrConfig(
+        whiten=True,
+        grid=KronGridConfig(num_spatial=32, num_temporal=200),
+        k_spatial=KernelInit((2.0, 2.0), 20.0),
+    )
+
+
+def tuned_classifier_config() -> "ClassifierPptrConfig":
+    """Whitened 32×200 classifier, 5000 steps (AUC 0.916 ± 0.003)."""
+    return ClassifierPptrConfig(
+        whiten=True,
+        num_iter=5000,
+        grid=KronGridConfig(num_spatial=32, num_temporal=200),
+        k_spatial=KernelInit((2.0, 2.0), 20.0),
+    )
+
+
 @dataclass
 class ToyOnOffConfig:
     """Notebook config (cells 7-10): RBF ℓ=2, σ²f=1, σ²g=5, noise 0.01, M=10."""
