@@ -69,6 +69,7 @@ class SvgpPptrConfig:
     ckpt_every: int = 10_000
     scan_inner: int = 50
     whiten: bool = False
+    lr_schedule: str = ""
 
 
 @dataclass
@@ -89,6 +90,7 @@ class ClassifierPptrConfig:
     ckpt_every: int = 10_000
     scan_inner: int = 50
     whiten: bool = False
+    lr_schedule: str = ""
 
 
 def best_onoff_config() -> "OnOffPptrConfig":
