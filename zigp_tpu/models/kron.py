@@ -40,7 +40,9 @@ def gen_input_masks(Zs: Sequence[np.ndarray]) -> Tuple[Tuple[int, ...], ...]:
 
 @struct.dataclass
 class KronGP:
-    """One GP with a Kronecker inducing grid and diagonal q(u) covariance."""
+    """One GP with a Kronecker inducing grid. Posterior covariance families:
+    diagonal (the reference's only option) or Kronecker-factored full
+    (S = ⊗_p C_p C_pᵀ, our extension — set ``q_cov="kron"`` in create)."""
 
     kernels: Tuple[Any, ...]
     Zs: Tuple[Parameter, ...]
@@ -49,6 +51,9 @@ class KronGP:
     input_masks: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
     jitter: float = struct.field(pytree_node=False)
     whiten: bool = struct.field(pytree_node=False, default=False)
+    # Kronecker-factored full covariance: per-factor lower-tri (M_p, M_p)
+    # Cholesky parameters. None = diagonal family (q_sqrt used instead).
+    q_sqrt_factors: Optional[Tuple[Parameter, ...]] = None
 
     @classmethod
     def create(
@@ -62,18 +67,30 @@ class KronGP:
         lr: Optional[float] = None,
         seed: int = 0,
         whiten: bool = False,
+        q_cov: str = "diag",
     ) -> "KronGP":
         M = int(np.prod([Z.shape[0] for Z in Zs]))
         rng = np.random.RandomState(seed)
         q_mu = q_mu_init if q_mu_init is not None else rng.randn(M, 1) * q_mu_scale
+        factors = None
+        if q_cov == "kron":
+            from ..core.bijectors import FillLowerTriangular
+
+            factors = tuple(
+                param(np.eye(Z.shape[0]), FillLowerTriangular(), lr=lr) for Z in Zs
+            )
+        elif q_cov != "diag":
+            raise ValueError(f"unknown q_cov family: {q_cov!r}")
         return cls(
             kernels=tuple(kernels),
             Zs=tuple(param(Z, lr=lr) for Z in Zs),
             q_mu=param(q_mu, lr=lr),
-            q_sqrt=positive_param(np.ones((M, 1)), lr=lr),
+            # unused (frozen) when the kron-factored covariance is active
+            q_sqrt=positive_param(np.ones((M, 1)), lr=lr, trainable=factors is None),
             input_masks=gen_input_masks(Zs),
             jitter=float(jitter if jitter is not None else default_jitter()),
             whiten=whiten,
+            q_sqrt_factors=factors,
         )
 
     @property
@@ -87,6 +104,12 @@ class KronGP:
         ]
 
     def prior_kl(self) -> jnp.ndarray:
+        if self.q_sqrt_factors is not None:
+            return gauss_kl.gauss_kl_kron_full(
+                self.q_mu.value,
+                [C.value for C in self.q_sqrt_factors],
+                None if self.whiten else self.gram_factors(),
+            )
         if self.whiten:
             return gauss_kl.gauss_kl(self.q_mu.value, self.q_sqrt.value, None)
         return gauss_kl.gauss_kl_kron(self.q_mu.value, self.q_sqrt.value, self.gram_factors())
@@ -101,6 +124,9 @@ class KronGP:
             self.input_masks,
             jitter=self.jitter,
             whiten=self.whiten,
+            q_sqrt_factors=None
+            if self.q_sqrt_factors is None
+            else [C.value for C in self.q_sqrt_factors],
         )
 
     def predict_f_samples(self, key, Xnew: jnp.ndarray, num_samples: int = 1) -> jnp.ndarray:
@@ -195,12 +221,20 @@ class KronOnOffSVGP:
         lr: Optional[float] = None,
         q_mu_scale: float = 0.1,
         whiten: bool = False,
+        q_cov: str = "diag",
     ) -> "KronOnOffSVGP":
+        import jax
+
+        # Defensive copy: callers often pass the same kernel objects for f and
+        # g; aliased parameter buffers appearing twice in the model pytree
+        # break donated train steps ("attempt to donate the same buffer
+        # twice") and would silently TIE the kernels' parameters.
+        gkernels = jax.tree_util.tree_map(jnp.array, tuple(gkernels))
         return cls(
             f=KronGP.create(fkernels, Zfs, jitter=jitter, seed=seed, lr=lr,
-                            q_mu_scale=q_mu_scale, whiten=whiten),
+                            q_mu_scale=q_mu_scale, whiten=whiten, q_cov=q_cov),
             g=KronGP.create(gkernels, Zgs, jitter=jitter, seed=seed + 1, lr=lr,
-                            q_mu_scale=q_mu_scale, whiten=whiten),
+                            q_mu_scale=q_mu_scale, whiten=whiten, q_cov=q_cov),
             likelihood=likelihood,
             mean_const=None if mean_const is None else param(mean_const),
             g_mean_shift=float(g_mean_shift),

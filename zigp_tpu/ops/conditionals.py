@@ -102,6 +102,7 @@ def kron_conditional(
     jitter: float = 1e-6,
     clip_variance: bool = True,
     whiten: bool = False,
+    q_sqrt_factors: Optional[Sequence[jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kronecker-structured sparse conditional with diagonal q(u) covariance.
 
@@ -144,23 +145,31 @@ def kron_conditional(
         Kmn_factors.append(Kmn_p)
         V_factors.append(linalg.tri_solve(L, Kmn_p, lower=True))
 
-    S = jnp.square(q_sqrt_diag[:, 0])
-
     if whiten:
         # mean: Kmnᵀ L⁻ᵀ v = (⊗V_p)ᵀ v; posterior-cov term uses V_p directly
         mu = _factored_contract(q_mu[:, 0], sizes, V_factors)
-        c2 = _factored_contract(S, sizes, [jnp.square(V_p) for V_p in V_factors])
+        proj = V_factors
     else:
         # alpha = (⊗K_p⁻¹) q_mu, factored
         alpha = linalg.kron_chol_solve(Ls, q_mu)  # (M, 1)
-        A_factors = [
+        proj = [
             linalg.tri_solve(L.T, V_p, lower=False)  # A_p = K_p⁻¹ Kmn_p
             for L, V_p in zip(Ls, V_factors)
         ]
         # mean: mu[b] = Σ_m (Π_p Kmn_p[i_p, b]) alpha[m]
         mu = _factored_contract(alpha[:, 0], sizes, Kmn_factors)
-        # c2[b] = diag(Aᵀ S A)[b] = Σ_m S[m] (Π_p A_p[i_p, b])²
-        c2 = _factored_contract(S, sizes, [jnp.square(A_p) for A_p in A_factors])
+
+    if q_sqrt_factors is not None:
+        # Kronecker-factored full covariance S = ⊗_p C_p C_pᵀ:
+        # diag(PᵀSP)[b] = Π_p ‖C_pᵀ P_p[:, b]‖²  (P = A unwhitened, V whitened)
+        c2 = jnp.ones((B,), dtype=dtype)
+        for C, P_p in zip(q_sqrt_factors, proj):
+            CtP = jnp.tril(C).T @ P_p  # (M_p, B)
+            c2 = c2 * jnp.sum(jnp.square(CtP), axis=0)
+    else:
+        # diagonal S: c2[b] = Σ_m S[m] (Π_p P_p[i_p, b])²
+        S = jnp.square(q_sqrt_diag[:, 0])
+        c2 = _factored_contract(S, sizes, [jnp.square(P_p) for P_p in proj])
 
     # c1[b] = diag(Kmnᵀ (⊗K⁻¹) Kmn)[b] = Π_p ‖V_p[:, b]‖²  (each factor ≥ 0)
     c1 = jnp.ones((B,), dtype=dtype)

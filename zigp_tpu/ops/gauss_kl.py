@@ -110,3 +110,49 @@ def gauss_kl_kron(
     prior_logdet = linalg.kron_logdet_from_chols(Ls)
 
     return 0.5 * (mahalanobis + constant - logdet_qcov + trace + prior_logdet)
+
+
+def gauss_kl_kron_full(
+    q_mu: jnp.ndarray,
+    C_factors: Sequence[jnp.ndarray],
+    K_factors: Optional[Sequence[jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """KL(N(q_mu, ⊗_p C_p C_pᵀ) ‖ N(0, ⊗_p K_p)), fully factored.
+
+    Kronecker-factored *full* posterior covariance — richer than the
+    reference's diagonal family (its only option), still O(Σ M_p³):
+
+        tr(K⁻¹S)  = Π_p tr(K_p⁻¹ S_p) = Π_p ‖L_p⁻¹ C_p‖²_F
+        logdet S  = Σ_p (M/M_p) · 2 Σ log |diag C_p|
+
+    ``K_factors=None`` means a white prior (whitened parameterization), where
+    tr(S) = Π_p ‖C_p‖²_F and the Mahalanobis term is ‖q_mu‖².
+    """
+    M = 1
+    for C in C_factors:
+        M *= C.shape[0]
+    dtype = q_mu.dtype
+
+    if K_factors is None:
+        mahalanobis = jnp.sum(jnp.square(q_mu))
+        trace = 1.0
+        for C in C_factors:
+            trace = trace * jnp.sum(jnp.square(jnp.tril(C)))
+        prior_logdet = jnp.asarray(0.0, dtype)
+    else:
+        Ls = [linalg.cholesky(Kp) for Kp in K_factors]
+        alpha = linalg.kron_solve_lower(Ls, q_mu)
+        mahalanobis = jnp.sum(jnp.square(alpha))
+        trace = 1.0
+        for L, C in zip(Ls, C_factors):
+            trace = trace * jnp.sum(jnp.square(linalg.tri_solve(L, jnp.tril(C), lower=True)))
+        prior_logdet = linalg.kron_logdet_from_chols(Ls)
+
+    logdet_qcov = 0.0
+    for C in C_factors:
+        logdet_qcov = logdet_qcov + (M // C.shape[0]) * 2.0 * jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(C)))
+        )
+
+    constant = -jnp.asarray(M, dtype=dtype)
+    return 0.5 * (mahalanobis + constant - logdet_qcov + trace + prior_logdet)
