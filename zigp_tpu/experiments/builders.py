@@ -37,6 +37,7 @@ def build_onoff_pptr(cfg: OnOffPptrConfig, split: Split) -> KronOnOffSVGP:
         exact_owen_t=cfg.exact_owen_t,
         whiten=cfg.whiten,
         g_mean_shift=cfg.g_mean_shift,
+        q_cov=cfg.q_cov,
     )
 
 

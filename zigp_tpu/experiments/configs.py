@@ -49,6 +49,7 @@ class OnOffPptrConfig:
     scan_inner: int = 50  # lax.scan steps per dispatch; 0 = one dispatch per step
     lr_schedule: str = ""  # "" = constant (reference); "cosine" = cosine decay
     g_mean_shift: float = 0.0  # constant prior-mean shift on g (onoffpred.py:141 uses -1.0)
+    q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
 
 
 @dataclass
