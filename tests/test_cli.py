@@ -1,0 +1,54 @@
+"""End-to-end CLI tests on synthetic data shaped like pptr (in-process main()
+with a temp data pickle — no TPU, tiny iteration counts)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from zigp_tpu.experiments.cli import main
+
+
+@pytest.fixture
+def synth_pptr(tmp_path, rng):
+    N, Nt = 300, 80
+    def gen(n):
+        X = np.stack([59.8 + 10 * rng.rand(n), 20 + 11 * rng.rand(n), 4368 + 1079 * rng.rand(n)], 1)
+        Y = np.maximum(np.sin(X[:, 2:3] / 100) * (rng.rand(n, 1) > 0.6), 0.0)
+        return X, Y
+    Xtr, Ytr = gen(N)
+    Xte, Yte = gen(Nt)
+    p = tmp_path / "pptr.pickle"
+    with open(p, "wb") as f:
+        pickle.dump({"Xtrain": Xtr, "Ytrain": Ytr, "Xtest": Xte, "Ytest": Yte}, f)
+    return str(p)
+
+
+def test_cli_cvsplits(synth_pptr, tmp_path):
+    rc = main(["cvsplits", "--data", synth_pptr, "--out", str(tmp_path / "cv")])
+    assert rc == 0
+    assert (tmp_path / "cv" / "5" / "data.pickle").exists()
+
+
+def test_cli_onoff_then_classifier_then_downstream(synth_pptr, tmp_path):
+    wd = str(tmp_path / "runs")
+    assert main(["onoff", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "10", "--batch", "64"]) == 0
+    assert (tmp_path / "runs" / "1" / "results_onoff.pickle").exists()
+
+    assert main(["classifier", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "10", "--batch", "64"]) == 0
+    assert main(["svgp", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "10", "--batch", "64"]) == 0
+    assert main(["hurdle", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "10", "--batch", "32"]) == 0
+    assert main(["zi", "--fold", "1", "--data", synth_pptr, "--workdir", wd]) == 0
+    assert (tmp_path / "runs" / "1" / "results_zi.pickle").exists()
+
+
+def test_cli_cv_command(synth_pptr, tmp_path):
+    wd = str(tmp_path / "cvrun")
+    rc = main(["cv", "--models", "classifier,svgp,zi", "--data", synth_pptr,
+               "--workdir", wd, "--iters", "10", "--batch", "64"])
+    assert rc == 0
+    assert (tmp_path / "cvrun" / "cv_summary.json").exists()
