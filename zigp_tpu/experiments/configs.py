@@ -95,11 +95,13 @@ class ClassifierPptrConfig:
 
 
 def best_onoff_config() -> "OnOffPptrConfig":
-    """The ablated best on/off configuration (RESULTS.md): whitened
-    parameterization, 32×200 grid, exact Owen's T, cosine lr 3e-3, B=4000.
-    5-fold pptr: RMSE 0.570 ± 0.033, MAE 0.103 ± 0.002."""
+    """The ablated champion on/off configuration (RESULTS.md): whitened
+    parameterization, Kronecker-factored full covariance, 32×200 grid, exact
+    Owen's T, cosine lr 3e-3, B=4000.
+    5-fold pptr: RMSE 0.560 ± 0.031, MAE 0.102 ± 0.003."""
     return OnOffPptrConfig(
         whiten=True,
+        q_cov="kron",
         grid=KronGridConfig(num_spatial=32, num_temporal=200),
         fk_spatial=KernelInit((2.0, 2.0), 20.0),
         gk_spatial=KernelInit((2.0, 2.0), 10.0),
