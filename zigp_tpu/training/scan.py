@@ -21,12 +21,19 @@ import optax
 def make_scan_train_step(
     optimizer: optax.GradientTransformation,
     loss_fn: Optional[Callable] = None,
+    *,
+    unroll: int = 4,
 ):
     """Returns jitted (model, opt_state, Xs, Ys) -> (model, opt_state, losses)
     where Xs: (K, B, D), Ys: (K, B, L); runs K sequential optimizer steps.
 
     model and opt_state buffers are DONATED: after a call, the arrays you
     passed in are invalid — always continue from the returned pytrees.
+
+    ``unroll``: lax.scan unroll factor — unrolling lets XLA overlap adjacent
+    iterations' independent small ops (measured ~18 % faster at 4 on v5e for
+    the pptr config) at the cost of a larger compiled body. Semantics are
+    identical for any value.
     """
 
     def _loss(model, X, Y):
@@ -42,7 +49,9 @@ def make_scan_train_step(
             model = optax.apply_updates(model, updates)
             return (model, opt_state), loss
 
-        (model, opt_state), losses = jax.lax.scan(body, (model, opt_state), (Xs, Ys))
+        (model, opt_state), losses = jax.lax.scan(
+            body, (model, opt_state), (Xs, Ys), unroll=unroll
+        )
         return model, opt_state, losses
 
     return step
