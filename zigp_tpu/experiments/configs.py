@@ -97,9 +97,10 @@ class ClassifierPptrConfig:
 def best_onoff_config() -> "OnOffPptrConfig":
     """The ablated champion on/off configuration (RESULTS.md): whitened
     parameterization, Kronecker-factored full covariance, 32×200 grid, exact
-    Owen's T, cosine lr 3e-3, B=4000.
-    5-fold pptr: RMSE 0.560 ± 0.031, MAE 0.102 ± 0.003."""
+    Owen's T, cosine lr 3e-3, B=4000, 150k steps.
+    5-fold pptr: RMSE 0.525 ± 0.033, MAE 0.102 ± 0.002."""
     return OnOffPptrConfig(
+        num_iter=150_000,
         whiten=True,
         q_cov="kron",
         grid=KronGridConfig(num_spatial=32, num_temporal=200),
