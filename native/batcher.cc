@@ -69,6 +69,23 @@ struct Batcher {
       next(b, out_x + j * b * dx, out_y + j * b * dy);
     }
   }
+
+  // Advance the stream past k batches of size b without copying any rows —
+  // used to fast-forward to a checkpointed step on resume so the restored
+  // run sees exactly the batches the original run would have.
+  void skip(int64_t b, int64_t k) {
+    int64_t remaining = b * k;
+    while (remaining > 0) {
+      if (pos == n) {
+        shuffle();
+        pos = 0;
+        ++epochs;
+      }
+      const int64_t take = std::min(remaining, n - pos);
+      pos += take;
+      remaining -= take;
+    }
+  }
 };
 
 }  // namespace
@@ -88,6 +105,10 @@ void zigp_batcher_next(void* handle, int64_t batch, double* out_x,
 void zigp_batcher_next_block(void* handle, int64_t batch, int64_t k,
                              double* out_x, double* out_y) {
   static_cast<Batcher*>(handle)->next_block(batch, k, out_x, out_y);
+}
+
+void zigp_batcher_skip(void* handle, int64_t batch, int64_t k) {
+  static_cast<Batcher*>(handle)->skip(batch, k);
 }
 
 int64_t zigp_batcher_epochs(void* handle) {

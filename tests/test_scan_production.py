@@ -1,0 +1,186 @@
+"""Production (scanned) training path: checkpoint/resume, NaN recovery, and
+JSONL metric logging — the wiring the reference runs with
+(scripts/onoff.py:290-303,341-342,390-392)."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from zigp_tpu.io.checkpoint import CheckpointManager
+from zigp_tpu.io.datasets import Split
+from zigp_tpu.likelihoods import Gaussian
+from zigp_tpu.models import KronSVGP
+from zigp_tpu.ops.kernels import RBF
+from zigp_tpu.training import DataSet, fit_scanned
+from zigp_tpu.training.optim import make_optimizer
+from zigp_tpu.utils.logging import MetricLogger
+
+
+def _model(rng, N, seed=0):
+    Zs = [rng.rand(3, 2), np.linspace(0, 1, 5)[:, None]]
+    ks = [RBF.create([1.0, 1.0], 1.0), RBF.create([0.3], 1.0)]
+    return KronSVGP.create(ks, Zs, Gaussian.create(0.1), num_data=N, jitter=1e-6, seed=seed)
+
+
+def _leaves_close(a, b, rtol=1e-6):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    return all(np.allclose(np.asarray(x), np.asarray(y), rtol=rtol) for x, y in zip(la, lb))
+
+
+def test_fit_scanned_writes_checkpoints_and_metrics(rng, tmp_path):
+    N = 40
+    X, Y = rng.rand(N, 3), rng.rand(N, 1)
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=10)
+    mpath = str(tmp_path / "metrics.jsonl")
+    logger = MetricLogger(mpath)
+    model = _model(rng, N)
+    fit_scanned(
+        model, DataSet(X, Y), num_iter=20, batch_size=N, num_inner=5,
+        log_fn=lambda s: None, ckpt_manager=mgr, metric_logger=logger,
+        hist_every=10,
+    )
+    logger.close()
+    assert mgr.latest_step() == 20
+    records = [json.loads(l) for l in open(mpath)]
+    scalar_recs = [r for r in records if "loss" in r]
+    assert scalar_recs and all("kl" in r and "var_exp" in r for r in scalar_recs)
+    # histogram records for params AND grads at the hist cadence
+    hist_keys = [k for r in records for k in r if k.startswith("hist/")]
+    assert any(k.startswith("hist/param") for k in hist_keys)
+    assert any(k.startswith("hist/grad") for k in hist_keys)
+
+
+def test_fit_scanned_recovers_from_nan(rng, tmp_path):
+    N = 30
+    X, Y = rng.rand(N, 3), rng.rand(N, 1)
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=5)
+    model = _model(rng, N)
+
+    class Poisoned(DataSet):
+        def __init__(self, x, y):
+            super().__init__(x, y, seed=0)
+            self.calls = 0
+
+        def next_batch(self, b, shuffle=True):
+            self.calls += 1
+            bx, by = super().next_batch(b, shuffle)
+            if self.calls == 15:  # poison the last batch of the 3rd block
+                # (the block's final loss is the value the NaN check reads;
+                # an earlier in-block NaN is already absorbed by zero_nans)
+                by = by.copy()
+                by[0, 0] = np.nan
+            return bx, by
+
+    logs = []
+    res = fit_scanned(
+        model, Poisoned(X, Y), num_iter=30, batch_size=N, num_inner=5,
+        log_fn=logs.append, ckpt_manager=mgr,
+    )
+    joined = "\n".join(logs)
+    assert "NON-FINITE" in joined
+    assert "restored from checkpoint" in joined
+    assert all(
+        np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(res.model)
+    )
+    # poisoned state never checkpointed: every saved checkpoint restores finite
+    for step_dir in os.listdir(mgr.directory):
+        step = int(step_dir.split("_")[1])
+        m, _, _ = __import__("zigp_tpu.io.checkpoint", fromlist=["restore"]).restore(
+            os.path.join(mgr.directory, step_dir), res.model, res.opt_state
+        )
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(m))
+
+
+def test_scanned_resume_reproduces_uninterrupted_run(rng, tmp_path):
+    """Kill at step 20 of 40, resume from the checkpoint, and land on the
+    same parameters as the uninterrupted run (same batches via ds.skip)."""
+    N = 50
+    X, Y = rng.rand(N, 3), rng.rand(N, 1)
+
+    def make_parts():
+        return _model(np.random.RandomState(0), N), DataSet(X, Y, seed=7)
+
+    # uninterrupted 40 steps
+    model, ds = make_parts()
+    opt = make_optimizer(model, default_lr=1e-2)
+    full = fit_scanned(model, ds, num_iter=40, batch_size=16, num_inner=5,
+                       optimizer=opt, log_fn=lambda s: None)
+
+    # interrupted: 20 steps with checkpointing...
+    model, ds = make_parts()
+    opt = make_optimizer(model, default_lr=1e-2)
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=20)
+    fit_scanned(model, ds, num_iter=20, batch_size=16, num_inner=5,
+                optimizer=opt, ckpt_manager=mgr, log_fn=lambda s: None)
+    assert mgr.latest_step() == 20
+
+    # ...then a fresh process restores and continues with the same stream
+    model2, ds2 = make_parts()
+    opt2 = make_optimizer(model2, default_lr=1e-2)
+    opt_state2 = opt2.init(model2)
+    model2, opt_state2, start = mgr.restore_latest(model2, opt_state2)
+    assert start == 20
+    ds2.skip(16, start)
+    resumed = fit_scanned(model2, ds2, num_iter=20, batch_size=16, num_inner=5,
+                          optimizer=opt2, opt_state=opt_state2, start_step=start,
+                          log_fn=lambda s: None)
+    assert _leaves_close(full.model, resumed.model)
+
+
+def test_runner_resume_cli_path(rng, tmp_path):
+    """run_svgp with workdir writes checkpoints + metrics; resume=True on a
+    finished run restores and trains 0 further steps."""
+    from zigp_tpu.experiments.configs import SvgpPptrConfig
+    from zigp_tpu.experiments.runners import run_svgp
+
+    N = 60
+    X = np.column_stack([rng.rand(N), rng.rand(N), np.linspace(0, 1, N)])
+    Y = rng.rand(N, 1)
+    split = Split(X, Y, X[:10], Y[:10])
+    cfg = SvgpPptrConfig(
+        num_iter=20, batch_size=16, scan_inner=5, ckpt_every=10, log_every=5,
+        grid=dataclasses.replace(SvgpPptrConfig().grid, num_spatial=3, num_temporal=4),
+    )
+    wd = str(tmp_path / "run")
+    r1 = run_svgp(split, cfg, workdir=wd, log_fn=lambda s: None)
+    assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
+    mgr = CheckpointManager(os.path.join(wd, "ckpt"), every=10)
+    assert mgr.latest_step() == 20
+
+    logs = []
+    r2 = run_svgp(split, cfg, workdir=wd, log_fn=logs.append, resume=True)
+    assert any("resumed from checkpoint at step 20" in l for l in logs)
+    assert any("nothing to train" in l for l in logs)
+    assert np.allclose(r1["test_rmse"], r2["test_rmse"], rtol=1e-6)
+
+
+def test_native_and_numpy_skip_equivalence(rng):
+    """skip(b, k) leaves the stream exactly where k drawn batches would."""
+    from zigp_tpu.io import native as zn
+
+    N = 37
+    X, Y = rng.rand(N, 3), rng.rand(N, 1)
+
+    d1 = DataSet(X, Y, seed=3)
+    d2 = DataSet(X, Y, seed=3)
+    for _ in range(5):
+        d1.next_batch(8)
+    d2.skip(8, 5)
+    a, b = d1.next_batch(8), d2.next_batch(8)
+    np.testing.assert_array_equal(a[0], b[0])
+
+    if not zn.available():
+        pytest.skip("native batcher unavailable")
+    n1 = zn.NativeDataSet(X, Y, seed=3)
+    n2 = zn.NativeDataSet(X, Y, seed=3)
+    for _ in range(5):
+        n1.next_batch(8)
+    n2.skip(8, 5)
+    a, b = n1.next_batch(8), n2.next_batch(8)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])

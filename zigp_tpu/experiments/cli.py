@@ -61,6 +61,8 @@ def _common(p):
     p.add_argument("--preset", type=str, default="reference",
                    choices=("reference", "best"),
                    help="reference = the paper's config; best = RESULTS.md ablated config")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint in the workdir and continue")
 
 
 def main(argv=None):
@@ -160,19 +162,19 @@ def main(argv=None):
         from .runners import run_onoff
 
         cfg = best_onoff_config() if best else OnOffPptrConfig()
-        run_onoff(split, _cfgkw(cfg), workdir=workdir, log_fn=log)
+        run_onoff(split, _cfgkw(cfg), workdir=workdir, log_fn=log, resume=args.resume)
     elif args.cmd == "svgp":
         from .configs import SvgpPptrConfig, tuned_svgp_config
         from .runners import run_svgp
 
         cfg = tuned_svgp_config() if best else SvgpPptrConfig()
-        run_svgp(split, _cfgkw(cfg), workdir=workdir, log_fn=log)
+        run_svgp(split, _cfgkw(cfg), workdir=workdir, log_fn=log, resume=args.resume)
     elif args.cmd == "classifier":
         from .configs import ClassifierPptrConfig, tuned_classifier_config
         from .runners import run_classifier
 
         cfg = tuned_classifier_config() if best else ClassifierPptrConfig()
-        run_classifier(split, _cfgkw(cfg), workdir=workdir, log_fn=log)
+        run_classifier(split, _cfgkw(cfg), workdir=workdir, log_fn=log, resume=args.resume)
     elif args.cmd == "hurdle":
         from .configs import SvgpPptrConfig
         from .runners import run_hurdle

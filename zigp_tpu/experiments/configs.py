@@ -44,6 +44,8 @@ class OnOffPptrConfig:
     seed: int = 0
     log_every: int = 200
     ckpt_every: int = 10_000
+    hist_every: int = 0  # param/grad histogram cadence (reference: 200; costly here)
+    monitor_every: int = 10_000  # inducing-monitor plot cadence (needs workdir)
     exact_owen_t: bool = False
     whiten: bool = False  # whitened variational parameterization (not in reference)
     scan_inner: int = 50  # lax.scan steps per dispatch; 0 = one dispatch per step
@@ -68,6 +70,7 @@ class SvgpPptrConfig:
     seed: int = 0
     log_every: int = 200
     ckpt_every: int = 10_000
+    hist_every: int = 0
     scan_inner: int = 50
     whiten: bool = False
     lr_schedule: str = ""
@@ -89,6 +92,7 @@ class ClassifierPptrConfig:
     seed: int = 0
     log_every: int = 100
     ckpt_every: int = 10_000
+    hist_every: int = 0
     scan_inner: int = 50
     whiten: bool = False
     lr_schedule: str = ""

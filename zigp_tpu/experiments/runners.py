@@ -66,39 +66,85 @@ def predict_batched(predict_fn: Callable, X: np.ndarray, batch: int = 4096) -> D
     return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
 
-def _fit_auto(model, ds, cfg, *, learning_rate, log_fn):
+def _fit_auto(
+    model, ds, cfg, *, learning_rate, log_fn,
+    workdir: Optional[str] = None, resume: bool = False, monitor_cb=None,
+):
     """Use the scanned multi-step loop when the run is long enough for it
     (scan_inner > 0 and at least one full block); single-dispatch otherwise.
-    Honors cfg.lr_schedule ("cosine" = cosine decay over the run)."""
-    from ..training.optim import cosine_adam, make_optimizer
+    Honors cfg.lr_schedule ("cosine" = cosine decay over the run).
 
-    optimizer = None
+    With a ``workdir``, the production machinery is live: periodic Orbax
+    checkpoints at ``cfg.ckpt_every`` (reference: Saver every 10k,
+    scripts/onoff.py:390-392) with NaN recovery, JSONL metrics (+ param/grad
+    histograms at ``cfg.hist_every``), and ``resume=True`` restores the
+    latest checkpoint, fast-forwards the minibatch stream, and continues —
+    reproducing the uninterrupted run's trajectory exactly.
+    """
+    from ..io.checkpoint import CheckpointManager
+    from ..training.loop import FitResult
+    from ..training.optim import cosine_adam, make_optimizer
+    from ..utils.logging import MetricLogger
+
     if getattr(cfg, "lr_schedule", "") == "cosine":
         optimizer = make_optimizer(
             model, default_lr=learning_rate, opt_factory=cosine_adam(cfg.num_iter)
         )
+    else:
+        optimizer = make_optimizer(model, default_lr=learning_rate)
+
+    ckpt = metric = None
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+        if getattr(cfg, "ckpt_every", 0):
+            ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), every=cfg.ckpt_every)
+        metric = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
+
+    start_step = 0
+    opt_state = optimizer.init(model)
+    if resume and ckpt is not None:
+        restored = ckpt.restore_latest(model, opt_state)
+        if restored is not None:
+            model, opt_state, start_step = restored
+            log_fn(f"resumed from checkpoint at step {start_step}")
+            if start_step and hasattr(ds, "skip"):
+                ds.skip(cfg.batch_size, start_step)
+    remaining = cfg.num_iter - start_step
+    if remaining <= 0:
+        log_fn("checkpoint is already at or past num_iter; nothing to train")
+        return FitResult(model=model, opt_state=opt_state)
+
     scan_inner = getattr(cfg, "scan_inner", 0)
-    if scan_inner and cfg.num_iter >= scan_inner:
+    if scan_inner and remaining >= scan_inner:
         return fit_scanned(
             model,
             ds,
-            num_iter=cfg.num_iter,
+            num_iter=remaining,
             batch_size=cfg.batch_size,
             num_inner=scan_inner,
             optimizer=optimizer,
+            opt_state=opt_state,
             learning_rate=learning_rate,
             log_every_blocks=max(1, (cfg.log_every or scan_inner) // scan_inner),
             log_fn=log_fn,
+            start_step=start_step,
+            ckpt_manager=ckpt,
+            metric_logger=metric,
+            hist_every=getattr(cfg, "hist_every", 0),
+            callback=monitor_cb,
+            callback_every=getattr(cfg, "monitor_every", 0) if monitor_cb else 0,
         )
     return fit(
         model,
         ds,
-        num_iter=cfg.num_iter,
+        num_iter=remaining,
         batch_size=cfg.batch_size,
         optimizer=optimizer,
         learning_rate=learning_rate,
         log_every=cfg.log_every,
         log_fn=log_fn,
+        ckpt_manager=ckpt,
+        opt_state=opt_state,
     )
 
 
@@ -115,14 +161,28 @@ def run_onoff(
     *,
     workdir: Optional[str] = None,
     log_fn: Callable[[str], None] = logger.info,
+    resume: bool = False,
 ) -> dict:
     """Zero-inflated on/off GP on a pptr split (scripts/onoff.py:22-500)."""
     cfg = cfg or OnOffPptrConfig()
     model = build_onoff_pptr(cfg, split)
     ds = make_dataset(split.Xtrain, split.Ytrain)
 
+    monitor_cb = None
+    if workdir and getattr(cfg, "monitor_every", 0):
+        from ..utils.plotting import plot_inducing_monitor
+
+        def monitor_cb(step, m):
+            # training-time inducing monitor (scripts/onoff.py:394-423)
+            path = os.path.join(workdir, f"monitor_{step:08d}.png")
+            plot_inducing_monitor(m, split.Xtrain, split.Ytrain, save_path=path)
+            log_fn(f"inducing monitor saved to {path}")
+
     t0 = time.time()
-    res = _fit_auto(model, ds, cfg, learning_rate=cfg.indp_lr, log_fn=log_fn)
+    res = _fit_auto(
+        model, ds, cfg, learning_rate=cfg.indp_lr, log_fn=log_fn,
+        workdir=workdir, resume=resume, monitor_cb=monitor_cb,
+    )
     model = res.model
     train_time = time.time() - t0
 
@@ -164,12 +224,16 @@ def run_svgp(
     *,
     workdir: Optional[str] = None,
     log_fn: Callable[[str], None] = logger.info,
+    resume: bool = False,
 ) -> dict:
     """Kronecker SVGP regression on a pptr split (scripts/svgp.py)."""
     cfg = cfg or SvgpPptrConfig()
     model = build_svgp_pptr(cfg, split)
     ds = make_dataset(split.Xtrain, split.Ytrain)
-    res = _fit_auto(model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn)
+    res = _fit_auto(
+        model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn,
+        workdir=workdir, resume=resume,
+    )
     model = res.model
 
     def predict(X):
@@ -201,6 +265,7 @@ def run_classifier(
     *,
     workdir: Optional[str] = None,
     log_fn: Callable[[str], None] = logger.info,
+    resume: bool = False,
 ) -> dict:
     """Sparse GP classifier on binarized pptr (scripts/classifier.py)."""
     cfg = cfg or ClassifierPptrConfig()
@@ -208,7 +273,10 @@ def run_classifier(
     Ytest_b = binarize_targets(split.Ytest)
     model = build_classifier_pptr(cfg, split)
     ds = make_dataset(split.Xtrain, Ytrain_b)
-    res = _fit_auto(model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn)
+    res = _fit_auto(
+        model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn,
+        workdir=workdir, resume=resume,
+    )
     model = res.model
 
     def predict(X):

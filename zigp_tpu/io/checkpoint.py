@@ -54,9 +54,19 @@ class CheckpointManager:
 
     def maybe_save(self, step: int, model, opt_state=None):
         if self.every and step % self.every == 0:
-            jax.block_until_ready(model)
-            return save(self._path(step), model, opt_state, step)
+            return self.save_at(step, model, opt_state)
         return None
+
+    def save_at(self, step: int, model, opt_state=None):
+        """Unconditional save at ``step``."""
+        jax.block_until_ready(model)
+        return save(self._path(step), model, opt_state, step)
+
+    def crossed(self, prev_step: int, step: int) -> bool:
+        """True when (prev_step, step] contains a checkpoint boundary — the
+        cadence test for loops that advance many steps per host iteration
+        (the scanned trainer advances num_inner steps at a time)."""
+        return bool(self.every) and (prev_step // self.every) != (step // self.every)
 
     def latest_step(self) -> Optional[int]:
         if not os.path.isdir(self.directory):

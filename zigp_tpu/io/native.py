@@ -29,15 +29,19 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
+    # Always invoke make: it is mtime-keyed, so this is a no-op when the .so
+    # is current and a rebuild when batcher.cc changed (a stale library must
+    # never silently shadow edited source). Tolerate a failed make if a
+    # loadable library already exists (e.g. no compiler on the machine).
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             _build_failed = True
             return None
     try:
@@ -56,6 +60,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.zigp_batcher_next_block.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, c_dbl_p, c_dbl_p,
     ]
+    lib.zigp_batcher_skip.restype = None
+    lib.zigp_batcher_skip.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
     lib.zigp_batcher_epochs.restype = ctypes.c_int64
     lib.zigp_batcher_epochs.argtypes = [ctypes.c_void_p]
     lib.zigp_batcher_destroy.restype = None
@@ -109,6 +115,10 @@ class NativeDataSet:
         by = np.empty((k, batch_size, self._dy), dtype=np.float64)
         self._lib.zigp_batcher_next_block(self._h, batch_size, k, _as_c(bx), _as_c(by))
         return bx, by
+
+    def skip(self, batch_size: int, k: int):
+        """Fast-forward past k batches without copying rows (resume support)."""
+        self._lib.zigp_batcher_skip(self._h, batch_size, k)
 
     def __del__(self):
         try:

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import linalg
 
@@ -148,10 +149,15 @@ def gauss_kl_kron_full(
             trace = trace * jnp.sum(jnp.square(linalg.tri_solve(L, jnp.tril(C), lower=True)))
         prior_logdet = linalg.kron_logdet_from_chols(Ls)
 
+    # The C_p are unconstrained lower-triangular factors; a diagonal entry
+    # crossing zero mid-optimization would make log|diag| = -inf and poison
+    # the KL. Clamp at tiny — the trace/Mahalanobis terms still see the true
+    # factor, so the KL stays a valid (finite) objective.
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
     logdet_qcov = 0.0
     for C in C_factors:
         logdet_qcov = logdet_qcov + (M // C.shape[0]) * 2.0 * jnp.sum(
-            jnp.log(jnp.abs(jnp.diagonal(C)))
+            jnp.log(jnp.maximum(jnp.abs(jnp.diagonal(C)), tiny))
         )
 
     constant = -jnp.asarray(M, dtype=dtype)

@@ -62,3 +62,10 @@ class DataSet:
     def batches(self, batch_size: int, num_batches: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         for _ in range(num_batches):
             yield self.next_batch(batch_size)
+
+    def skip(self, batch_size: int, k: int):
+        """Fast-forward past k batches so a resumed run sees exactly the
+        batches the original run would have. Replays the shuffle sequence by
+        drawing (and discarding) the batches."""
+        for _ in range(k):
+            self.next_batch(batch_size)

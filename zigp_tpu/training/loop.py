@@ -66,6 +66,7 @@ def fit(
     loss_fn: Optional[Callable] = None,
     ckpt_manager=None,
     recover_on_nan: bool = True,
+    opt_state=None,
 ) -> FitResult:
     """Adam training loop matching the reference driver's shape
     (scripts/onoff.py:375-427): minibatch, step, periodic logging/callback.
@@ -80,7 +81,8 @@ def fit(
 
     if optimizer is None:
         optimizer = make_optimizer(model, default_lr=learning_rate)
-    opt_state = optimizer.init(model)
+    if opt_state is None:
+        opt_state = optimizer.init(model)
     step = make_train_step(optimizer, loss_fn)
 
     losses: List[float] = []
@@ -97,7 +99,13 @@ def fit(
             t_start = time.time()
             timed_steps = 0
         timed_steps += 1
-        if log_every and i % log_every == 0:
+        # The finite-loss check runs at its own cadence, independent of
+        # logging: with log_every=0 (the CV driver) recovery must still fire.
+        check_every = log_every or 0
+        if ckpt_manager is not None and recover_on_nan:
+            cadence = getattr(ckpt_manager, "every", 0) or 200
+            check_every = min(check_every or cadence, cadence)
+        if check_every and i % check_every == 0:
             loss_val = float(loss)
             if not jnp.isfinite(loss_val):
                 log_fn(f"iter {i:>8d}  NON-FINITE loss")
@@ -107,8 +115,9 @@ def fit(
                         model, opt_state, from_step = restored
                         log_fn(f"restored from checkpoint at step {from_step}")
                         continue
-            losses.append(loss_val)
-            log_fn(f"iter {i:>8d}  loss {loss_val:.6f}")
+            if log_every and i % log_every == 0:
+                losses.append(loss_val)
+                log_fn(f"iter {i:>8d}  loss {loss_val:.6f}")
         if ckpt_manager is not None and i > 0:
             ckpt_manager.maybe_save(i, model, opt_state)
         if callback is not None:

@@ -84,12 +84,40 @@ def fit_scanned(
     batch_size: int,
     num_inner: int = 50,
     optimizer: Optional[optax.GradientTransformation] = None,
+    opt_state=None,
     learning_rate: float = 1e-3,
     log_every_blocks: int = 1,
     log_fn: Callable[[str], None] = print,
     loss_fn: Optional[Callable] = None,
+    start_step: int = 0,
+    ckpt_manager=None,
+    recover_on_nan: bool = True,
+    metric_logger=None,
+    hist_every: int = 0,
+    callback: Optional[Callable] = None,
+    callback_every: int = 0,
 ):
-    """fit() with the scanned inner loop. num_iter is total optimizer steps."""
+    """fit() with the scanned inner loop. ``num_iter`` is the number of
+    optimizer steps to run *in this call*; ``start_step`` offsets the step
+    counter for logging/checkpoint naming on resume.
+
+    Production-path failure handling and observability (the pieces the
+    reference runs with, scripts/onoff.py:290-303,341-342,390-392):
+
+    - ``ckpt_manager`` (io.checkpoint.CheckpointManager): a checkpoint is
+      written whenever a block crosses its cadence boundary, plus one at
+      ``start_step`` when the directory is empty so NaN recovery always has a
+      restore target.
+    - ``recover_on_nan``: a non-finite block loss restores (model, opt_state)
+      from the latest checkpoint instead of poisoning the rest of the run.
+      Poisoned state is never checkpointed (finiteness is checked first).
+    - ``metric_logger`` (utils.logging.MetricLogger): JSONL scalars
+      (loss/elbo/kl/var_exp) at the log cadence; with ``hist_every`` > 0,
+      parameter and gradient histograms at that step cadence (reference: TB
+      histograms of every latent and gradient each 200 iters).
+    - ``callback(step, model)`` every ``callback_every`` steps — the
+      inducing-monitor hook (reference plots every 10k iters).
+    """
     import time
 
     from .loop import FitResult
@@ -97,26 +125,75 @@ def fit_scanned(
 
     if optimizer is None:
         optimizer = make_optimizer(model, default_lr=learning_rate)
-    opt_state = optimizer.init(model)
+    if opt_state is None:
+        opt_state = optimizer.init(model)
     step = make_scan_train_step(optimizer, loss_fn)
+
+    def _loss(m, X, Y):
+        return loss_fn(m, X, Y) if loss_fn is not None else m.loss(X, Y)
+
+    kl_fn = (
+        jax.jit(lambda m: m.prior_kl()) if hasattr(model, "prior_kl") else None
+    )
+    grad_fn = jax.jit(jax.grad(_loss)) if (metric_logger and hist_every) else None
+
+    if ckpt_manager is not None and ckpt_manager.latest_step() is None:
+        ckpt_manager.save_at(start_step, model, opt_state)
 
     losses = []
     num_blocks = max(1, num_iter // num_inner)
     t_start = time.time()
     timed_steps = 0
+    steps_done = start_step
     for b in range(num_blocks):
         Xs, Ys = stage_batches(data, batch_size, num_inner)
         model, opt_state, block_losses = step(model, opt_state, Xs, Ys)
+        prev_steps = steps_done
+        steps_done += num_inner
         if b == 0:
             # exclude the compile block from throughput
             jax.block_until_ready(block_losses)
             t_start = time.time()
         else:
             timed_steps += num_inner
-        if log_every_blocks and b % log_every_blocks == 0:
+
+        is_log = log_every_blocks and b % log_every_blocks == 0
+        ckpt_due = ckpt_manager is not None and ckpt_manager.crossed(prev_steps, steps_done)
+        # Sync with the device only when this block needs the loss value —
+        # at log points, before persisting a checkpoint (never checkpoint
+        # unverified state), or at the recovery cadence.
+        if is_log or ckpt_due or (recover_on_nan and ckpt_manager is not None):
             last = float(block_losses[-1])
-            losses.append(last)
-            log_fn(f"step {(b + 1) * num_inner:>8d}  loss {last:.6f}")
+            if not jnp.isfinite(last):
+                log_fn(f"step {steps_done:>8d}  NON-FINITE loss")
+                if ckpt_manager is not None and recover_on_nan:
+                    restored = ckpt_manager.restore_latest(model, opt_state)
+                    if restored is not None:
+                        model, opt_state, from_step = restored
+                        log_fn(f"restored from checkpoint at step {from_step}")
+                continue
+            if ckpt_due:
+                ckpt_manager.save_at(steps_done, model, opt_state)
+            if is_log:
+                losses.append(last)
+                log_fn(f"step {steps_done:>8d}  loss {last:.6f}")
+                if metric_logger is not None:
+                    scalars = {"loss": last, "elbo": -last}
+                    if kl_fn is not None:
+                        kl = float(kl_fn(model))
+                        scalars["kl"] = kl
+                        scalars["var_exp"] = kl - last  # elbo = var_exp - kl
+                    metric_logger.log(steps_done, scalars=scalars)
+        if grad_fn is not None and (prev_steps // hist_every) != (steps_done // hist_every):
+            grads = grad_fn(model, Xs[-1], Ys[-1])
+            metric_logger.log_param_tree(steps_done, model, prefix="param")
+            metric_logger.log_param_tree(steps_done, grads, prefix="grad")
+        if (
+            callback is not None
+            and callback_every
+            and (prev_steps // callback_every) != (steps_done // callback_every)
+        ):
+            callback(steps_done, model)
     jax.block_until_ready(model)
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
