@@ -75,6 +75,16 @@ def test_plot_onoff_1d_smoke(rng, tmp_path):
     model, x, y = build_toy_model(x=x, y=y)
     out = plot_onoff_1d(model, x, y, save_path=str(tmp_path / "p.png"))
     assert (tmp_path / "p.png").exists()
+    # the dense model gets the full panel set including the kernel heatmaps;
+    # heatmaps=False yields the 4 time-series panels only
+    fig = plot_onoff_1d(model, x, y)
+    assert len(fig.axes) >= 8  # 4 main + 4 heatmap (+ colorbars)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    fig = plot_onoff_1d(model, x, y, heatmaps=False)
+    assert len(fig.axes) == 4
+    plt.close(fig)
 
 
 def test_plot_inducing_monitor_smoke(rng, tmp_path):

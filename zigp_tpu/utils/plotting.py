@@ -1,8 +1,10 @@
 """Diagnostic plots.
 
-- ``plot_onoff_1d``: the 4-panel toy diagnostic (onoffgpf/PlotOnOff1D.py:8-157)
-  — data + gated prediction, signal GP f, gate probability Φ(g), support GP g —
-  plus optional kernel-matrix heatmaps.
+- ``plot_onoff_1d``: the full toy diagnostic (onoffgpf/PlotOnOff1D.py:8-157):
+  4 main panels — data + gated prediction, signal GP f, gate probability Φ(g),
+  support GP g — plus the kernel-matrix heatmap column (PlotOnOff1D.py:115-126):
+  the sparse kernel Φ(g)Φ(g)ᵀ∘K_f, the latent kernel K_f, the probit kernel
+  Φ(g)Φ(g)ᵀ, and the latent kernel K_g, each over the training inputs.
 - ``plot_inducing_monitor``: training-time inducing-point monitoring
   (scripts/onoff.py:394-423): mean precipitation bars over time and the
   per-station temporal slices of u_fm / u_gm.
@@ -15,11 +17,17 @@ from typing import Optional
 import numpy as np
 
 
-def plot_onoff_1d(model, x: np.ndarray, y: np.ndarray, save_path: Optional[str] = None):
-    """4-panel diagnostic for a 1-D OnOff model (dense or Kron)."""
+def plot_onoff_1d(
+    model, x: np.ndarray, y: np.ndarray, save_path: Optional[str] = None,
+    heatmaps: bool = True,
+):
+    """Toy diagnostic for a 1-D OnOff model (dense or Kron): 4 time-series
+    panels; with ``heatmaps`` (default, needs model.kernf/kerng — the dense
+    OnOffSVGP) also the reference's 4 kernel-matrix side panels."""
     import matplotlib
 
     matplotlib.use("Agg")
+    import matplotlib.gridspec as gridspec
     import matplotlib.pyplot as plt
     import jax.numpy as jnp
 
@@ -30,7 +38,14 @@ def plot_onoff_1d(model, x: np.ndarray, y: np.ndarray, save_path: Optional[str] 
     def _col(a):
         return np.asarray(a)[order, 0]
 
-    fig, axes = plt.subplots(4, 1, figsize=(10, 12), sharex=True)
+    heatmaps = heatmaps and hasattr(model, "kernf") and hasattr(model, "kerng")
+    if heatmaps:
+        fig = plt.figure(figsize=(13, 12))
+        gs = gridspec.GridSpec(4, 4)
+        axes = [plt.subplot(gs[i, 0:-1]) for i in range(4)]
+        heat_axes = [plt.subplot(gs[i, -1]) for i in range(4)]
+    else:
+        fig, axes = plt.subplots(4, 1, figsize=(10, 12), sharex=True)
 
     ax = axes[0]
     ax.plot(xs, _col(y[order] if y.ndim > 1 else y[order, None]), "k.", ms=3, label="y")
@@ -65,6 +80,27 @@ def plot_onoff_1d(model, x: np.ndarray, y: np.ndarray, save_path: Optional[str] 
         Zg = np.asarray(model.Zg.value)[:, 0]
         ax.plot(Zg, np.full_like(Zg, gm.min()), "k^", ms=6)
     ax.set_title("support GP g")
+
+    if heatmaps:
+        # kernel-matrix column over the (sorted) training inputs
+        # (PlotOnOff1D.py:28-29,115-126)
+        Xs = jnp.asarray(x[order])
+        Kf = np.asarray(model.kernf.K(Xs))
+        Kg = np.asarray(model.kerng.K(Xs))
+        pg = _col(pred.pgmean)
+        Kpg = pg[:, None] * pg[None, :]
+        panels = (
+            (Kpg * Kf, "sparse kernel  Φ(g)Φ(g)ᵀ∘K_f"),
+            (Kf, "latent kernel  K_f"),
+            (Kpg, "probit kernel  Φ(g)Φ(g)ᵀ"),
+            (Kg, "latent kernel  K_g"),
+        )
+        for ax, (K, title) in zip(heat_axes, panels):
+            im = ax.imshow(K, cmap="viridis")
+            fig.colorbar(im, ax=ax, fraction=0.046, pad=0.03)
+            ax.set_title(title, fontsize=9)
+            ax.set_xticks([])
+            ax.set_yticks([])
 
     fig.tight_layout()
     if save_path:
