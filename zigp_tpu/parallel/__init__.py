@@ -1,5 +1,6 @@
 from .mesh import batch_sharding, make_mesh, replicate, replicated, shard_batch
 from .step import make_sharded_train_step
+from .tp import make_tp_train_step, tp_place, tp_shardings_tree
 
 __all__ = [
     "make_mesh",
@@ -8,4 +9,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_sharded_train_step",
+    "make_tp_train_step",
+    "tp_place",
+    "tp_shardings_tree",
 ]

@@ -2,27 +2,37 @@
 
 For huge grids (M = Ms·Mt beyond one chip's HBM — e.g. thousands of stations ×
 thousands of knots), the memory-heavy objects are the variational parameters
-q_mu/q_sqrt (M) and the O(M·B) contraction work; the per-factor grams and
-Choleskys stay small. This module shards the *spatial factor index* of the
-whitened Kronecker GP across the mesh ``model`` axis with ``shard_map``:
+q_mu/q_sqrt (M rows), their Adam moments, and the O(M·B) contraction work;
+the per-factor grams and Choleskys stay small (O(Σ M_p²)) and replicate.
 
-- replicated: factor grams, Choleskys, V_p = L_p⁻¹ Kmn_p (O(ΣM_p²) objects)
-- sharded over ``model``: q_mu, q_sqrt (reshaped (Ms, Mt), rows split), the
-  mean/variance contractions (each device contracts its row block, psum over
-  ICI), and the whitened-KL partial sums.
+Two layers, both semantically identical to single-device training (the
+reference has no distributed anything — SURVEY §2: "Parallelism / distributed
+components: NONE"):
 
-Semantically identical to ``KronGP(whiten=True)`` (equivalence-tested on an
-8-virtual-device mesh); the reference has no distributed anything
-(SURVEY §2: "Parallelism / distributed components: NONE").
+1. **GSPMD training step** (``make_tp_train_step`` + ``tp_place``): the
+   TPU-idiomatic path. The M-row variational leaves (and their optimizer
+   moments) are placed row-sharded over the mesh ``model`` axis, the batch
+   over ``data``; the full ELBO/grad/Adam update runs under one ``jit`` and
+   XLA partitions the contractions and inserts the ICI collectives (psum of
+   partial row-block contractions, gradient reduce) itself. Covers every
+   model family — any factor count, diag or Kronecker-factored covariance,
+   whitened or not, one or many GPs — because the sharding is a property of
+   the *parameters*, not of a hand-written kernel.
+
+2. **shard_map predict+KL** (``tp_whitened_kron_predict_and_kl``): a
+   hand-scheduled variant of the memory-heavy pieces for the 2-factor
+   whitened-diag family, kept as the explicit-collectives reference
+   implementation (exact-equivalence tested against the model path).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax ≥ 0.6 public API
@@ -31,6 +41,104 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..ops import linalg
+
+
+# --------------------------------------------------------------------------
+# GSPMD tensor-parallel training
+# --------------------------------------------------------------------------
+
+_VARIATIONAL_KEYS = ("q_mu", "q_sqrt", "u_fm", "u_gm", "u_fs_sqrt", "u_gs_sqrt")
+
+
+def _is_tp_shardable(path_name: str, leaf, n_model: int) -> bool:
+    """Row-shard an array leaf iff it is one of the M-row variational objects
+    (by pytree path name) and its leading axis divides over the model axis.
+    ``q_sqrt_factors`` (per-factor M_p×M_p Choleskys) stay replicated — they
+    are small by construction."""
+    if "q_sqrt_factors" in path_name:
+        return False
+    if not any(k in path_name for k in _VARIATIONAL_KEYS):
+        return False
+    shape = getattr(leaf, "shape", None)
+    return bool(shape) and len(shape) >= 1 and shape[0] % n_model == 0 and shape[0] >= n_model
+
+
+def tp_shardings_tree(mesh: Mesh, tree):
+    """A pytree of NamedShardings for ``tree``: M-row variational leaves (and
+    anything shaped like them inside optimizer state, which reuses the model's
+    field names in its paths) row-sharded over ``model``, the rest replicated."""
+    n_model = mesh.shape["model"]
+    row = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
+
+    def pick(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if _is_tp_shardable(name, leaf, n_model):
+            ndim = len(leaf.shape)
+            return NamedSharding(mesh, P(*(("model",) + (None,) * (ndim - 1))))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(pick, tree)
+
+
+def tp_place(mesh: Mesh, tree):
+    """device_put ``tree`` with tensor-parallel placements (see
+    tp_shardings_tree)."""
+    shardings = tp_shardings_tree(mesh, tree)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+def make_tp_train_step(
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    loss_fn: Optional[Callable] = None,
+    *,
+    example_model=None,
+    example_opt_state=None,
+):
+    """Jitted (model, opt_state, X, Y) -> (model, opt_state, loss) with the
+    variational parameters (and their optimizer moments) row-sharded over the
+    mesh ``model`` axis and the batch over ``data``.
+
+    Pass model/opt_state through ``tp_place(mesh, ...)`` first (or give them
+    here as example_* and use the returned ``place`` helper). The update is
+    re-constrained to the same shardings every step, so parameters stay
+    distributed for the whole run — including their Adam moments.
+    """
+
+    def _loss(model, X, Y):
+        return loss_fn(model, X, Y) if loss_fn is not None else model.loss(X, Y)
+
+    bsh = NamedSharding(mesh, P("data", None))
+
+    # sharding trees are structural: build once from examples at trace time
+    # via closure state, lazily on the first call
+    cache = {}
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def _step(model, opt_state, X, Y):
+        loss, grads = jax.value_and_grad(_loss)(model, X, Y)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        model = jax.lax.with_sharding_constraint(model, cache["msh"])
+        opt_state = jax.lax.with_sharding_constraint(opt_state, cache["osh"])
+        return model, opt_state, loss
+
+    def step(model, opt_state, X, Y):
+        if "msh" not in cache:
+            cache["msh"] = tp_shardings_tree(mesh, model)
+            cache["osh"] = tp_shardings_tree(mesh, opt_state)
+        X = jax.device_put(X, bsh)
+        Y = jax.device_put(Y, bsh)
+        return _step(model, opt_state, X, Y)
+
+    step.jitted = _step
+    return step
+
+
+# --------------------------------------------------------------------------
+# shard_map predict + KL (explicit-collectives reference path)
+# --------------------------------------------------------------------------
 
 
 def tp_whitened_kron_predict_and_kl(
@@ -94,7 +202,3 @@ def tp_whitened_kron_predict_and_kl(
     return mu[:, None], var[:, None], kl
 
 
-def tp_shardings(mesh: Mesh, Ms: int, Mt: int):
-    """NamedShardings for placing (Ms, Mt)-reshaped variational parameters
-    row-sharded over the model axis."""
-    return NamedSharding(mesh, P("model", None))
