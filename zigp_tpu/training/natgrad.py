@@ -16,18 +16,26 @@ with ∂L/∂η obtained from ∂L/∂(m, s²) by the chain rule:
 in practice" recipe restricted to diagonal covariance.
 
 Exposed as a ``NaturalGradientTrainer`` that alternates one nat-grad step on
-each GP's (q_mu, q_sqrt) with an Adam step on all other parameters — the
+each GP's (q_mu, q_sqrt) pair with an Adam step on all other parameters — the
 standard SVGP training split.
 
-Status: exact on conjugate models (one γ=1 step recovers the analytic
-posterior — tested) and effective on small problems. On the full pptr config
-the freshly-initialised gate produces ~1e9-magnitude expectation-space
-gradients and the natural-parameter round trip diverges even with the
-per-step variance clamp; use Adam (+ cosine decay), the production default,
-or warm-start natgrad from a short Adam phase.
+Scale recipe (what makes this work on the full pptr config, where a fresh
+gate produces ~1e9-magnitude expectation-space gradients): (1) γ warmup — a
+log-linear ramp from ``gamma_init`` to ``gamma`` over ``gamma_warmup`` steps
+(the Salimbeni schedule), (2) the whitened parameterization (q over v with
+u = Lv; its expectation-space gradients are preconditioned by the prior), and
+(3) the per-step variance clamp below as a backstop. γ is a *traced* scalar
+argument of the jitted step, so the warmup schedule costs zero recompiles.
+
+Supported families: diagonal covariance only (dense OnOffSVGP and KronGP
+``q_cov="diag"``). The Kronecker-factored full covariance (``q_cov="kron"``)
+has no diagonal dual — constructing the trainer on such a model raises.
 """
 
 from __future__ import annotations
+
+import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,17 +43,21 @@ import optax
 
 
 def natgrad_update_diag(
-    q_mu, q_sqrt, dL_dmu, dL_dsqrt, lr: float, *, max_var_growth: float = 10.0
+    q_mu, q_sqrt, dL_dmu, dL_dsqrt, lr, *,
+    max_var_growth: float = 10.0, max_mean_step: float = 0.0,
 ):
     """One natural-gradient step on (m, s) for diagonal N(m, diag(s²)).
 
     dL_dmu/dL_dsqrt are ordinary gradients of the *loss* (−ELBO) w.r.t. the
-    constrained m and s. Returns new (m, s).
+    constrained m and s; ``lr`` (γ) may be a traced scalar. Returns new (m, s).
 
     Safeguards for large-scale use (an unclamped natural step on a freshly
     initialised model can blow the variance up by orders of magnitude and
-    diverge): per-step variance growth is capped at ``max_var_growth``×, and
-    non-finite updates fall back to the previous values.
+    diverge): per-step variance growth is capped at ``max_var_growth``×;
+    ``max_mean_step`` > 0 is a trust region in natural units — the mean may
+    move at most that many current standard deviations per step (a full
+    conjugate γ=1 jump is ≲ a few σ, so a cap of ~10 only binds on the
+    explosive overshoots); non-finite updates fall back to previous values.
     """
     s2 = jnp.square(q_sqrt)
     # gradients wrt (m, S=s²): dL/dS = dL/ds · ds/dS = dL_dsqrt / (2 s)
@@ -68,10 +80,23 @@ def natgrad_update_diag(
     # the softplus-inverse of s = 0 is -inf and the run is poisoned)
     s2_new = jnp.clip(s2_new, s2 / max_var_growth, s2 * max_var_growth)
     m_new = s2_new * theta1_new
+    if max_mean_step:
+        cap = max_mean_step * q_sqrt
+        m_new = jnp.clip(m_new, q_mu - cap, q_mu + cap)
     # non-finite fallback: keep the previous parameters for those entries
     m_new = jnp.where(jnp.isfinite(m_new), m_new, q_mu)
     s2_new = jnp.where(jnp.isfinite(s2_new), s2_new, s2)
     return m_new, jnp.sqrt(s2_new)
+
+
+def gamma_schedule(step, *, gamma: float, warmup: int, gamma_init: float = 1e-4):
+    """Log-linear γ ramp: gamma_init → gamma over ``warmup`` steps, then
+    constant (Salimbeni et al.'s natural-gradient warmup). ``step`` may be a
+    traced array; returns a jnp scalar."""
+    if warmup <= 0:
+        return jnp.asarray(gamma, jnp.float32)
+    frac = jnp.clip(jnp.asarray(step, jnp.float32) / warmup, 0.0, 1.0)
+    return jnp.asarray(gamma_init * (gamma / gamma_init) ** frac, jnp.float32)
 
 
 class NaturalGradientTrainer:
@@ -83,10 +108,40 @@ class NaturalGradientTrainer:
     (OnOffSVGP); discovery is by those name patterns over the pytree paths.
     """
 
-    def __init__(self, model, *, gamma: float = 0.1, adam_lr: float = 1e-3):
+    def __init__(
+        self,
+        model,
+        *,
+        gamma: float = 0.1,
+        adam_lr: float = 1e-3,
+        gamma_warmup: int = 0,
+        gamma_init: float = 1e-4,
+        max_mean_step: float = 10.0,
+    ):
         from ..core.parameters import is_parameter
 
-        self.gamma = gamma
+        # The kron-factored covariance family has no (q_mu, q_sqrt) diagonal
+        # dual: the trainable covariance lives in q_sqrt_factors, which this
+        # trainer would silently freeze while stepping the all-ones diag
+        # placeholder — refuse instead of mis-training.
+        names = [
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(
+                model, is_leaf=is_parameter
+            )[0]
+        ]
+        if any("q_sqrt_factors" in n for n in names):
+            raise ValueError(
+                "NaturalGradientTrainer supports diagonal q-covariance only; "
+                "this model uses q_cov='kron' (q_sqrt_factors present). "
+                "Use Adam, or rebuild the model with q_cov='diag'."
+            )
+
+        self.gamma = float(gamma)
+        self.gamma_warmup = int(gamma_warmup)
+        self.gamma_init = float(gamma_init)
+        self.max_mean_step = float(max_mean_step)
+
         # freeze variational params for the Adam side by labelling them frozen
         def label(path, leaf):
             name = jax.tree_util.keystr(path)
@@ -118,58 +173,171 @@ class NaturalGradientTrainer:
             or "u_gs_sqrt" in path_name
         )
 
+    def gamma_at(self, step):
+        return gamma_schedule(
+            step, gamma=self.gamma, warmup=self.gamma_warmup, gamma_init=self.gamma_init
+        )
+
     def init(self, model):
         return self.adam.init(model)
 
-    def make_step(self):
+    def _natgrad_apply(self, model, grads, gamma):
+        """Apply one natural-gradient step to every variational pair; grads
+        are raw-space loss gradients."""
         from ..core.parameters import is_parameter
 
-        default_gamma = self.gamma
-        adam = self.adam
+        flat_m, treedef = jax.tree_util.tree_flatten_with_path(
+            model, is_leaf=is_parameter
+        )
+        flat_g = jax.tree_util.tree_flatten_with_path(grads, is_leaf=is_parameter)[0]
+        by_name = {
+            jax.tree_util.keystr(p): (leaf, g[1]) for (p, leaf), g in zip(flat_m, flat_g)
+        }
 
-        @jax.jit
-        def step(model, opt_state, X, Y, gamma=default_gamma):
-            loss, grads = jax.value_and_grad(lambda m: m.loss(X, Y))(model)
-
-            # Adam on non-variational params
-            updates, opt_state = adam.update(grads, opt_state, model)
-            model = optax.apply_updates(model, updates)
-
-            # natural gradient on each (q_mu, q_sqrt) pair: convert raw-space
-            # grads to constrained-space grads via the bijector jacobian
-            flat_m, treedef = jax.tree_util.tree_flatten_with_path(
-                model, is_leaf=is_parameter
+        new_leaves = {}
+        for name, (leaf, gleaf) in by_name.items():
+            if not (
+                is_parameter(leaf)
+                and ("q_mu" in name or "u_fm" in name or "u_gm" in name)
+            ):
+                continue
+            sq_name = (
+                name.replace("q_mu", "q_sqrt")
+                .replace("u_fm", "u_fs_sqrt")
+                .replace("u_gm", "u_gs_sqrt")
             )
-            flat_g = jax.tree_util.tree_flatten_with_path(grads, is_leaf=is_parameter)[0]
-            by_name = {jax.tree_util.keystr(p): (leaf, g[1]) for (p, leaf), g in zip(flat_m, flat_g)}
+            if sq_name not in by_name:
+                continue
+            sq_leaf, sq_g = by_name[sq_name]
+            mu = leaf.value
+            s = sq_leaf.value
+            # d loss / d constrained: mu is identity; s via softplus jac
+            dmu = gleaf.raw
+            ds_draw = jax.nn.sigmoid(sq_leaf.raw)  # softplus'
+            ds = sq_g.raw / jnp.maximum(ds_draw, 1e-12)
+            m_new, s_new = natgrad_update_diag(
+                mu, s, dmu, ds, gamma, max_mean_step=self.max_mean_step
+            )
+            new_leaves[name] = leaf.replace(raw=m_new)
+            new_leaves[sq_name] = sq_leaf.replace_value(s_new)
 
-            new_leaves = {}
-            for name, (leaf, gleaf) in by_name.items():
-                if not (is_parameter(leaf) and ("q_mu" in name or "u_fm" in name or "u_gm" in name)):
-                    continue
-                sq_name = (
-                    name.replace("q_mu", "q_sqrt")
-                    .replace("u_fm", "u_fs_sqrt")
-                    .replace("u_gm", "u_gs_sqrt")
-                )
-                if sq_name not in by_name:
-                    continue
-                sq_leaf, sq_g = by_name[sq_name]
-                mu = leaf.value
-                s = sq_leaf.value
-                # d loss / d constrained: mu is identity; s via softplus jac
-                dmu = gleaf.raw
-                ds_draw = jax.nn.sigmoid(sq_leaf.raw)  # softplus'
-                ds = sq_g.raw / jnp.maximum(ds_draw, 1e-12)
-                m_new, s_new = natgrad_update_diag(mu, s, dmu, ds, gamma)
-                new_leaves[name] = leaf.replace(raw=m_new)
-                new_leaves[sq_name] = sq_leaf.replace_value(s_new)
+        if new_leaves:
+            rebuilt = [
+                new_leaves.get(jax.tree_util.keystr(p), leaf) for p, leaf in flat_m
+            ]
+            model = jax.tree_util.tree_unflatten(treedef, rebuilt)
+        return model
 
-            if new_leaves:
-                rebuilt = [
-                    new_leaves.get(jax.tree_util.keystr(p), leaf) for p, leaf in flat_m
-                ]
-                model = jax.tree_util.tree_unflatten(treedef, rebuilt)
-            return model, opt_state, loss
+    def _step_body(self, model, opt_state, X, Y, gamma):
+        loss, grads = jax.value_and_grad(lambda m: m.loss(X, Y))(model)
+        # Adam on non-variational params
+        updates, opt_state = self.adam.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        # natural gradient on each (q_mu, q_sqrt) pair; γ is traced
+        model = self._natgrad_apply(model, grads, gamma)
+        return model, opt_state, loss
+
+    def make_step(self):
+        """Jitted (model, opt_state, X, Y[, gamma]) — γ is always passed as a
+        traced scalar (default: the trainer's γ), so every γ value of the
+        warmup schedule reuses one compilation."""
+        jitted = jax.jit(self._step_body)
+        default = jnp.asarray(self.gamma, jnp.float32)
+
+        def step(model, opt_state, X, Y, gamma=None):
+            g = default if gamma is None else jnp.asarray(gamma, jnp.float32)
+            return jitted(model, opt_state, X, Y, g)
 
         return step
+
+    def make_scan_step(self, *, unroll: int = 4):
+        """Jitted (model, opt_state, Xs, Ys, gammas) running K natgrad+Adam
+        steps per dispatch (Xs: (K,B,D), gammas: (K,)); buffers donated."""
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(model, opt_state, Xs, Ys, gammas):
+            def body(carry, batch):
+                model, opt_state = carry
+                X, Y, gamma = batch
+                model, opt_state, loss = self._step_body(model, opt_state, X, Y, gamma)
+                return (model, opt_state), loss
+
+            (model, opt_state), losses = jax.lax.scan(
+                body, (model, opt_state), (Xs, Ys, gammas), unroll=unroll
+            )
+            return model, opt_state, losses
+
+        return step
+
+
+def fit_natgrad_scanned(
+    model,
+    data,
+    *,
+    num_iter: int,
+    batch_size: int,
+    num_inner: int = 50,
+    gamma: float = 0.1,
+    gamma_warmup: int = 2000,
+    gamma_init: float = 1e-4,
+    adam_lr: float = 1e-3,
+    adam_warmup: int = 0,
+    max_mean_step: float = 10.0,
+    log_every_blocks: int = 4,
+    log_fn=print,
+):
+    """Production natural-gradient training: scanned K-step dispatches with
+    the γ-warmup schedule threaded through as per-step traced scalars.
+
+    ``adam_warmup``: number of initial steps trained with plain (all-param)
+    Adam before switching to the natgrad/Adam split — the freshly-initialised
+    gate's expectation-space gradients are the divergence driver; a short
+    Adam phase moves the model into the basin where natural steps are stable.
+    """
+    import time
+
+    from .loop import FitResult
+    from .scan import fit_scanned, stage_batches
+
+    if adam_warmup:
+        warm = fit_scanned(
+            model, data, num_iter=adam_warmup, batch_size=batch_size,
+            num_inner=min(num_inner, adam_warmup), learning_rate=adam_lr,
+            log_every_blocks=0, log_fn=log_fn,
+        )
+        model = warm.model
+        num_iter = max(num_iter - adam_warmup, num_inner)
+
+    trainer = NaturalGradientTrainer(
+        model, gamma=gamma, adam_lr=adam_lr,
+        gamma_warmup=gamma_warmup, gamma_init=gamma_init,
+        max_mean_step=max_mean_step,
+    )
+    opt_state = trainer.init(model)
+    step = trainer.make_scan_step()
+
+    losses = []
+    num_blocks = max(1, num_iter // num_inner)
+    t_start = time.time()
+    timed_steps = 0
+    for b in range(num_blocks):
+        Xs, Ys = stage_batches(data, batch_size, num_inner)
+        gammas = trainer.gamma_at(jnp.arange(b * num_inner, (b + 1) * num_inner))
+        model, opt_state, block_losses = step(model, opt_state, Xs, Ys, gammas)
+        if b == 0:
+            jax.block_until_ready(block_losses)
+            t_start = time.time()
+        else:
+            timed_steps += num_inner
+        if log_every_blocks and b % log_every_blocks == 0:
+            last = float(block_losses[-1])
+            losses.append(last)
+            log_fn(f"step {(b + 1) * num_inner:>8d}  loss {last:.6f}")
+    jax.block_until_ready(model)
+    elapsed = max(time.time() - t_start, 1e-12)
+    return FitResult(
+        model=model,
+        opt_state=opt_state,
+        losses=losses,
+        steps_per_sec=timed_steps / elapsed if timed_steps else 0.0,
+    )
