@@ -85,3 +85,17 @@ def test_kron_mv_2(rng):
     got = np.asarray(kron_mv_2(jnp.asarray(A), jnp.asarray(B), jnp.asarray(x), interpret=True))
     want = np.kron(A, B) @ x
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_small_cholesky_nan_on_non_psd(rng):
+    """A non-PSD input must poison the factor with NaN (like
+    lax.linalg.cholesky), never silently return garbage."""
+    A = np.eye(8, dtype=np.float32)
+    A[5, 5] = -1.0  # negative pivot
+    L = np.asarray(small_cholesky(jnp.asarray(A), interpret=True))
+    assert np.isnan(L[5:, 5:]).any()
+    # PSD inputs stay exact
+    B = rng.randn(8, 8)
+    K = (B @ B.T + 8 * np.eye(8)).astype(np.float32)
+    L = np.asarray(small_cholesky(jnp.asarray(K), interpret=True))
+    np.testing.assert_allclose(L @ L.T, K, rtol=2e-5, atol=1e-4)

@@ -50,6 +50,10 @@ class OnOffPptrConfig:
     whiten: bool = False  # whitened variational parameterization (not in reference)
     scan_inner: int = 50  # lax.scan steps per dispatch; 0 = one dispatch per step
     lr_schedule: str = ""  # "" = constant (reference); "cosine" = cosine decay
+    optimizer: str = "adam"  # "adam" | "natgrad" (natgrad on q, Adam on hypers)
+    natgrad_gamma: float = 0.1
+    natgrad_warmup: int = 2000  # γ ramp length (steps)
+    natgrad_adam_warmup: int = 1000  # all-param Adam phase before the split
     g_mean_shift: float = 0.0  # constant prior-mean shift on g (onoffpred.py:141 uses -1.0)
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
 

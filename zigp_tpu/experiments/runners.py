@@ -93,6 +93,27 @@ def _fit_auto(
     else:
         optimizer = make_optimizer(model, default_lr=learning_rate)
 
+    if getattr(cfg, "optimizer", "adam") == "natgrad":
+        from ..training.natgrad import fit_natgrad_scanned
+
+        # natural-gradient production path (γ warmup + trust region + Adam
+        # warm-start); checkpoint/resume not yet threaded through this loop
+        return fit_natgrad_scanned(
+            model,
+            ds,
+            num_iter=cfg.num_iter,
+            batch_size=cfg.batch_size,
+            num_inner=getattr(cfg, "scan_inner", 50) or 50,
+            gamma=cfg.natgrad_gamma,
+            gamma_warmup=cfg.natgrad_warmup,
+            adam_warmup=cfg.natgrad_adam_warmup,
+            adam_lr=learning_rate,
+            log_every_blocks=max(
+                1, (cfg.log_every or 200) // (getattr(cfg, "scan_inner", 50) or 50)
+            ),
+            log_fn=log_fn,
+        )
+
     ckpt = metric = None
     if workdir:
         os.makedirs(workdir, exist_ok=True)

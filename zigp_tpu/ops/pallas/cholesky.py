@@ -25,7 +25,11 @@ def _chol_body(A, n: int):
 
     def body(j, A):
         col = jax.lax.dynamic_slice_in_dim(A, j, 1, axis=1)[:, 0]  # A[:, j]
-        pivot = jnp.sqrt(jnp.maximum(jax.lax.dynamic_index_in_dim(col, j, 0, False), 1e-30))
+        # No pivot clamp: a negative pivot (non-PSD input) must yield NaN —
+        # sqrt(neg) = NaN propagates through the column update and poisons the
+        # factor, exactly like lax.linalg.cholesky — instead of silently
+        # returning garbage.
+        pivot = jnp.sqrt(jax.lax.dynamic_index_in_dim(col, j, 0, False))
         colj = jnp.where(rvec >= j, col / pivot, 0.0)
         trailing = (row_ids > j) & (col_ids > j)
         A = A - jnp.where(trailing, colj[:, None] * colj[None, :], 0.0)

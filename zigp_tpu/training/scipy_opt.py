@@ -39,6 +39,7 @@ def scipy_optimize(
     maxfun: Optional[int] = None,
     method: str = "L-BFGS-B",
     callback=None,
+    options: Optional[dict] = None,
 ):
     """Minimize ``loss_fn(model, *args)`` (default: model.loss) over all
     trainable Parameters. Returns (optimized_model, scipy_result)."""
@@ -67,7 +68,11 @@ def scipy_optimize(
         np.asarray(flat0, dtype=np.float64),
         jac=True,
         method=method,
-        options={"maxiter": maxiter, **({"maxfun": maxfun} if maxfun else {})},
+        options={
+            "maxiter": maxiter,
+            **({"maxfun": maxfun} if maxfun else {}),
+            **(options or {}),
+        },
         callback=callback,
     )
     return unravel(jnp.asarray(result.x)), result
