@@ -154,4 +154,8 @@ class ToyOnOffConfig:
     jitter: float = 1e-6
     optimizer: str = "lbfgs"  # reference uses scipy L-BFGS-B via gpflow
     maxiter: int = 8000
+    # L-BFGS history size. scipy's default 10 tracks this objective's
+    # curvature poorly; 100 converges in ~1.8k iters to ELBO ≈ 561 — past the
+    # reference's 488.713-at-8000 — measured, see RESULTS.md toy section.
+    lbfgs_maxcor: int = 100
     seed: int = 0

@@ -60,7 +60,10 @@ def run_toy(cfg: Optional[ToyOnOffConfig] = None, *, log_fn=print) -> dict:
     if cfg.optimizer == "lbfgs":
         from ..training.scipy_opt import scipy_optimize
 
-        model, res = scipy_optimize(model, lambda m: m.loss(X, Y), maxiter=cfg.maxiter)
+        model, res = scipy_optimize(
+            model, lambda m: m.loss(X, Y), maxiter=cfg.maxiter,
+            options={"maxcor": cfg.lbfgs_maxcor},
+        )
     else:
         from ..training import DataSet, fit
 
