@@ -99,3 +99,96 @@ def test_small_cholesky_nan_on_non_psd(rng):
     K = (B @ B.T + 8 * np.eye(8)).astype(np.float32)
     L = np.asarray(small_cholesky(jnp.asarray(K), interpret=True))
     np.testing.assert_allclose(L @ L.T, K, rtol=2e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# chol_inv: the fused Cholesky + triangular-inverse kernel and its
+# matmul-only custom VJP (the train step's solve-elimination fast path)
+# ---------------------------------------------------------------------------
+
+
+def _spd(rng, shape):
+    *batch, n, _ = shape
+    A = rng.randn(*batch, n, n)
+    return A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+
+
+def test_chol_inv_pallas_matches_numpy(rng):
+    from zigp_tpu.ops.pallas.chol_inv import chol_inv_pallas
+
+    for n in (5, 8, 10, 100):
+        K = _spd(rng, (2, n, n))
+        L, Linv = chol_inv_pallas(jnp.asarray(K, jnp.float32), interpret=True)
+        L0 = np.linalg.cholesky(K)
+        Li0 = np.linalg.inv(L0)
+        np.testing.assert_allclose(np.asarray(L), L0, rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Linv), Li0, rtol=2e-4, atol=1e-4)
+
+
+def test_chol_inv_pallas_nan_on_non_psd():
+    from zigp_tpu.ops.pallas.chol_inv import chol_inv_pallas
+
+    K = np.eye(12, dtype=np.float32)[None]
+    K[0, 7, 7] = -1.0
+    L, Linv = chol_inv_pallas(jnp.asarray(K), interpret=True)
+    assert np.isnan(np.asarray(L)[0, 7:, 7:]).any()
+    assert np.isnan(np.asarray(Linv)[0, 7:, :]).any()
+
+
+def test_chol_inv_custom_vjp_matches_ad(rng):
+    """The matmul-only backward must match jax AD of the chol+solve composite
+    exactly — this is what keeps model gradients parity-correct after the
+    solve-elimination rewrite."""
+    from zigp_tpu.ops import linalg
+
+    def ref(K):
+        L = jnp.linalg.cholesky(K)
+        eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+        return L, jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+    n = 9
+    K = jnp.asarray(_spd(rng, (n, n)))
+    dL = jnp.asarray(rng.randn(n, n))
+    dLinv = jnp.asarray(rng.randn(n, n))
+    _, vjp_ref = jax.vjp(ref, K)
+    _, vjp_cus = jax.vjp(linalg.chol_inv, K)
+    (g_ref,) = vjp_ref((dL, dLinv))
+    (g_cus,) = vjp_cus((dL, dLinv))
+    np.testing.assert_allclose(np.asarray(g_cus), np.asarray(g_ref), rtol=1e-9, atol=1e-12)
+
+
+def test_chol_inv_end_to_end_grads_through_gram(rng):
+    """Grads w.r.t. inducing locations through gram -> chol_inv -> downstream
+    math match plain AD (the real acceptance check for the rewrite)."""
+    from zigp_tpu.ops import linalg
+
+    def build(Z):
+        d = jnp.sum((Z[:, None, :] - Z[None, :, :]) ** 2, -1)
+        return jnp.exp(-0.5 * d) + 0.1 * jnp.eye(Z.shape[0])
+
+    def f_cus(Z):
+        L, Linv = linalg.chol_inv(build(Z))
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(jnp.square(Linv @ Z))
+
+    def f_ref(Z):
+        Kz = build(Z)
+        L = jnp.linalg.cholesky(Kz)
+        V = jax.scipy.linalg.solve_triangular(L, Z, lower=True)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(jnp.square(V))
+
+    Z = jnp.asarray(rng.randn(7, 2))
+    np.testing.assert_allclose(float(f_cus(Z)), float(f_ref(Z)), rtol=1e-10)
+    g1 = jax.grad(f_cus)(Z)
+    g2 = jax.grad(f_ref)(Z)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8, atol=1e-10)
+
+
+def test_chol_inv_vmap(rng):
+    from zigp_tpu.ops import linalg
+
+    Kb = jnp.asarray(_spd(rng, (3, 6, 6)))
+    L, Linv = jax.vmap(linalg.chol_inv)(Kb)
+    for i in range(3):
+        L0 = np.linalg.cholesky(np.asarray(Kb[i]))
+        np.testing.assert_allclose(np.asarray(L[i]), L0, rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Linv[i]), np.linalg.inv(L0), rtol=1e-8, atol=1e-9)

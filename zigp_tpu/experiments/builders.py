@@ -58,6 +58,7 @@ def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> Kr
         lr=cfg.lr,
         q_mu_scale=cfg.q_mu_scale,
         whiten=cfg.whiten,
+        q_cov=cfg.q_cov,
     )
 
 
@@ -79,6 +80,7 @@ def build_classifier_pptr(cfg: ClassifierPptrConfig, split: Split) -> KronSVGP:
         lr=cfg.lr,
         q_mu_scale=cfg.q_mu_scale,
         whiten=cfg.whiten,
+        q_cov=cfg.q_cov,
     )
 
 

@@ -78,6 +78,7 @@ class SvgpPptrConfig:
     scan_inner: int = 50
     whiten: bool = False
     lr_schedule: str = ""
+    q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
 
 
 @dataclass
@@ -100,6 +101,7 @@ class ClassifierPptrConfig:
     scan_inner: int = 50
     whiten: bool = False
     lr_schedule: str = ""
+    q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
 
 
 def best_onoff_config() -> "OnOffPptrConfig":

@@ -103,18 +103,35 @@ class KronGP:
             for k, Z in zip(self.kernels, self.Zs)
         ]
 
-    def prior_kl(self) -> jnp.ndarray:
+    def factor_state(self):
+        """(Ls, Linvs) = chol_inv of the factor grams — computed ONCE per step
+        and shared by prior_kl and predict_f, so the whole ELBO graph contains
+        exactly one small factorization per Kronecker factor and is otherwise
+        solve-free (matmuls against L_p⁻¹; see linalg.chol_inv)."""
+        pairs = [linalg.chol_inv(Kp) for Kp in self.gram_factors()]
+        return tuple(L for L, _ in pairs), tuple(Li for _, Li in pairs)
+
+    def prior_kl(self, factor_state=None) -> jnp.ndarray:
+        if self.whiten:
+            # white prior: no factor grams in the KL at all
+            if self.q_sqrt_factors is not None:
+                return gauss_kl.gauss_kl_kron_full(
+                    self.q_mu.value, [C.value for C in self.q_sqrt_factors], None
+                )
+            return gauss_kl.gauss_kl(self.q_mu.value, self.q_sqrt.value, None)
+        if factor_state is None:
+            factor_state = self.factor_state()
         if self.q_sqrt_factors is not None:
             return gauss_kl.gauss_kl_kron_full(
                 self.q_mu.value,
                 [C.value for C in self.q_sqrt_factors],
-                None if self.whiten else self.gram_factors(),
+                factor_state=factor_state,
             )
-        if self.whiten:
-            return gauss_kl.gauss_kl(self.q_mu.value, self.q_sqrt.value, None)
-        return gauss_kl.gauss_kl_kron(self.q_mu.value, self.q_sqrt.value, self.gram_factors())
+        return gauss_kl.gauss_kl_kron(
+            self.q_mu.value, self.q_sqrt.value, factor_state=factor_state
+        )
 
-    def predict_f(self, Xnew: jnp.ndarray):
+    def predict_f(self, Xnew: jnp.ndarray, factor_state=None):
         return conditionals.kron_conditional(
             Xnew,
             self.kernels,
@@ -127,6 +144,7 @@ class KronGP:
             q_sqrt_factors=None
             if self.q_sqrt_factors is None
             else [C.value for C in self.q_sqrt_factors],
+            factor_state=factor_state if factor_state is not None else self.factor_state(),
         )
 
     def predict_f_samples(self, key, Xnew: jnp.ndarray, num_samples: int = 1) -> jnp.ndarray:
@@ -175,8 +193,11 @@ class KronSVGP:
         return p, p - jnp.square(p)
 
     def elbo(self, X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
-        kl = self.prior_kl()
-        fmean, fvar = self.predict_f(X)
+        st = self.gp.factor_state()  # one factorization for KL + conditional
+        kl = self.gp.prior_kl(st)
+        fmean, fvar = self.gp.predict_f(X, st)
+        if self.mean_const is not None:
+            fmean = fmean + self.mean_const.value
         var_exp = self.likelihood.variational_expectations(fmean, fvar, Y)
         scale = jnp.asarray(self.num_data, dtype=X.dtype) / X.shape[0]
         return jnp.sum(var_exp) * scale - kl
@@ -294,10 +315,37 @@ class KronOnOffSVGP:
         return OnOffPrediction(gfmean, gfvar, gfmeanu, fmean, fvar, gmean, gvar, e_phi, var_phi)
 
     def elbo(self, X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
-        kl = self.prior_kl()
-        pred = self.predict(X)
+        import jax
+
+        # One pass per GP: factorize the Kronecker grams once (chol_inv) and
+        # feed both the KL and the conditional from that state; f and g run
+        # through a single vmap so every small op is batched across the pair.
+        def kl_and_predict(gp, Xb):
+            st = gp.factor_state()
+            return gp.prior_kl(st), gp.predict_f(Xb, st)
+
+        if self._pairable():
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), self.f, self.g
+            )
+            kls, (mu, var) = jax.vmap(lambda gp: kl_and_predict(gp, X))(stacked)
+            kl = jnp.sum(kls)
+            (fmean, fvar), (gmean, gvar) = (mu[0], var[0]), (mu[1], var[1])
+        else:
+            klf, (fmean, fvar) = kl_and_predict(self.f, X)
+            klg, (gmean, gvar) = kl_and_predict(self.g, X)
+            kl = klf + klg
+        if self.mean_const is not None:
+            fmean = fmean + self.mean_const.value
+        gmean = gmean + self.g_mean_shift
+        e_phi, e_phi_sq, var_phi = probit_expectations(
+            gmean, gvar, exact=self.exact_owen_t
+        )
+        pred_gfmean = e_phi * fmean
+        pred_gfvar = e_phi_sq * fvar
+        pred_gfmeanu = var_phi * jnp.square(fmean)
         var_exp = self.likelihood.variational_expectations(
-            pred.gfmean, pred.gfvar, pred.gfmeanu, Y
+            pred_gfmean, pred_gfvar, pred_gfmeanu, Y
         )
         scale = jnp.asarray(self.num_data, dtype=X.dtype) / X.shape[0]
         return jnp.sum(var_exp) * scale - kl

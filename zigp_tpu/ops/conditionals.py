@@ -103,6 +103,7 @@ def kron_conditional(
     clip_variance: bool = True,
     whiten: bool = False,
     q_sqrt_factors: Optional[Sequence[jnp.ndarray]] = None,
+    factor_state=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kronecker-structured sparse conditional with diagonal q(u) covariance.
 
@@ -121,29 +122,38 @@ def kron_conditional(
     Returns (mean (B, 1), var (B, 1)); matches the reference ``kron_inf``
     (scripts/onoff.py:186-213) to fp tolerance while never materializing ⊗.
 
-    Numerics: the reference computes explicit ``matrix_inverse`` products; here
-    every quadratic form goes through the factor Choleskys — ``c1`` is a
-    product of ‖L_p⁻¹ k_p‖² terms, each non-negative by construction — which
-    keeps the float32 TPU path stable where the inverse form loses hundreds of
-    units to cancellation. ``clip_variance`` clamps the (theoretically
-    non-negative) predictive variance at 0 against residual f32 roundoff.
+    Numerics: the reference computes explicit ``K⁻¹`` products
+    (``matrix_inverse`` of the full gram); here every quadratic form goes
+    through the *triangular* inverse factors L_p⁻¹ (linalg.chol_inv) — ``c1``
+    is a product of ‖L_p⁻¹ k_p‖² terms, each non-negative by construction —
+    which keeps the float32 TPU path stable where the reference's full-inverse
+    form loses hundreds of units to cancellation (cond(L) = √cond(K), and the
+    norm structure can't go negative). ``clip_variance`` clamps the
+    (theoretically non-negative) predictive variance at 0 against residual
+    f32 roundoff.
     """
     sizes = [Z.shape[0] for Z in Zs]
     B = Xnew.shape[0]
     dtype = Xnew.dtype
 
-    Kmms = [linalg.add_jitter(k.K(Z), jitter) for k, Z in zip(kernels, Zs)]
-    Ls = [linalg.cholesky(Kmm) for Kmm in Kmms]
+    if factor_state is None:
+        Kmms = [linalg.add_jitter(k.K(Z), jitter) for k, Z in zip(kernels, Zs)]
+        pairs = [linalg.chol_inv(Kmm) for Kmm in Kmms]
+        Linvs = [Li for _, Li in pairs]
+    else:
+        # Precomputed chol_inv of the factor grams (share one factorization
+        # between the KL and the conditional — see KronGP.factor_state).
+        _, Linvs = factor_state
 
     Knn = jnp.ones((B,), dtype=dtype)
     Kmn_factors = []
-    V_factors = []  # V_p = L_p⁻¹ Kmn_p
-    for p, (k, Z, L) in enumerate(zip(kernels, Zs, Ls)):
+    V_factors = []  # V_p = L_p⁻¹ Kmn_p — a matmul against the inverse factor
+    for p, (k, Z, Li) in enumerate(zip(kernels, Zs, Linvs)):
         xp = Xnew[:, jnp.array(tuple(input_masks[p]))]
         Knn = Knn * k.Kdiag(xp)
         Kmn_p = k.K(Z, xp)  # (M_p, B)
         Kmn_factors.append(Kmn_p)
-        V_factors.append(linalg.tri_solve(L, Kmn_p, lower=True))
+        V_factors.append(Li @ Kmn_p)
 
     if whiten:
         # mean: Kmnᵀ L⁻ᵀ v = (⊗V_p)ᵀ v; posterior-cov term uses V_p directly
@@ -151,10 +161,10 @@ def kron_conditional(
         proj = V_factors
     else:
         # alpha = (⊗K_p⁻¹) q_mu, factored
-        alpha = linalg.kron_chol_solve(Ls, q_mu)  # (M, 1)
+        alpha = linalg.kron_linv_solve(Linvs, q_mu)  # (M, 1)
         proj = [
-            linalg.tri_solve(L.T, V_p, lower=False)  # A_p = K_p⁻¹ Kmn_p
-            for L, V_p in zip(Ls, V_factors)
+            Li.T @ V_p  # A_p = K_p⁻¹ Kmn_p
+            for Li, V_p in zip(Linvs, V_factors)
         ]
         # mean: mu[b] = Σ_m (Π_p Kmn_p[i_p, b]) alpha[m]
         mu = _factored_contract(alpha[:, 0], sizes, Kmn_factors)

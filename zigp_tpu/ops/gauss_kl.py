@@ -83,29 +83,42 @@ def gauss_kl(
     return 0.5 * twoKL
 
 
+def _factor_state(K_factors, factor_state):
+    """(Ls, Linvs) — from the caller's precomputed chol_inv state, or computed
+    here. All downstream algebra is then solve-free (matmuls with L⁻¹)."""
+    if factor_state is not None:
+        return factor_state
+    pairs = [linalg.chol_inv(Kp) for Kp in K_factors]
+    return tuple(L for L, _ in pairs), tuple(Li for _, Li in pairs)
+
+
 def gauss_kl_kron(
     q_mu: jnp.ndarray,
     q_sqrt_diag: jnp.ndarray,
-    K_factors: Sequence[jnp.ndarray],
+    K_factors: Optional[Sequence[jnp.ndarray]] = None,
+    *,
+    factor_state=None,
 ) -> jnp.ndarray:
     """KL(N(q_mu, diag(q_sqrt²)) ‖ N(0, ⊗_p K_p)), fully factored.
 
     Mathematically identical to the reference's ``GaussKLkron``
     (onofftf/main.py:350-387) which builds the dense ⊗chol(K_p); here each
-    term is computed from the small per-factor Choleskys.
+    term is computed from the small per-factor Choleskys, solve-free via
+    linalg.chol_inv (every solve is an MXU matmul against L_p⁻¹).
 
     q_mu: (M, 1), q_sqrt_diag: (M, 1) with M = Π M_p. K_factors must already
-    include jitter.
+    include jitter. ``factor_state=(Ls, Linvs)``: precomputed chol_inv of the
+    factors (pass it to share one factorization between KL and conditional).
     """
-    Ls = [linalg.cholesky(Kp) for Kp in K_factors]
+    Ls, Linvs = _factor_state(K_factors, factor_state)
 
-    alpha = linalg.kron_solve_lower(Ls, q_mu)
+    alpha = linalg.kron_linv_lower(Linvs, q_mu)
     mahalanobis = jnp.sum(jnp.square(alpha))
 
     constant = -jnp.asarray(q_sqrt_diag.size, dtype=q_mu.dtype)
     logdet_qcov = jnp.sum(jnp.log(jnp.square(q_sqrt_diag)))
 
-    Kinv_diag = linalg.kron_diag([linalg.diag_of_inv_from_chol(L) for L in Ls])
+    Kinv_diag = linalg.kron_diag([linalg.diag_of_inv_from_linv(Li) for Li in Linvs])
     trace = jnp.sum(Kinv_diag[:, None] * jnp.square(q_sqrt_diag))
 
     prior_logdet = linalg.kron_logdet_from_chols(Ls)
@@ -117,6 +130,8 @@ def gauss_kl_kron_full(
     q_mu: jnp.ndarray,
     C_factors: Sequence[jnp.ndarray],
     K_factors: Optional[Sequence[jnp.ndarray]] = None,
+    *,
+    factor_state=None,
 ) -> jnp.ndarray:
     """KL(N(q_mu, ⊗_p C_p C_pᵀ) ‖ N(0, ⊗_p K_p)), fully factored.
 
@@ -134,19 +149,19 @@ def gauss_kl_kron_full(
         M *= C.shape[0]
     dtype = q_mu.dtype
 
-    if K_factors is None:
+    if K_factors is None and factor_state is None:
         mahalanobis = jnp.sum(jnp.square(q_mu))
         trace = 1.0
         for C in C_factors:
             trace = trace * jnp.sum(jnp.square(jnp.tril(C)))
         prior_logdet = jnp.asarray(0.0, dtype)
     else:
-        Ls = [linalg.cholesky(Kp) for Kp in K_factors]
-        alpha = linalg.kron_solve_lower(Ls, q_mu)
+        Ls, Linvs = _factor_state(K_factors, factor_state)
+        alpha = linalg.kron_linv_lower(Linvs, q_mu)
         mahalanobis = jnp.sum(jnp.square(alpha))
         trace = 1.0
-        for L, C in zip(Ls, C_factors):
-            trace = trace * jnp.sum(jnp.square(linalg.tri_solve(L, jnp.tril(C), lower=True)))
+        for Li, C in zip(Linvs, C_factors):
+            trace = trace * jnp.sum(jnp.square(Li @ jnp.tril(C)))
         prior_logdet = linalg.kron_logdet_from_chols(Ls)
 
     # The C_p are unconstrained lower-triangular factors; a diagonal entry
