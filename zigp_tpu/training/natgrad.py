@@ -27,9 +27,20 @@ u = Lv; its expectation-space gradients are preconditioned by the prior), and
 (3) the per-step variance clamp below as a backstop. γ is a *traced* scalar
 argument of the jitted step, so the warmup schedule costs zero recompiles.
 
-Supported families: diagonal covariance only (dense OnOffSVGP and KronGP
-``q_cov="diag"``). The Kronecker-factored full covariance (``q_cov="kron"``)
-has no diagonal dual — constructing the trainer on such a model raises.
+Supported families:
+
+- diagonal covariance (dense OnOffSVGP and KronGP ``q_cov="diag"``): the full
+  (m, s) natural-gradient step above.
+- Kronecker-factored full covariance (``q_cov="kron"``): the covariance lives
+  on the ⊗-factored manifold where the joint Fisher has no closed dual, so
+  the trainer takes the *exact* natural-gradient step on the mean block —
+  for fixed S the Fisher of m is S⁻¹, giving m ← m − γ S ∇_m L, with
+  S = ⊗_p C_p C_pᵀ applied factored (never materialized) — and leaves the
+  covariance factors to Adam. Same alternating split, mean-block exactness.
+  Stable and convergent at small/medium scale (tests), but measured worse
+  than plain Adam at the production pptr config (RESULTS.md: S is
+  non-stationary under the factors' Adam updates, so no fixed γ suits the
+  S-preconditioned mean step) — for production natgrad use the diag family.
 """
 
 from __future__ import annotations
@@ -89,6 +100,30 @@ def natgrad_update_diag(
     return m_new, jnp.sqrt(s2_new)
 
 
+def natgrad_update_mean_kron(
+    q_mu, C_factors, dL_dmu, lr, *, max_mean_step: float = 0.0
+):
+    """Exact natural-gradient step on the mean for N(m, S), S = ⊗_p C_p C_pᵀ.
+
+    For fixed covariance the Fisher of the mean is S⁻¹, so the natural step is
+    m ← m − γ S ∇_m L — one factored Kronecker matvec, no solves. The trust
+    region (``max_mean_step`` > 0) caps the move at that many current marginal
+    standard deviations (σ² = diag S = ⊗_p rowsumsq(C_p)), mirroring the
+    diagonal family's safeguard; non-finite updates fall back."""
+    from ..ops import linalg
+
+    Cs = [jnp.tril(C) for C in C_factors]
+    step = linalg.kron_mv([C @ C.T for C in Cs], dL_dmu)
+    m_new = q_mu - lr * step
+    if max_mean_step:
+        sigma = jnp.sqrt(
+            linalg.kron_diag([jnp.sum(jnp.square(C), axis=1) for C in Cs])
+        )[:, None]
+        cap = max_mean_step * sigma
+        m_new = jnp.clip(m_new, q_mu - cap, q_mu + cap)
+    return jnp.where(jnp.isfinite(m_new), m_new, q_mu)
+
+
 def gamma_schedule(step, *, gamma: float, warmup: int, gamma_init: float = 1e-4):
     """Log-linear γ ramp: gamma_init → gamma over ``warmup`` steps, then
     constant (Salimbeni et al.'s natural-gradient warmup). ``step`` may be a
@@ -120,22 +155,15 @@ class NaturalGradientTrainer:
     ):
         from ..core.parameters import is_parameter
 
-        # The kron-factored covariance family has no (q_mu, q_sqrt) diagonal
-        # dual: the trainable covariance lives in q_sqrt_factors, which this
-        # trainer would silently freeze while stepping the all-ones diag
-        # placeholder — refuse instead of mis-training.
-        names = [
-            jax.tree_util.keystr(p)
+        # Kron-factored covariance family (q_sqrt_factors present): the mean
+        # gets the exact fixed-covariance natural step; the covariance factors
+        # train under Adam (they live on the ⊗ manifold, no diagonal dual).
+        self._kron_cov = any(
+            "q_sqrt_factors" in jax.tree_util.keystr(p)
             for p, _ in jax.tree_util.tree_flatten_with_path(
                 model, is_leaf=is_parameter
             )[0]
-        ]
-        if any("q_sqrt_factors" in n for n in names):
-            raise ValueError(
-                "NaturalGradientTrainer supports diagonal q-covariance only; "
-                "this model uses q_cov='kron' (q_sqrt_factors present). "
-                "Use Adam, or rebuild the model with q_cov='diag'."
-            )
+        )
 
         self.gamma = float(gamma)
         self.gamma_warmup = int(gamma_warmup)
@@ -164,6 +192,11 @@ class NaturalGradientTrainer:
 
     @staticmethod
     def _is_variational(path_name: str) -> bool:
+        # q_sqrt_factors is NOT variational-for-the-natgrad-step: in the kron
+        # family the covariance factors train under Adam (only the mean gets
+        # the natural step), so they must not be frozen here.
+        if "q_sqrt_factors" in path_name:
+            return False
         return (
             "q_mu" in path_name
             or "q_sqrt" in path_name
@@ -200,6 +233,20 @@ class NaturalGradientTrainer:
                 is_parameter(leaf)
                 and ("q_mu" in name or "u_fm" in name or "u_gm" in name)
             ):
+                continue
+            # Kron-factored covariance: exact natural step on the mean with
+            # S = ⊗ C_p C_pᵀ fixed (factors themselves train under Adam).
+            factors_prefix = name.replace("q_mu", "q_sqrt_factors")
+            factor_names = sorted(
+                n for n in by_name if n.startswith(factors_prefix)
+            )
+            if factor_names:
+                C_factors = [by_name[n][0].value for n in factor_names]
+                m_new = natgrad_update_mean_kron(
+                    leaf.value, C_factors, gleaf.raw, gamma,
+                    max_mean_step=self.max_mean_step,
+                )
+                new_leaves[name] = leaf.replace(raw=m_new)
                 continue
             sq_name = (
                 name.replace("q_mu", "q_sqrt")
