@@ -184,3 +184,30 @@ def test_native_and_numpy_skip_equivalence(rng):
     a, b = n1.next_batch(8), n2.next_batch(8)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_device_sampler_trains_and_is_deterministic(tmp_path, rng):
+    """sampler='device': HBM-resident data with in-step uniform sampling —
+    loss decreases, and the same sampler_seed reproduces the trajectory."""
+    import jax.numpy as jnp
+
+    N = 200
+    X = np.concatenate([rng.rand(N, 2), rng.rand(N, 1)], axis=1)
+    Y = np.sin(6 * X[:, 2:3]) + 0.05 * rng.randn(N, 1)
+    model0 = _model(rng, N)
+
+    def run():
+        # copy: the scanned step donates its buffers
+        model = jax.tree_util.tree_map(jnp.array, model0)
+        ds = DataSet(X, Y, seed=3)
+        res = fit_scanned(
+            model, ds, num_iter=200, batch_size=32, num_inner=50,
+            learning_rate=1e-2, log_every_blocks=1, log_fn=lambda s: None,
+            sampler="device", sampler_seed=7,
+        )
+        return res
+
+    r1, r2 = run(), run()
+    assert np.isfinite(r1.losses).all()
+    assert r1.losses[-1] < r1.losses[0]
+    np.testing.assert_allclose(r1.losses, r2.losses, rtol=0, atol=0)

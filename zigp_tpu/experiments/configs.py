@@ -50,6 +50,10 @@ class OnOffPptrConfig:
     whiten: bool = False  # whitened variational parameterization (not in reference)
     scan_inner: int = 50  # lax.scan steps per dispatch; 0 = one dispatch per step
     lr_schedule: str = ""  # "" = constant (reference); "cosine" = cosine decay
+    # minibatch source: "host" = shuffled-epoch pipeline shipped per block
+    # (reference schedule, bit-reproducible); "device" = HBM-resident data,
+    # uniform sampling inside the jitted step (fastest through the tunnel)
+    sampler: str = "host"
     optimizer: str = "adam"  # "adam" | "natgrad" (natgrad on q, Adam on hypers)
     natgrad_gamma: float = 0.1
     natgrad_warmup: int = 2000  # γ ramp length (steps)
@@ -79,6 +83,7 @@ class SvgpPptrConfig:
     whiten: bool = False
     lr_schedule: str = ""
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
+    sampler: str = "host"  # "host" (epoch pipeline) | "device" (HBM-resident sampling)
 
 
 @dataclass
@@ -102,6 +107,7 @@ class ClassifierPptrConfig:
     whiten: bool = False
     lr_schedule: str = ""
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
+    sampler: str = "host"  # "host" (epoch pipeline) | "device" (HBM-resident sampling)
 
 
 def best_onoff_config() -> "OnOffPptrConfig":

@@ -146,7 +146,12 @@ def _fit_auto(
             optimizer=optimizer,
             opt_state=opt_state,
             learning_rate=learning_rate,
-            log_every_blocks=max(1, (cfg.log_every or scan_inner) // scan_inner),
+            # log_every=0 disables per-block loss syncs entirely — each
+            # float(loss) sync stalls the dispatch pipeline for a full
+            # host<->device round trip (costly through the TPU tunnel)
+            log_every_blocks=(
+                max(1, cfg.log_every // scan_inner) if cfg.log_every else 0
+            ),
             log_fn=log_fn,
             start_step=start_step,
             ckpt_manager=ckpt,
@@ -154,6 +159,8 @@ def _fit_auto(
             hist_every=getattr(cfg, "hist_every", 0),
             callback=monitor_cb,
             callback_every=getattr(cfg, "monitor_every", 0) if monitor_cb else 0,
+            sampler=getattr(cfg, "sampler", "host"),
+            sampler_seed=getattr(cfg, "seed", 0),
         )
     return fit(
         model,

@@ -100,6 +100,11 @@ class NativeDataSet:
         return self._n
 
     @property
+    def arrays(self):
+        """(X, Y) backing arrays — for device-resident sampling."""
+        return self._x, self._y
+
+    @property
     def epochs_completed(self) -> int:
         return int(self._lib.zigp_batcher_epochs(self._h))
 

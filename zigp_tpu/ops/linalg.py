@@ -44,8 +44,19 @@ def cholesky(K: jnp.ndarray) -> jnp.ndarray:
     return _cholesky(K, lower=True)
 
 
+# Above this factor size the Pallas kernel's sequential column loop loses to
+# XLA's blocked Cholesky + solve (measured on v5e at the 105×250 scale
+# config: n=250 via Pallas costs ~25 % of step throughput; n=100 via Pallas
+# wins ~1.6×). Either way downstream stays solve-free (matmuls against L⁻¹).
+_PALLAS_MAX_N = 128
+
+
 def _chol_inv_impl(K: jnp.ndarray):
-    if K.dtype == jnp.float32 and jax.default_backend() == "tpu":
+    if (
+        K.dtype == jnp.float32
+        and K.shape[-1] <= _PALLAS_MAX_N
+        and jax.default_backend() == "tpu"
+    ):
         from .pallas.chol_inv import chol_inv_pallas
 
         return chol_inv_pallas(K)

@@ -32,6 +32,12 @@ class DataSet:
     def epochs_completed(self) -> int:
         return self._epochs_completed
 
+    @property
+    def arrays(self):
+        """(X, Y) backing arrays — for device-resident sampling (order is
+        irrelevant to uniform sampling; may be epoch-shuffled in place)."""
+        return self._x, self._y
+
     def next_batch(self, batch_size: int, shuffle: bool = True) -> Tuple[np.ndarray, np.ndarray]:
         start = self._index_in_epoch
 
