@@ -81,3 +81,65 @@ def test_matern_works_in_kron_model(rng):
     assert np.isfinite(elbo)
     g = jax.grad(lambda m: m.loss(jnp.asarray(X), jnp.asarray(Y)))(model)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_periodic_kernel_properties(rng):
+    from zigp_tpu.ops.kernels import Periodic
+
+    X = rng.rand(8, 1)
+    k = Periodic.create([0.7], [0.31], 1.3)
+    K = np.asarray(k.K(jnp.asarray(X)))
+    # exact periodicity: shifting inputs by one period leaves the gram fixed
+    K_shift = np.asarray(k.K(jnp.asarray(X), jnp.asarray(X + 0.31)))
+    np.testing.assert_allclose(K_shift, K, rtol=1e-6, atol=1e-8)
+    # PSD + unit diagonal at variance
+    np.testing.assert_allclose(np.diag(K), 1.3, rtol=1e-7)
+    assert np.linalg.eigvalsh(K + 1e-9 * np.eye(8)).min() > 0
+    np.testing.assert_allclose(np.asarray(k.Kdiag(jnp.asarray(X))), 1.3, rtol=1e-7)
+
+
+def test_rational_quadratic_limits(rng):
+    from zigp_tpu.ops.kernels import RationalQuadratic
+
+    X = rng.randn(7, 2)
+    rq_big = RationalQuadratic.create([0.9, 1.4], 1.1, alpha=1e6)
+    se = RBF.create([0.9, 1.4], 1.1)
+    np.testing.assert_allclose(
+        np.asarray(rq_big.K(jnp.asarray(X))), np.asarray(se.K(jnp.asarray(X))),
+        rtol=1e-4,
+    )
+    # alpha=1 closed form: v / (1 + r²/2)
+    rq1 = RationalQuadratic.create([1.0, 1.0], 2.0, alpha=1.0)
+    d2 = np.sum((X[:, None, :] - X[None, :, :]) ** 2, -1)
+    np.testing.assert_allclose(
+        np.asarray(rq1.K(jnp.asarray(X))), 2.0 / (1.0 + d2 / 2.0), rtol=1e-7
+    )
+
+
+def test_linear_kernel(rng):
+    from zigp_tpu.ops.kernels import Linear
+
+    X = rng.randn(6, 3)
+    k = Linear.create([0.5, 1.0, 2.0])
+    K = np.asarray(k.K(jnp.asarray(X)))
+    want = X @ np.diag([0.5, 1.0, 2.0]) @ X.T
+    np.testing.assert_allclose(K, want, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(k.Kdiag(jnp.asarray(X))), np.diag(want), rtol=1e-8)
+
+
+def test_periodic_works_as_kron_temporal_factor(rng):
+    """Periodic temporal factor drops into the Kronecker on/off model —
+    gradients flow through period/lengthscale/variance."""
+    from zigp_tpu.ops.kernels import Periodic
+
+    Zs = [rng.rand(3, 2), np.linspace(0, 1, 6)[:, None]]
+    ks = [RBF.create([1.0, 1.0], 1.0), Periodic.create([0.5], [0.4], 1.0)]
+    model = KronSVGP.create(ks, Zs, Gaussian.create(0.1), num_data=40, jitter=1e-6)
+    X = rng.rand(20, 3)
+    Y = rng.rand(20, 1)
+    assert np.isfinite(float(model.elbo(jnp.asarray(X), jnp.asarray(Y))))
+    g = jax.grad(lambda m: m.loss(jnp.asarray(X), jnp.asarray(Y)))(model)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    per_grad = np.asarray(g.gp.kernels[1].period.raw)
+    assert np.all(np.isfinite(per_grad)) and np.any(per_grad != 0)

@@ -1,5 +1,16 @@
 from . import conditionals, gauss_kl, kernels, linalg, probit, quadrature
-from .kernels import RBF, Constant, Matern, Product, SquaredExponential, Sum, White
+from .kernels import (
+    RBF,
+    Constant,
+    Linear,
+    Matern,
+    Periodic,
+    Product,
+    RationalQuadratic,
+    SquaredExponential,
+    Sum,
+    White,
+)
 
 __all__ = [
     "conditionals",
@@ -15,4 +26,7 @@ __all__ = [
     "Constant",
     "Sum",
     "Product",
+    "Periodic",
+    "RationalQuadratic",
+    "Linear",
 ]

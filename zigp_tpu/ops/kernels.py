@@ -213,3 +213,111 @@ class Product:
 
     def Kdiag(self, X):
         return self.k1.Kdiag(X) * self.k2.Kdiag(X)
+
+
+@struct.dataclass
+class Periodic:
+    """Exact periodic (MacKay) kernel: σ²·exp(−2 Σ_d sin²(π(x−x')_d/p_d)/ℓ_d²).
+
+    Not in the reference (SE-only). The natural temporal factor for
+    spatio-temporal count data with daily/weekly cycles — drop it in as a
+    Kronecker temporal factor (or Product it with an SE for decaying
+    periodicity). ARD per-dimension lengthscales and periods.
+    """
+
+    lengthscales: Parameter
+    period: Parameter
+    variance: Parameter
+    active_dims: Optional[Tuple[int, ...]] = struct.field(pytree_node=False, default=None)
+
+    @classmethod
+    def create(cls, lengthscales, period, variance, active_dims=None, lr=None):
+        ell = jnp.atleast_1d(jnp.asarray(lengthscales, dtype=jnp.result_type(float)))
+        per = jnp.atleast_1d(jnp.asarray(period, dtype=jnp.result_type(float)))
+        return cls(
+            lengthscales=positive_param(ell, lr=lr),
+            period=positive_param(per, lr=lr),
+            variance=positive_param(variance, lr=lr),
+            active_dims=tuple(active_dims) if active_dims is not None else None,
+        )
+
+    def _slice(self, X):
+        if self.active_dims is None:
+            return X
+        return X[:, jnp.array(self.active_dims)]
+
+    def K(self, X, X2=None):
+        X = self._slice(X)
+        X2 = X if X2 is None else self._slice(X2)
+        diff = X[:, None, :] - X2[None, :, :]
+        s = jnp.sin(jnp.pi * diff / self.period.value) / self.lengthscales.value
+        return self.variance.value * jnp.exp(-2.0 * jnp.sum(jnp.square(s), axis=-1))
+
+    def Kdiag(self, X):
+        return jnp.full((X.shape[0],), jnp.squeeze(self.variance.value), dtype=X.dtype)
+
+
+@struct.dataclass
+class RationalQuadratic:
+    """σ²·(1 + r²/(2α))^−α — an SE with a gamma mixture of lengthscales
+    (α → ∞ recovers SE). ARD lengthscales; trainable mixture weight α."""
+
+    lengthscales: Parameter
+    variance: Parameter
+    alpha: Parameter
+    active_dims: Optional[Tuple[int, ...]] = struct.field(pytree_node=False, default=None)
+
+    @classmethod
+    def create(cls, lengthscales, variance, alpha: float = 1.0, active_dims=None, lr=None):
+        ell = jnp.atleast_1d(jnp.asarray(lengthscales, dtype=jnp.result_type(float)))
+        return cls(
+            lengthscales=positive_param(ell, lr=lr),
+            variance=positive_param(variance, lr=lr),
+            alpha=positive_param(alpha, lr=lr),
+            active_dims=tuple(active_dims) if active_dims is not None else None,
+        )
+
+    def _slice(self, X):
+        if self.active_dims is None:
+            return X
+        return X[:, jnp.array(self.active_dims)]
+
+    def K(self, X, X2=None):
+        X = self._slice(X) / self.lengthscales.value
+        X2 = X if X2 is None else self._slice(X2) / self.lengthscales.value
+        d2 = jnp.sum(jnp.square(X[:, None, :] - X2[None, :, :]), axis=-1)
+        a = self.alpha.value
+        return self.variance.value * jnp.power(1.0 + d2 / (2.0 * a), -a)
+
+    def Kdiag(self, X):
+        return jnp.full((X.shape[0],), jnp.squeeze(self.variance.value), dtype=X.dtype)
+
+
+@struct.dataclass
+class Linear:
+    """σ²·⟨x, x'⟩ (dot-product kernel) with ARD per-dimension variances."""
+
+    variances: Parameter
+    active_dims: Optional[Tuple[int, ...]] = struct.field(pytree_node=False, default=None)
+
+    @classmethod
+    def create(cls, variances, active_dims=None, lr=None):
+        v = jnp.atleast_1d(jnp.asarray(variances, dtype=jnp.result_type(float)))
+        return cls(
+            variances=positive_param(v, lr=lr),
+            active_dims=tuple(active_dims) if active_dims is not None else None,
+        )
+
+    def _slice(self, X):
+        if self.active_dims is None:
+            return X
+        return X[:, jnp.array(self.active_dims)]
+
+    def K(self, X, X2=None):
+        X = self._slice(X)
+        X2 = X if X2 is None else self._slice(X2)
+        return jnp.einsum("nd,d,md->nm", X, self.variances.value, X2)
+
+    def Kdiag(self, X):
+        X = self._slice(X)
+        return jnp.einsum("nd,d,nd->n", X, self.variances.value, X)
