@@ -33,43 +33,70 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _chol_inv_body(K, n: int):
-    """Right-looking Cholesky interleaved with forward substitution on I.
+    """Right-looking Cholesky interleaved with forward substitution on I,
+    two columns per iteration (rank-2 Schur updates).
 
-    Iteration j finalizes column j of L and row j of L⁻¹:
-      colj = A[:, j] / sqrt(A[j, j])             (column j of L)
-      A   -= colj coljᵀ on the trailing block     (Schur update)
-      rowj = B[j, :] / pivot                      (row j of L⁻¹; B starts at I)
-      B   -= colj rowjᵀ on rows > j               (deferred substitution)
+    Iteration t finalizes columns j = 2t, k = 2t+1 of L and the matching rows
+    of L⁻¹. Column k first absorbs column j's rank-1 update inline (a vector
+    op), then both outer products hit the trailing block together — halving
+    the length of the sequential dependent-op chain, which is what bounds
+    this latency-dominated loop (the (n, n) tiles are only ~⌈n/8⌉ vregs, so
+    per-op cost is issue latency, not vector throughput).
 
     Mosaic has no dynamic_slice on VMEM tiles, so column/row picks use masked
-    reductions (iota == j) — an (n, n) multiply+reduce per pick, VPU work.
+    reductions (iota == j). The updates deliberately touch only the strictly-
+    trailing region; row garbage above the diagonal is zeroed at the end.
 
     No pivot clamp: a non-PSD input must yield NaN (sqrt of a negative pivot
     propagates), matching lax.linalg.cholesky instead of silently returning
-    garbage.
+    garbage. n must be even (callers pad with an identity tail).
     """
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rv = row_ids[:, 0]
 
     B = jnp.where(row_ids == col_ids, 1.0, 0.0).astype(K.dtype)
 
-    def body(j, carry):
+    def body(t, carry):
         A, B = carry
-        is_col_j = col_ids == j  # (n, n)
+        j = 2 * t
+        k = j + 1
+        is_col_j = col_ids == j
         is_row_j = row_ids == j
+        is_col_k = col_ids == k
+        is_row_k = row_ids == k
+
         col = jnp.sum(jnp.where(is_col_j, A, 0.0), axis=1)  # A[:, j]
         pivot = jnp.sqrt(jnp.sum(jnp.where(is_row_j & is_col_j, A, 0.0)))
-        colj = jnp.where(row_ids[:, 0] >= j, col / pivot, 0.0)
-        trailing = (row_ids > j) & (col_ids > j)
-        A = A - jnp.where(trailing, colj[:, None] * colj[None, :], 0.0)
-        A = jnp.where(is_col_j, colj[:, None], A)
-
+        colj = jnp.where(rv >= j, col / pivot, 0.0)
         rowj = jnp.sum(jnp.where(is_row_j, B, 0.0), axis=0) / pivot  # B[j, :]
-        B = B - jnp.where(row_ids > j, colj[:, None] * rowj[None, :], 0.0)
+
+        colk_raw = jnp.sum(jnp.where(is_col_k, A, 0.0), axis=1)
+        # colj[k] = A[k, j]/pivot and colk_upd[k] = A[k, k] − colj[k]²: read
+        # both through 2-D masked reduces — Mosaic miscompiles 1-D masked
+        # scalar picks (relayout bug on vector<1xN>).
+        cj_k = jnp.sum(jnp.where(is_row_k & is_col_j, A, 0.0)) / pivot
+        colk_upd = colk_raw - colj * cj_k
+        a_kk = jnp.sum(jnp.where(is_row_k & is_col_k, A, 0.0))
+        piv_k = jnp.sqrt(a_kk - cj_k * cj_k)
+        colk = jnp.where(rv >= k, colk_upd / piv_k, 0.0)
+        rowk_raw = jnp.sum(jnp.where(is_row_k, B, 0.0), axis=0)
+        rowk = (rowk_raw - cj_k * rowj) / piv_k  # absorb j's deferred update
+
+        trailing = (row_ids > k) & (col_ids > k)
+        upd = colj[:, None] * colj[None, :] + colk[:, None] * colk[None, :]
+        A = A - jnp.where(trailing, upd, 0.0)
+        A = jnp.where(is_col_j, colj[:, None], A)
+        A = jnp.where(is_col_k, colk[:, None], A)
+
+        below = row_ids > k
+        bupd = colj[:, None] * rowj[None, :] + colk[:, None] * rowk[None, :]
+        B = B - jnp.where(below, bupd, 0.0)
         B = jnp.where(is_row_j, rowj[None, :], B)
+        B = jnp.where(is_row_k, rowk[None, :], B)
         return A, B
 
-    A, B = jax.lax.fori_loop(0, n, body, (K, B))
+    A, B = jax.lax.fori_loop(0, n // 2, body, (K, B))
     tril_mask = row_ids >= col_ids
     return jnp.where(tril_mask, A, 0.0), jnp.where(tril_mask, B, 0.0)
 
@@ -90,25 +117,34 @@ def chol_inv_pallas(K, *, interpret: bool = False):
     n = K.shape[-1]
     Kb = K.astype(jnp.float32).reshape((-1, n, n))
     G = Kb.shape[0]
+    # Even-pad with an identity tail (chol/inv of blockdiag(K, I) is
+    # blockdiag(chol(K), I)) — the rank-2 loop consumes columns in pairs.
+    m = n + (n % 2)
+    if m != n:
+        Kb = jnp.pad(Kb, ((0, 0), (0, 1), (0, 1)))
+        tail = (jnp.arange(m)[:, None] == jnp.arange(m)[None, :]) & (
+            jnp.arange(m)[None, :] >= n
+        )
+        Kb = Kb + tail.astype(Kb.dtype)[None]
     L, Linv = pl.pallas_call(
-        functools.partial(_kernel, n=n),
+        functools.partial(_kernel, n=m),
         out_shape=(
-            jax.ShapeDtypeStruct((G, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((G, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((G, m, m), jnp.float32),
+            jax.ShapeDtypeStruct((G, m, m), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((1, n, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, m, m), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
             ],
             out_specs=(
-                pl.BlockSpec((1, n, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m, m), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m, m), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             ),
         ),
         interpret=interpret,
     )(Kb)
     return (
-        L.reshape(batch_shape + (n, n)),
-        Linv.reshape(batch_shape + (n, n)),
+        L[:, :n, :n].reshape(batch_shape + (n, n)),
+        Linv[:, :n, :n].reshape(batch_shape + (n, n)),
     )
