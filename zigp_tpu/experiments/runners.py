@@ -49,7 +49,7 @@ def predict_batched(predict_fn: Callable, X: np.ndarray, batch: int = 4096) -> D
     """
     N = X.shape[0]
     jitted = jax.jit(predict_fn)
-    outs = None
+    pending = []  # (device-result dict, valid row count) — fetched at the end
     for start in range(0, N, batch):
         chunk = X[start : start + batch]
         pad = batch - chunk.shape[0]
@@ -57,12 +57,16 @@ def predict_batched(predict_fn: Callable, X: np.ndarray, batch: int = 4096) -> D
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
         res = jitted(jnp.asarray(chunk))
         d = res._asdict() if hasattr(res, "_asdict") else dict(res)
-        d = {k: np.asarray(v)[: batch - pad if pad else batch] for k, v in d.items()}
-        if outs is None:
-            outs = {k: [v] for k, v in d.items()}
-        else:
-            for k, v in d.items():
-                outs[k].append(v)
+        # keep results on device: converting here would sync per chunk and
+        # serialize dispatch against the host<->device round-trip
+        pending.append((d, batch - pad if pad else batch))
+    # one bulk fetch for every chunk and field (a per-array np.asarray loop
+    # pays a tunnel round-trip per array)
+    fetched = jax.device_get([d for d, _ in pending])
+    outs: Dict[str, list] = {}
+    for (_, valid), d in zip(pending, fetched):
+        for k, v in d.items():
+            outs.setdefault(k, []).append(v[:valid])
     return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
 
