@@ -63,6 +63,11 @@ def _common(p):
                    help="reference = the paper's config; best = RESULTS.md ablated config")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint in the workdir and continue")
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=("host", "device"),
+                   help="minibatch source: host = epoch pipeline (reference "
+                        "schedule); device = HBM-resident uniform sampling "
+                        "(fastest when host->device bandwidth binds)")
 
 
 def main(argv=None):
@@ -154,6 +159,8 @@ def main(argv=None):
             kw["num_iter"] = args.iters
         if args.batch is not None:
             kw["batch_size"] = args.batch
+        if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
+            kw["sampler"] = args.sampler
         return dataclasses.replace(cfg, **kw)
 
     best = getattr(args, "preset", "reference") == "best"
