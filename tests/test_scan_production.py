@@ -211,3 +211,35 @@ def test_device_sampler_trains_and_is_deterministic(tmp_path, rng):
     assert np.isfinite(r1.losses).all()
     assert r1.losses[-1] < r1.losses[0]
     np.testing.assert_allclose(r1.losses, r2.losses, rtol=0, atol=0)
+
+
+def test_device_sampler_resume_reproduces_uninterrupted_run(rng, tmp_path):
+    """sampler='device': block keys derive from (sampler_seed, step//inner),
+    so a kill-and-resume run must reproduce the uninterrupted trajectory
+    with no stream fast-forwarding at all."""
+    N = 60
+    X, Y = rng.rand(N, 3), rng.rand(N, 1)
+
+    def make_parts():
+        return _model(np.random.RandomState(0), N), DataSet(X, Y, seed=7)
+
+    kw = dict(batch_size=16, num_inner=5, log_fn=lambda s: None,
+              sampler="device", sampler_seed=5)
+
+    model, ds = make_parts()
+    opt = make_optimizer(model, default_lr=1e-2)
+    full = fit_scanned(model, ds, num_iter=40, optimizer=opt, **kw)
+
+    model, ds = make_parts()
+    opt = make_optimizer(model, default_lr=1e-2)
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=20)
+    fit_scanned(model, ds, num_iter=20, optimizer=opt, ckpt_manager=mgr, **kw)
+    assert mgr.latest_step() == 20
+
+    model2, ds2 = make_parts()
+    opt2 = make_optimizer(model2, default_lr=1e-2)
+    opt_state2 = opt2.init(model2)
+    model2, opt_state2, start = mgr.restore_latest(model2, opt_state2)
+    resumed = fit_scanned(model2, ds2, num_iter=20, optimizer=opt2,
+                          opt_state=opt_state2, start_step=start, **kw)
+    assert _leaves_close(full.model, resumed.model)

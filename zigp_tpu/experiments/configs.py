@@ -113,8 +113,9 @@ class ClassifierPptrConfig:
 def best_onoff_config() -> "OnOffPptrConfig":
     """The ablated champion on/off configuration (RESULTS.md): whitened
     parameterization, Kronecker-factored full covariance, 32×200 grid, exact
-    Owen's T, cosine lr 3e-3, B=4000, 150k steps.
-    5-fold pptr: RMSE 0.525 ± 0.033, MAE 0.102 ± 0.002."""
+    Owen's T, cosine lr 3e-3, B=4000, 150k steps, device-resident sampler.
+    5-fold pptr: RMSE 0.5194 ± 0.037, MAE 0.106 ± 0.002
+    (results/cv_final_best_r2.json)."""
     return OnOffPptrConfig(
         num_iter=150_000,
         whiten=True,
@@ -127,6 +128,7 @@ def best_onoff_config() -> "OnOffPptrConfig":
         indp_lr=3e-3,
         kern_lr=3e-3,
         batch_size=4000,
+        sampler="device",
     )
 
 
