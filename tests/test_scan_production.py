@@ -243,3 +243,31 @@ def test_device_sampler_resume_reproduces_uninterrupted_run(rng, tmp_path):
     resumed = fit_scanned(model2, ds2, num_iter=20, optimizer=opt2,
                           opt_state=opt_state2, start_step=start, **kw)
     assert _leaves_close(full.model, resumed.model)
+
+
+def test_keyboard_interrupt_checkpoints_for_resume(rng, tmp_path):
+    """Ctrl-C mid-run checkpoints at the interrupted step (the reference's
+    break-and-save, scripts/onoff.py:425-430) so --resume can continue."""
+    N = 50
+    X, Y = rng.rand(N, 3), rng.rand(N, 1)
+    model = _model(np.random.RandomState(0), N)
+    ds = DataSet(X, Y, seed=7)
+    opt = make_optimizer(model, default_lr=1e-2)
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=1000)  # never due
+
+    calls = {"n": 0}
+
+    def exploding_log(msg):
+        if "loss" in msg:
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise KeyboardInterrupt
+        calls["last"] = msg
+
+    res = fit_scanned(model, ds, num_iter=50, batch_size=16, num_inner=5,
+                      optimizer=opt, ckpt_manager=mgr, log_fn=exploding_log,
+                      log_every_blocks=1)
+    # interrupted at the 3rd log point = step 15; checkpoint written there
+    assert mgr.latest_step() == 15
+    assert "interrupted" in calls["last"]
+    assert res.model is not None

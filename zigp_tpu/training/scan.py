@@ -219,79 +219,87 @@ def fit_scanned(
     t_start = time.time()
     timed_steps = 0
     steps_done = start_step
-    for b in range(num_blocks):
-        if device_mode:
-            # raw uint32[2] threefry key built host-side: one tiny async H2D
-            # per block, zero device round-trips between dispatches
-            import numpy as _np
-
-            block_key = jnp.asarray(
-                _np.array(
-                    [sampler_seed, start_step // num_inner + b], dtype=_np.uint32
-                )
-            )
-            model, opt_state, block_losses = step(
-                model, opt_state, block_key, num_inner
-            )
-        else:
-            Xs, Ys = stage_batches(data, batch_size, num_inner)
-            model, opt_state, block_losses = step(model, opt_state, Xs, Ys)
-        prev_steps = steps_done
-        steps_done += num_inner
-        if b == 0:
-            # exclude the compile block from throughput
-            jax.block_until_ready(block_losses)
-            t_start = time.time()
-        else:
-            timed_steps += num_inner
-
-        is_log = log_every_blocks and b % log_every_blocks == 0
-        ckpt_due = ckpt_manager is not None and ckpt_manager.crossed(prev_steps, steps_done)
-        # Sync with the device only when this block needs the loss value —
-        # at log points and checkpoint boundaries (never checkpoint unverified
-        # state). NaN recovery piggybacks on those syncs rather than forcing
-        # one per block: a per-block float() sync serializes host staging
-        # against device compute and costs ~6× throughput at the 26k-inducing
-        # scale config (measured); a NaN that strikes mid-interval is caught
-        # at the next boundary and restores from the same last-good
-        # checkpoint either way.
-        if is_log or ckpt_due:
-            last = float(block_losses[-1])
-            if not jnp.isfinite(last):
-                log_fn(f"step {steps_done:>8d}  NON-FINITE loss")
-                if ckpt_manager is not None and recover_on_nan:
-                    restored = ckpt_manager.restore_latest(model, opt_state)
-                    if restored is not None:
-                        model, opt_state, from_step = restored
-                        log_fn(f"restored from checkpoint at step {from_step}")
-                continue
-            if ckpt_due:
-                ckpt_manager.save_at(steps_done, model, opt_state)
-            if is_log:
-                losses.append(last)
-                log_fn(f"step {steps_done:>8d}  loss {last:.6f}")
-                if metric_logger is not None:
-                    scalars = {"loss": last, "elbo": -last}
-                    if kl_fn is not None:
-                        kl = float(kl_fn(model))
-                        scalars["kl"] = kl
-                        scalars["var_exp"] = kl - last  # elbo = var_exp - kl
-                    metric_logger.log(steps_done, scalars=scalars)
-        if grad_fn is not None and (prev_steps // hist_every) != (steps_done // hist_every):
+    try:
+        for b in range(num_blocks):
             if device_mode:
-                bx, by = data.next_batch(batch_size)
-                hist_X, hist_Y = jnp.asarray(bx), jnp.asarray(by)
+                # raw uint32[2] threefry key built host-side: one tiny async H2D
+                # per block, zero device round-trips between dispatches
+                import numpy as _np
+
+                block_key = jnp.asarray(
+                    _np.array(
+                        [sampler_seed, start_step // num_inner + b], dtype=_np.uint32
+                    )
+                )
+                model, opt_state, block_losses = step(
+                    model, opt_state, block_key, num_inner
+                )
             else:
-                hist_X, hist_Y = Xs[-1], Ys[-1]
-            grads = grad_fn(model, hist_X, hist_Y)
-            metric_logger.log_param_tree(steps_done, model, prefix="param")
-            metric_logger.log_param_tree(steps_done, grads, prefix="grad")
-        if (
-            callback is not None
-            and callback_every
-            and (prev_steps // callback_every) != (steps_done // callback_every)
-        ):
-            callback(steps_done, model)
+                Xs, Ys = stage_batches(data, batch_size, num_inner)
+                model, opt_state, block_losses = step(model, opt_state, Xs, Ys)
+            prev_steps = steps_done
+            steps_done += num_inner
+            if b == 0:
+                # exclude the compile block from throughput
+                jax.block_until_ready(block_losses)
+                t_start = time.time()
+            else:
+                timed_steps += num_inner
+
+            is_log = log_every_blocks and b % log_every_blocks == 0
+            ckpt_due = ckpt_manager is not None and ckpt_manager.crossed(prev_steps, steps_done)
+            # Sync with the device only when this block needs the loss value —
+            # at log points and checkpoint boundaries (never checkpoint unverified
+            # state). NaN recovery piggybacks on those syncs rather than forcing
+            # one per block: a per-block float() sync serializes host staging
+            # against device compute and costs ~6× throughput at the 26k-inducing
+            # scale config (measured); a NaN that strikes mid-interval is caught
+            # at the next boundary and restores from the same last-good
+            # checkpoint either way.
+            if is_log or ckpt_due:
+                last = float(block_losses[-1])
+                if not jnp.isfinite(last):
+                    log_fn(f"step {steps_done:>8d}  NON-FINITE loss")
+                    if ckpt_manager is not None and recover_on_nan:
+                        restored = ckpt_manager.restore_latest(model, opt_state)
+                        if restored is not None:
+                            model, opt_state, from_step = restored
+                            log_fn(f"restored from checkpoint at step {from_step}")
+                    continue
+                if ckpt_due:
+                    ckpt_manager.save_at(steps_done, model, opt_state)
+                if is_log:
+                    losses.append(last)
+                    log_fn(f"step {steps_done:>8d}  loss {last:.6f}")
+                    if metric_logger is not None:
+                        scalars = {"loss": last, "elbo": -last}
+                        if kl_fn is not None:
+                            kl = float(kl_fn(model))
+                            scalars["kl"] = kl
+                            scalars["var_exp"] = kl - last  # elbo = var_exp - kl
+                        metric_logger.log(steps_done, scalars=scalars)
+            if grad_fn is not None and (prev_steps // hist_every) != (steps_done // hist_every):
+                if device_mode:
+                    bx, by = data.next_batch(batch_size)
+                    hist_X, hist_Y = jnp.asarray(bx), jnp.asarray(by)
+                else:
+                    hist_X, hist_Y = Xs[-1], Ys[-1]
+                grads = grad_fn(model, hist_X, hist_Y)
+                metric_logger.log_param_tree(steps_done, model, prefix="param")
+                metric_logger.log_param_tree(steps_done, grads, prefix="grad")
+            if (
+                callback is not None
+                and callback_every
+                and (prev_steps // callback_every) != (steps_done // callback_every)
+            ):
+                callback(steps_done, model)
+    except KeyboardInterrupt:
+        # reference behaviour: Ctrl-C breaks the loop and saves, so a manual
+        # stop is resumable (scripts/onoff.py:425-430)
+        jax.block_until_ready(model)
+        log_fn(f"interrupted at step {steps_done} — checkpointing for resume")
+        if ckpt_manager is not None:
+            ckpt_manager.save_at(steps_done, model, opt_state)
     jax.block_until_ready(model)
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
