@@ -99,3 +99,18 @@ def test_cv_splits_match_reference_protocol():
     Xcat = np.concatenate([s.Xtest for s in splits])
     assert Xcat.shape == Xall.shape
     np.testing.assert_allclose(np.sort(Xcat.ravel()), np.sort(Xall.ravel()))
+
+
+def test_gaussian_nlpd_closed_form():
+    """NLPD of N(0,1) at y=0 is ½log(2π); at y=1 adds ½."""
+    from zigp_tpu.utils.metrics import gaussian_nlpd
+
+    want0 = 0.5 * np.log(2 * np.pi)
+    assert np.isclose(gaussian_nlpd([0.0], [1.0], [0.0]), want0, rtol=1e-12)
+    assert np.isclose(gaussian_nlpd([0.0], [1.0], [1.0]), want0 + 0.5, rtol=1e-12)
+    # noise_var folds into the predictive variance
+    assert np.isclose(
+        gaussian_nlpd([0.0], [0.5], [0.0], noise_var=0.5), want0, rtol=1e-12
+    )
+    # overconfident variance is penalized more than calibrated at the same error
+    assert gaussian_nlpd([0.0], [0.01], [1.0]) > gaussian_nlpd([0.0], [1.0], [1.0])

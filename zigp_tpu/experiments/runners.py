@@ -235,11 +235,22 @@ def run_onoff(
     test_mae_hard = metrics.mae(hard, split.Ytest, clip_at_zero=False)
     log_fn(f"test rmse (hard gate): {test_rmse_hard}")
 
+    # probabilistic quality under the moment-matched gated predictive:
+    # Var[Φ(g)f] = gfvar + gfmeanu, plus the learned noise (not in the
+    # reference, which reports point metrics only)
+    noise = float(np.asarray(model.likelihood.variance.value))
+    test_nlpd = metrics.gaussian_nlpd(
+        pred_test["gfmean"], pred_test["gfvar"] + pred_test["gfmeanu"],
+        split.Ytest, noise_var=noise,
+    )
+    log_fn(f"test nlpd: {test_nlpd}")
+
     results = {
         "test_rmse": test_rmse,
         "test_mae": test_mae,
         "test_rmse_hard": test_rmse_hard,
         "test_mae_hard": test_mae_hard,
+        "test_nlpd": test_nlpd,
         "pred_test": pred_test,
         "steps_per_sec": res.steps_per_sec,
         "train_time_sec": train_time,
@@ -276,13 +287,19 @@ def run_svgp(
     pred_test = predict_batched(predict, split.Xtest)
     test_rmse = metrics.rmse(pred_test["fmean"], split.Ytest)
     test_mae = metrics.mae(pred_test["fmean"], split.Ytest)
+    test_nlpd = metrics.gaussian_nlpd(
+        pred_test["fmean"], pred_test["fvar"], split.Ytest,
+        noise_var=float(np.asarray(model.likelihood.variance.value)),
+    )
     log_fn(f"test rmse: {test_rmse}")
+    log_fn(f"test nlpd: {test_nlpd}")
 
     results = {
         "pred_train": pred_train,
         "pred_test": pred_test,
         "test_rmse": test_rmse,
         "test_mae": test_mae,
+        "test_nlpd": test_nlpd,
         "steps_per_sec": res.steps_per_sec,
         "losses": res.losses,
     }

@@ -74,3 +74,20 @@ def roc_auc(predict_prob, actual) -> float:
         i = j + 1
     sum_pos_ranks = float(np.sum(ranks[y == 1]))
     return (sum_pos_ranks - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def gaussian_nlpd(mean, var, actual, *, noise_var: float = 0.0) -> float:
+    """Mean negative log predictive density under the moment-matched Gaussian
+    predictive N(mean, var + noise_var).
+
+    Not reported by the reference (RMSE/MAE only) but the standard
+    probabilistic-quality metric for GP models: unlike RMSE it penalizes
+    both over- and under-confident predictive variances. For the on/off
+    model pass the gated moments (gfmean, gfvar + gfmeanu) plus the learned
+    noise variance.
+    """
+    mean = np.asarray(mean, dtype=np.float64).reshape(-1)
+    var = np.asarray(var, dtype=np.float64).reshape(-1) + float(noise_var)
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    var = np.maximum(var, 1e-12)
+    return float(np.mean(0.5 * np.log(2.0 * np.pi * var) + 0.5 * (y - mean) ** 2 / var))
