@@ -9,7 +9,11 @@ Linv = L⁻¹ together in one VMEM-resident loop; every downstream solve then
 becomes an MXU matmul, and the custom VJP (ops.linalg.chol_inv) is
 matmul-only, so the entire train step contains zero solve custom calls.
 
-Two measured negative results shaped this design (v5e, flagship step):
+Three measured negative results shaped this design (v5e, flagship step):
+a stacked-pair variant (both G=2 matrices in one program on a (2n, n) tile,
+halving the sequential program chain) was a wash (137.5 vs 136.9 µs/step) —
+the per-iteration top/bottom pivot and row picks double the op count, so the
+loop is throughput-bound at this tile size, not chain-bound;
 a blocked/MXU variant (8×8 diagonal blocks + panel matmuls) lost ~26 µs/step
 because Mosaic matmuls only offer DEFAULT precision (bf16 — loses the
 factor's positive-definiteness and NaNs the run) or HIGHEST (6-pass, too
@@ -148,3 +152,4 @@ def chol_inv_pallas(K, *, interpret: bool = False):
         L[:, :n, :n].reshape(batch_shape + (n, n)),
         Linv[:, :n, :n].reshape(batch_shape + (n, n)),
     )
+
