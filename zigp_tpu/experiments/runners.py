@@ -377,7 +377,9 @@ def run_hurdle(
         split.Xtest[test_on_idx],
         split.Ytest[test_on_idx],
     )
-    reg = run_svgp(sub, cfg, log_fn=log_fn)
+    # label the inner regression's log lines: its RMSEs are on the
+    # positives-only subset and read much larger than the combined metric
+    reg = run_svgp(sub, cfg, log_fn=lambda m: log_fn(f"[hurdle on-subset] {m}"))
 
     train_comb = hurdle_combine(
         clf_results["pred_train"]["pfmean"], reg["pred_train"]["fmean"], train_on_idx
