@@ -139,21 +139,28 @@ def kron_conditional(
     if factor_state is None:
         Kmms = [linalg.add_jitter(k.K(Z), jitter) for k, Z in zip(kernels, Zs)]
         pairs = [linalg.chol_inv(Kmm) for Kmm in Kmms]
+        Ls = [L for L, _ in pairs]
         Linvs = [Li for _, Li in pairs]
     else:
         # Precomputed chol_inv of the factor grams (share one factorization
         # between the KL and the conditional — see KronGP.factor_state).
-        _, Linvs = factor_state
+        Ls, Linvs = factor_state
 
     Knn = jnp.ones((B,), dtype=dtype)
     Kmn_factors = []
-    V_factors = []  # V_p = L_p⁻¹ Kmn_p — a matmul against the inverse factor
-    for p, (k, Z, Li) in enumerate(zip(kernels, Zs, Linvs)):
+    V_factors = []  # V_p = L_p⁻¹ Kmn_p, solve-free
+    for p, (k, Z, L, Li) in enumerate(zip(kernels, Zs, Ls, Linvs)):
         xp = Xnew[:, jnp.array(tuple(input_masks[p]))]
         Knn = Knn * k.Kdiag(xp)
         Kmn_p = k.K(Z, xp)  # (M_p, B)
         Kmn_factors.append(Kmn_p)
-        V_factors.append(Li @ Kmn_p)
+        # hdot, not @: TPU default matmul precision is bf16, and a 4e-3
+        # relative error in V (vs the exact-f32 triangular solve this matmul
+        # replaces) measurably breaks training of variance-sensitive
+        # objectives — the GH-Bernoulli quality option plateaus at AUC 0.70
+        # off bf16 products and recovers the solve path's trajectory at
+        # full precision.
+        V_factors.append(linalg.hdot(Li, Kmn_p))
 
     if whiten:
         # mean: Kmnᵀ L⁻ᵀ v = (⊗V_p)ᵀ v; posterior-cov term uses V_p directly
@@ -163,7 +170,7 @@ def kron_conditional(
         # alpha = (⊗K_p⁻¹) q_mu, factored
         alpha = linalg.kron_linv_solve(Linvs, q_mu)  # (M, 1)
         proj = [
-            Li.T @ V_p  # A_p = K_p⁻¹ Kmn_p
+            linalg.hdot(Li.T, V_p)  # A_p = K_p⁻¹ Kmn_p
             for Li, V_p in zip(Linvs, V_factors)
         ]
         # mean: mu[b] = Σ_m (Π_p Kmn_p[i_p, b]) alpha[m]
@@ -174,7 +181,7 @@ def kron_conditional(
         # diag(PᵀSP)[b] = Π_p ‖C_pᵀ P_p[:, b]‖²  (P = A unwhitened, V whitened)
         c2 = jnp.ones((B,), dtype=dtype)
         for C, P_p in zip(q_sqrt_factors, proj):
-            CtP = jnp.tril(C).T @ P_p  # (M_p, B)
+            CtP = linalg.hdot(jnp.tril(C).T, P_p)  # (M_p, B)
             c2 = c2 * jnp.sum(jnp.square(CtP), axis=0)
     else:
         # diagonal S: c2[b] = Σ_m S[m] (Π_p P_p[i_p, b])²

@@ -161,7 +161,7 @@ def gauss_kl_kron_full(
         mahalanobis = jnp.sum(jnp.square(alpha))
         trace = 1.0
         for Li, C in zip(Linvs, C_factors):
-            trace = trace * jnp.sum(jnp.square(Li @ jnp.tril(C)))
+            trace = trace * jnp.sum(jnp.square(linalg.hdot(Li, jnp.tril(C))))
         prior_logdet = linalg.kron_logdet_from_chols(Ls)
 
     # The C_p are unconstrained lower-triangular factors; a diagonal entry

@@ -44,6 +44,16 @@ def cholesky(K: jnp.ndarray) -> jnp.ndarray:
     return _cholesky(K, lower=True)
 
 
+def hdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full-precision matmul. TPU 'default' matmul precision multiplies f32
+    operands in bfloat16 (~4e-3 relative error) — fine for the ELBO's bulk
+    contractions, catastrophic for the matmuls that REPLACE triangular
+    solves (an exact-f32 custom call) in the chol_inv fast path: the
+    variance-sensitive GH objective measurably fails to train off the bf16
+    products. Every solve-replacing matmul goes through here."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 # Above this factor size the Pallas kernel's sequential column loop loses to
 # XLA's blocked Cholesky + solve (measured on v5e at the 105×250 scale
 # config: n=250 via Pallas costs ~25 % of step throughput; n=100 via Pallas
@@ -97,12 +107,14 @@ def _chol_inv_bwd(res, cots):
     L, Linv = res
     dL, dLinv = cots
     mT = lambda A: jnp.swapaxes(A, -1, -2)
+    hi = jax.lax.Precision.HIGHEST  # bf16 products here poison the gradients
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
     LinvT = mT(Linv)
     # Pullback through Linv = L⁻¹ (lower-tri dof only): −tril(L⁻ᵀ dLinv L⁻ᵀ)
-    dL_tot = dL - jnp.tril(LinvT @ dLinv @ LinvT)
+    dL_tot = dL - jnp.tril(mm(mm(LinvT, dLinv), LinvT))
     # Reverse-mode Cholesky with L⁻¹ available: matmuls only.
-    P = _phi_half_diag(mT(L) @ dL_tot)
-    dK = 0.5 * (LinvT @ (P + mT(P)) @ Linv)
+    P = _phi_half_diag(mm(mT(L), dL_tot))
+    dK = 0.5 * mm(mm(LinvT, P + mT(P)), Linv)
     return (dK,)
 
 
@@ -196,14 +208,16 @@ def kron_chol_solve(Ls: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
 def kron_linv_lower(Linvs: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
     """x = (⊗_p L_p)⁻¹ b given precomputed triangular inverses — pure matmuls
     (solve-free variant of kron_solve_lower for the chol_inv fast path)."""
-    return kron_mv(list(Linvs), b)
+    return _apply_factor_ops(
+        [(lambda X, Li=Li: hdot(Li, X), Li.shape[0]) for Li in Linvs], b
+    )
 
 
 def kron_linv_solve(Linvs: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
     """x = (⊗_p K_p)⁻¹ b = (⊗L_p⁻ᵀ)(⊗L_p⁻¹) b given triangular inverses."""
-    half = kron_mv(list(Linvs), b)
+    half = kron_linv_lower(Linvs, b)
     return _apply_factor_ops(
-        [(lambda X, Li=Li: Li.T @ X, Li.shape[0]) for Li in Linvs], half
+        [(lambda X, Li=Li: hdot(Li.T, X), Li.shape[0]) for Li in Linvs], half
     )
 
 
