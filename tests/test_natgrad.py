@@ -70,6 +70,34 @@ def test_natgrad_trainer_onoff_dense(rng):
     assert float(loss) < first
 
 
+def test_natgrad_trainer_onoff_dense_updates_covariance(rng):
+    """Round-2 advisor high: for the DENSE family the kron-covariance branch
+    must not capture the mean leaf (factors_prefix == name) — that gave
+    u_fm/u_gm a bogus rank-1 'natural' step and silently froze u_fs_sqrt/
+    u_gs_sqrt (Adam has them labelled frozen). Assert the diagonal natural
+    step actually moves both covariance leaves."""
+    N = 40
+    X = np.linspace(0, 10, N)[:, None]
+    Y = np.sin(X) * (np.cos(X) > 0)
+    Z = np.linspace(0, 10, 6)[:, None]
+    model = OnOffSVGP.create(
+        RBF.create([2.0], 1.0), RBF.create([2.0], 5.0), OnOffGaussian.create(0.01),
+        Z, Z, num_data=N, jitter=1e-6,
+    )
+    fs0 = np.asarray(model.u_fs_sqrt.value).copy()
+    gs0 = np.asarray(model.u_gs_sqrt.value).copy()
+    trainer = NaturalGradientTrainer(model, gamma=0.02, adam_lr=1e-2)
+    state = trainer.init(model)
+    step = trainer.make_step()
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    for _ in range(30):
+        model, state, loss = step(model, state, Xj, Yj)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(model.u_fs_sqrt.value), fs0, atol=1e-7), \
+        "u_fs_sqrt did not move — dense family fell into the kron-cov branch"
+    assert not np.allclose(np.asarray(model.u_gs_sqrt.value), gs0, atol=1e-7)
+
+
 def test_natgrad_mean_kron_identity_covariance_is_plain_gradient(rng):
     """With C_p = I (so S = I) the exact mean natural step m − γ S ∇ reduces
     to the plain gradient step — a closed-form pin of the factored matvec."""

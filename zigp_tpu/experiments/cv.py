@@ -45,25 +45,38 @@ def run_cv(
     def record(model: str, metric: str, value: float):
         summary.setdefault(model, {}).setdefault(metric, []).append(float(value))
 
+    def _abort_if_interrupted(res: dict, what: str, fold: int):
+        # A Ctrl-C inside a fold's training surfaces as interrupted=True on
+        # the runner result (training/scan.py). Recording the partial fold as
+        # fully trained and moving on would silently corrupt the CV summary —
+        # propagate the interrupt so the whole sweep stops here.
+        if res.get("interrupted"):
+            log_fn(f"fold {fold} {what} was interrupted — aborting the CV sweep")
+            raise KeyboardInterrupt
+
     for k, split in enumerate(splits, start=1):
         fold_dir = os.path.join(workdir, str(k)) if workdir else None
         log_fn(f"===== fold {k}/{len(splits)} =====")
         clf = reg = None
         if need_clf:
             clf = run_classifier(split, clf_cfg, workdir=fold_dir, log_fn=log_fn)
+            _abort_if_interrupted(clf, "classifier", k)
             for m in ("accuracy", "precision", "recall", "auc"):
                 record("classifier", f"test_{m}", clf[f"test_{m}"])
         if need_svgp:
             reg = run_svgp(split, svgp_cfg, workdir=fold_dir, log_fn=log_fn)
+            _abort_if_interrupted(reg, "svgp", k)
             record("svgp", "test_rmse", reg["test_rmse"])
             record("svgp", "test_mae", reg["test_mae"])
         if "onoff" in models:
             res = run_onoff(split, onoff_cfg, workdir=fold_dir, log_fn=log_fn)
+            _abort_if_interrupted(res, "onoff", k)
             record("onoff", "test_rmse", res["test_rmse"])
             record("onoff", "test_mae", res["test_mae"])
             record("onoff", "steps_per_sec", res["steps_per_sec"])
         if "hurdle" in models:
             res = run_hurdle(split, clf, svgp_cfg, workdir=fold_dir, log_fn=log_fn)
+            _abort_if_interrupted(res, "hurdle", k)
             record("hurdle", "test_rmse", res["test_hurdle_comb_rmse"])
             record("hurdle", "test_mae", res["test_hurdle_comb_mae"])
         if "zi" in models:

@@ -255,6 +255,7 @@ def run_onoff(
         "steps_per_sec": res.steps_per_sec,
         "train_time_sec": train_time,
         "losses": res.losses,
+        "interrupted": bool(getattr(res, "interrupted", False)),
     }
     _maybe_pickle(results, workdir, "results_onoff.pickle")
     results["model"] = model
@@ -302,6 +303,7 @@ def run_svgp(
         "test_nlpd": test_nlpd,
         "steps_per_sec": res.steps_per_sec,
         "losses": res.losses,
+        "interrupted": bool(getattr(res, "interrupted", False)),
     }
     _maybe_pickle(results, workdir, "results_svgp.pickle")
     results["model"] = model
@@ -340,6 +342,7 @@ def run_classifier(
         "pred_test": pred_test,
         "steps_per_sec": res.steps_per_sec,
         "losses": res.losses,
+        "interrupted": bool(getattr(res, "interrupted", False)),
     }
     for name, pred, actual in (
         ("train", pred_train["pfmean"], Ytrain_b),
@@ -401,6 +404,7 @@ def run_hurdle(
         "test_hurdle_comb_rmse": metrics.rmse(test_comb, split.Ytest),
         "train_hurdle_comb_mae": metrics.mae(train_comb, split.Ytrain),
         "test_hurdle_comb_mae": metrics.mae(test_comb, split.Ytest),
+        "interrupted": bool(reg.get("interrupted", False)),
     }
     log_fn(f"hurdle test rmse: {results['test_hurdle_comb_rmse']}")
     _maybe_pickle(results, workdir, "results_hurdle.pickle")

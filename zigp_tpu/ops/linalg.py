@@ -181,9 +181,20 @@ def _apply_factor_ops(ops, x: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(apply1, in_axes=1, out_axes=1)(x)
 
 
-def kron_mv(mats: Sequence[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """y = (⊗_p mats[p]) x without materializing the Kronecker product."""
-    return _apply_factor_ops([(lambda X, A=A: A @ X, A.shape[0]) for A in mats], x)
+def kron_mv(
+    mats: Sequence[jnp.ndarray], x: jnp.ndarray, *, precision=None
+) -> jnp.ndarray:
+    """y = (⊗_p mats[p]) x without materializing the Kronecker product.
+
+    ``precision``: jax.lax.Precision for the per-factor matmuls (None = TPU
+    default bf16 products; pass HIGHEST on precision-sensitive paths)."""
+    return _apply_factor_ops(
+        [
+            (lambda X, A=A: jnp.dot(A, X, precision=precision), A.shape[0])
+            for A in mats
+        ],
+        x,
+    )
 
 
 def kron_solve_lower(Ls: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:

@@ -50,6 +50,10 @@ class FitResult:
     opt_state: Any
     losses: List[float] = field(default_factory=list)
     steps_per_sec: float = 0.0
+    # True when training stopped early on Ctrl-C (after checkpointing for
+    # resume). Callers that run multiple fits (the CV driver) must check this
+    # and abort instead of treating the partial run as fully trained.
+    interrupted: bool = False
 
 
 def fit(

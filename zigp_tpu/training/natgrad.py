@@ -112,8 +112,14 @@ def natgrad_update_mean_kron(
     diagonal family's safeguard; non-finite updates fall back."""
     from ..ops import linalg
 
+    # Full-f32 products throughout: this preconditioned step is applied every
+    # iteration at full γ, and TPU-default bf16 matmul products measurably
+    # degrade precision-sensitive training (see linalg.hdot).
     Cs = [jnp.tril(C) for C in C_factors]
-    step = linalg.kron_mv([C @ C.T for C in Cs], dL_dmu)
+    step = linalg.kron_mv(
+        [linalg.hdot(C, C.T) for C in Cs], dL_dmu,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     m_new = q_mu - lr * step
     if max_mean_step:
         sigma = jnp.sqrt(
@@ -236,10 +242,19 @@ class NaturalGradientTrainer:
                 continue
             # Kron-factored covariance: exact natural step on the mean with
             # S = ⊗ C_p C_pᵀ fixed (factors themselves train under Adam).
-            factors_prefix = name.replace("q_mu", "q_sqrt_factors")
-            factor_names = sorted(
-                n for n in by_name if n.startswith(factors_prefix)
-            )
+            # Gated on the kron family AND on the replace actually rewriting
+            # the name: for dense models (u_fm/u_gm, or q_mu with no factors)
+            # the replace is a no-op, factors_prefix == name would match the
+            # mean leaf itself, and the mean would take a bogus rank-1
+            # "natural" step while the diag (m, s) update below is skipped —
+            # silently freezing u_*s_sqrt (Adam has them labelled frozen).
+            factor_names = []
+            if self._kron_cov and "q_mu" in name:
+                factors_prefix = name.replace("q_mu", "q_sqrt_factors")
+                if factors_prefix != name:
+                    factor_names = sorted(
+                        n for n in by_name if n.startswith(factors_prefix)
+                    )
             if factor_names:
                 C_factors = [by_name[n][0].value for n in factor_names]
                 m_new = natgrad_update_mean_kron(
