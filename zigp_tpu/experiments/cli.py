@@ -68,6 +68,13 @@ def _common(p):
                    help="minibatch source: host = epoch pipeline (reference "
                         "schedule); device = HBM-resident uniform sampling "
                         "(fastest when host->device bandwidth binds)")
+    p.add_argument("--mesh-data", type=int, default=None, dest="mesh_data",
+                   help="shard the minibatch over this many devices (data "
+                        "parallelism; batch size must divide it)")
+    p.add_argument("--mesh-model", type=int, default=None, dest="mesh_model",
+                   help="additionally row-shard the variational parameters "
+                        "over this many devices (tensor parallelism; uses "
+                        "mesh-data × mesh-model devices total)")
 
 
 def main(argv=None):
@@ -161,6 +168,9 @@ def main(argv=None):
             kw["batch_size"] = args.batch
         if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
             kw["sampler"] = args.sampler
+        for mk in ("mesh_data", "mesh_model"):
+            if getattr(args, mk, None) is not None and hasattr(cfg, mk):
+                kw[mk] = getattr(args, mk)
         return dataclasses.replace(cfg, **kw)
 
     best = getattr(args, "preset", "reference") == "best"

@@ -60,6 +60,13 @@ class OnOffPptrConfig:
     natgrad_adam_warmup: int = 1000  # all-param Adam phase before the split
     g_mean_shift: float = 0.0  # constant prior-mean shift on g (onoffpred.py:141 uses -1.0)
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
+    # Multi-device training over a jax.sharding.Mesh (0/0 = single device):
+    # mesh_data devices shard the minibatch (data parallelism, params
+    # replicated); mesh_model > 1 additionally row-shards the variational
+    # parameters + Adam moments over the 'model' axis (tensor parallelism).
+    # Uses mesh_data × mesh_model devices; batch_size must divide mesh_data.
+    mesh_data: int = 0
+    mesh_model: int = 0
 
 
 @dataclass
@@ -84,6 +91,8 @@ class SvgpPptrConfig:
     lr_schedule: str = ""
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
     sampler: str = "host"  # "host" (epoch pipeline) | "device" (HBM-resident sampling)
+    mesh_data: int = 0  # see OnOffPptrConfig.mesh_data
+    mesh_model: int = 0
 
 
 @dataclass
@@ -108,6 +117,8 @@ class ClassifierPptrConfig:
     lr_schedule: str = ""
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
     sampler: str = "host"  # "host" (epoch pipeline) | "device" (HBM-resident sampling)
+    mesh_data: int = 0  # see OnOffPptrConfig.mesh_data
+    mesh_model: int = 0
 
 
 def best_onoff_config() -> "OnOffPptrConfig":

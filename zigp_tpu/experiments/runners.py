@@ -100,8 +100,10 @@ def _fit_auto(
     if getattr(cfg, "optimizer", "adam") == "natgrad":
         from ..training.natgrad import fit_natgrad_scanned
 
+        if getattr(cfg, "mesh_data", 0) or getattr(cfg, "mesh_model", 0):
+            log_fn("warning: mesh training is not supported with optimizer=natgrad; training single-device")
         # natural-gradient production path (γ warmup + trust region + Adam
-        # warm-start); checkpoint/resume not yet threaded through this loop
+        # warm-start)
         return fit_natgrad_scanned(
             model,
             ds,
@@ -139,6 +141,23 @@ def _fit_auto(
         log_fn("checkpoint is already at or past num_iter; nothing to train")
         return FitResult(model=model, opt_state=opt_state)
 
+    # Multi-device mesh (cfg.mesh_data / cfg.mesh_model): the production
+    # scanned trainer shards the minibatch over 'data' and, with
+    # mesh_model > 1, the variational rows over 'model'.
+    mesh = None
+    mesh_tp = False
+    n_data = getattr(cfg, "mesh_data", 0) or 0
+    n_model = getattr(cfg, "mesh_model", 0) or 0
+    if n_data or n_model:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=n_data or None, n_model=max(1, n_model))
+        mesh_tp = n_model > 1
+        log_fn(
+            f"mesh: {mesh.shape['data']}-way data parallel"
+            + (f" × {mesh.shape['model']}-way tensor parallel" if mesh_tp else "")
+        )
+
     scan_inner = getattr(cfg, "scan_inner", 0)
     if scan_inner and remaining >= scan_inner:
         return fit_scanned(
@@ -165,7 +184,11 @@ def _fit_auto(
             callback_every=getattr(cfg, "monitor_every", 0) if monitor_cb else 0,
             sampler=getattr(cfg, "sampler", "host"),
             sampler_seed=getattr(cfg, "seed", 0),
+            mesh=mesh,
+            mesh_tp=mesh_tp,
         )
+    if mesh is not None:
+        log_fn("mesh training requires the scanned path; ignoring mesh for the per-step loop")
     return fit(
         model,
         ds,

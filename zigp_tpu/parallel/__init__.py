@@ -1,5 +1,9 @@
 from .mesh import batch_sharding, make_mesh, replicate, replicated, shard_batch
-from .step import make_sharded_train_step
+from .step import (
+    make_device_sampling_sharded_scan_step,
+    make_scan_sharded_train_step,
+    make_sharded_train_step,
+)
 from .tp import make_tp_train_step, tp_place, tp_shardings_tree
 
 __all__ = [
@@ -9,6 +13,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_sharded_train_step",
+    "make_scan_sharded_train_step",
+    "make_device_sampling_sharded_scan_step",
     "make_tp_train_step",
     "tp_place",
     "tp_shardings_tree",

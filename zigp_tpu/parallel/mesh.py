@@ -31,6 +31,12 @@ def make_mesh(
     devices = list(devices) if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh needs {n_data}×{n_model} = {n_data * n_model} devices but "
+            f"only {len(devices)} are available "
+            f"({[d.platform for d in devices[:4]]}...)"
+        )
     use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(use, axis_names=("data", "model"))
 

@@ -154,6 +154,8 @@ def fit_scanned(
     callback_every: int = 0,
     sampler: str = "host",
     sampler_seed: int = 0,
+    mesh=None,
+    mesh_tp: bool = False,
 ):
     """fit() with the scanned inner loop. ``num_iter`` is the number of
     optimizer steps to run *in this call*; ``start_step`` offsets the step
@@ -185,6 +187,17 @@ def fit_scanned(
       histograms of every latent and gradient each 200 iters).
     - ``callback(step, model)`` every ``callback_every`` steps — the
       inducing-monitor hook (reference plots every 10k iters).
+
+    Multi-device training (new-design obligation — the reference is single
+    process, SURVEY §2 "Parallelism: NONE"): pass a ``mesh``
+    (parallel.make_mesh) to run the scanned step sharded — the per-step
+    minibatch over the mesh ``data`` axis (pure data parallelism, parameters
+    replicated), and with ``mesh_tp=True`` additionally the M-row variational
+    parameters + Adam moments row-sharded over ``model`` (tensor
+    parallelism). Works with both samplers; trajectories are numerically
+    identical to single-device training (equivalence-tested at 1e-9 on the
+    8-device CPU mesh, tests/test_parallel_scan.py). ``batch_size`` must
+    divide by the data-axis size.
     """
     import time
 
@@ -196,7 +209,28 @@ def fit_scanned(
     if opt_state is None:
         opt_state = optimizer.init(model)
     device_mode = sampler == "device"
-    if device_mode:
+    place = None
+    if mesh is not None:
+        from ..parallel import replicate
+        from ..parallel.step import (
+            make_device_sampling_sharded_scan_step,
+            make_scan_sharded_train_step,
+        )
+        from ..parallel.tp import tp_place
+
+        place = tp_place if mesh_tp else replicate
+        model = place(mesh, model)
+        opt_state = place(mesh, opt_state)
+        if device_mode:
+            Xd, Yd = data.arrays
+            step = make_device_sampling_sharded_scan_step(
+                optimizer, mesh, Xd, Yd, batch_size, loss_fn, tp=mesh_tp
+            )
+        else:
+            step = make_scan_sharded_train_step(
+                optimizer, mesh, loss_fn, tp=mesh_tp
+            )
+    elif device_mode:
         Xd, Yd = data.arrays
         step = make_device_sampling_scan_step(
             optimizer, jnp.asarray(Xd), jnp.asarray(Yd), batch_size, loss_fn
@@ -267,6 +301,11 @@ def fit_scanned(
                         restored = ckpt_manager.restore_latest(model, opt_state)
                         if restored is not None:
                             model, opt_state, from_step = restored
+                            if place is not None:
+                                # restored leaves are host arrays; re-place to
+                                # keep the compiled executable's shardings
+                                model = place(mesh, model)
+                                opt_state = place(mesh, opt_state)
                             restored_this_block = True
                             log_fn(f"restored from checkpoint at step {from_step}")
                     continue
