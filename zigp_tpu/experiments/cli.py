@@ -68,6 +68,24 @@ def _common(p):
                    help="minibatch source: host = epoch pipeline (reference "
                         "schedule); device = HBM-resident uniform sampling "
                         "(fastest when host->device bandwidth binds)")
+    p.add_argument("--optimizer", type=str, default=None,
+                   choices=("adam", "natgrad"),
+                   help="adam = reference optimizer; natgrad = natural "
+                        "gradient on the variational (q_mu, q_sqrt) pairs + "
+                        "Adam on hyperparameters (models that support it)")
+    p.add_argument("--kernel-temporal", type=str, default=None,
+                   dest="kernel_temporal",
+                   help="temporal-factor kernel family: rbf (reference), "
+                        "matern12/32/52, periodic, rq, linear, or composites "
+                        "like 'periodic*rbf' (decaying daily cycle)")
+    p.add_argument("--kernel-spatial", type=str, default=None,
+                   dest="kernel_spatial",
+                   help="spatial-factor kernel family (same choices)")
+    p.add_argument("--kernel-period", type=float, default=None,
+                   dest="kernel_period",
+                   help="initial period for 'periodic' temporal kernels, in "
+                        "the model's time units (pptr time is days/1000; "
+                        "1 day = 0.001)")
     p.add_argument("--mesh-data", type=int, default=None, dest="mesh_data",
                    help="shard the minibatch over this many devices (data "
                         "parallelism; batch size must divide it)")
@@ -168,6 +186,26 @@ def main(argv=None):
             kw["batch_size"] = args.batch
         if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
             kw["sampler"] = args.sampler
+        if getattr(args, "optimizer", None) and hasattr(cfg, "optimizer"):
+            kw["optimizer"] = args.optimizer
+        fam_t = getattr(args, "kernel_temporal", None)
+        fam_s = getattr(args, "kernel_spatial", None)
+        period = getattr(args, "kernel_period", None)
+
+        def _ki(init, family):
+            repl = {"family": family} if family else {}
+            if period is not None and "periodic" in (family or init.family):
+                repl["period"] = (period,) * len(init.lengthscales)
+            return dataclasses.replace(init, **repl) if repl else init
+
+        if fam_t or period is not None:
+            for f in ("fk_temporal", "gk_temporal", "k_temporal"):
+                if hasattr(cfg, f):
+                    kw[f] = _ki(getattr(cfg, f), fam_t)
+        if fam_s:
+            for f in ("fk_spatial", "gk_spatial", "k_spatial"):
+                if hasattr(cfg, f):
+                    kw[f] = _ki(getattr(cfg, f), fam_s)
         for mk in ("mesh_data", "mesh_model"):
             if getattr(args, mk, None) is not None and hasattr(cfg, mk):
                 kw[mk] = getattr(args, mk)

@@ -42,6 +42,16 @@ from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
 logger = logging.getLogger("zigp")
 
 
+def _log_hyperparams(model, log_fn):
+    """End-of-run learned-hyperparameter summary — one line per small
+    trainable Parameter (kernel lengthscales/variances, likelihood noise),
+    matching the reference's completion log (scripts/onoff.py:437-446)."""
+    from ..core.parameters import hyperparam_summary
+
+    for name, val in hyperparam_summary(model).items():
+        log_fn(f"learned {name} = {np.array2string(val, precision=6)}")
+
+
 def predict_batched(predict_fn: Callable, X: np.ndarray, batch: int = 4096) -> Dict[str, np.ndarray]:
     """Run a jitted predict fn over X in fixed-shape chunks.
 
@@ -97,13 +107,21 @@ def _fit_auto(
     else:
         optimizer = make_optimizer(model, default_lr=learning_rate)
 
+    ckpt = metric = None
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+        if getattr(cfg, "ckpt_every", 0):
+            ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), every=cfg.ckpt_every)
+        metric = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
+
     if getattr(cfg, "optimizer", "adam") == "natgrad":
         from ..training.natgrad import fit_natgrad_scanned
 
         if getattr(cfg, "mesh_data", 0) or getattr(cfg, "mesh_model", 0):
             log_fn("warning: mesh training is not supported with optimizer=natgrad; training single-device")
         # natural-gradient production path (γ warmup + trust region + Adam
-        # warm-start)
+        # warm-start) with the same checkpoint/metrics/resume machinery and
+        # sampler choice as the Adam path
         return fit_natgrad_scanned(
             model,
             ds,
@@ -118,14 +136,12 @@ def _fit_auto(
                 1, (cfg.log_every or 200) // (getattr(cfg, "scan_inner", 50) or 50)
             ),
             log_fn=log_fn,
+            ckpt_manager=ckpt,
+            metric_logger=metric,
+            resume=resume,
+            sampler=getattr(cfg, "sampler", "host"),
+            sampler_seed=getattr(cfg, "seed", 0),
         )
-
-    ckpt = metric = None
-    if workdir:
-        os.makedirs(workdir, exist_ok=True)
-        if getattr(cfg, "ckpt_every", 0):
-            ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), every=cfg.ckpt_every)
-        metric = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
 
     start_step = 0
     opt_state = optimizer.init(model)
@@ -240,6 +256,7 @@ def run_onoff(
     )
     model = res.model
     train_time = time.time() - t0
+    _log_hyperparams(model, log_fn)
 
     def predict(X):
         return model.predict(X)
@@ -302,6 +319,7 @@ def run_svgp(
         workdir=workdir, resume=resume,
     )
     model = res.model
+    _log_hyperparams(model, log_fn)
 
     def predict(X):
         fmean, fvar = model.predict_f(X)
@@ -352,6 +370,7 @@ def run_classifier(
         workdir=workdir, resume=resume,
     )
     model = res.model
+    _log_hyperparams(model, log_fn)
 
     def predict(X):
         pfmean, pfvar = model.predict_prob(X)

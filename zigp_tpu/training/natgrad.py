@@ -135,7 +135,8 @@ def gamma_schedule(step, *, gamma: float, warmup: int, gamma_init: float = 1e-4)
     constant (Salimbeni et al.'s natural-gradient warmup). ``step`` may be a
     traced array; returns a jnp scalar."""
     if warmup <= 0:
-        return jnp.asarray(gamma, jnp.float32)
+        # match the step argument's shape so (K,) schedule blocks stay (K,)
+        return jnp.broadcast_to(jnp.asarray(gamma, jnp.float32), jnp.shape(step))
     frac = jnp.clip(jnp.asarray(step, jnp.float32) / warmup, 0.0, 1.0)
     return jnp.asarray(gamma_init * (gamma / gamma_init) ** frac, jnp.float32)
 
@@ -331,6 +332,37 @@ class NaturalGradientTrainer:
 
         return step
 
+    def make_device_scan_step(self, Xtrain, Ytrain, batch_size: int, *, unroll: int = 4):
+        """Device-sampling variant of make_scan_step (mirrors
+        training/scan.make_device_sampling_scan_step): the training set lives
+        in HBM, each scan iteration draws a uniform minibatch inside the
+        jitted step, and the host ships one PRNG key + the (K,) γ schedule
+        per dispatch. (model, opt_state, block_key, gammas) -> (model,
+        opt_state, losses)."""
+        Xtrain = jnp.asarray(Xtrain)
+        Ytrain = jnp.asarray(Ytrain)
+        N = Xtrain.shape[0]
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(model, opt_state, block_key, gammas):
+            keys = jax.random.split(block_key, gammas.shape[0])
+
+            def body(carry, inp):
+                model, opt_state = carry
+                key, gamma = inp
+                idx = jax.random.randint(key, (batch_size,), 0, N)
+                model, opt_state, loss = self._step_body(
+                    model, opt_state, Xtrain[idx], Ytrain[idx], gamma
+                )
+                return (model, opt_state), loss
+
+            (model, opt_state), losses = jax.lax.scan(
+                body, (model, opt_state), (keys, gammas), unroll=unroll
+            )
+            return model, opt_state, losses
+
+        return step
+
 
 def fit_natgrad_scanned(
     model,
@@ -347,6 +379,12 @@ def fit_natgrad_scanned(
     max_mean_step: float = 10.0,
     log_every_blocks: int = 4,
     log_fn=print,
+    ckpt_manager=None,
+    recover_on_nan: bool = True,
+    metric_logger=None,
+    resume: bool = False,
+    sampler: str = "host",
+    sampler_seed: int = 0,
 ):
     """Production natural-gradient training: scanned K-step dispatches with
     the γ-warmup schedule threaded through as per-step traced scalars.
@@ -355,47 +393,167 @@ def fit_natgrad_scanned(
     Adam before switching to the natgrad/Adam split — the freshly-initialised
     gate's expectation-space gradients are the divergence driver; a short
     Adam phase moves the model into the basin where natural steps are stable.
+
+    Production machinery (same contract as ``fit_scanned``, which see):
+
+    - ``ckpt_manager``: periodic Orbax checkpoints of (model, trainer adam
+      state) at the manager's cadence, plus one at the start of the natgrad
+      phase so NaN recovery always has a restore target. Checkpoint steps are
+      *global* (warmup + natgrad); the γ schedule is keyed to the natgrad
+      phase, so a restored run resumes the schedule exactly.
+    - ``recover_on_nan``: a non-finite block loss restores from the latest
+      checkpoint instead of poisoning the run; poisoned state is never saved.
+    - ``resume=True``: restore the latest checkpoint (skipping the Adam
+      warmup, which is only run on a fresh start) and fast-forward the host
+      minibatch stream — the resumed trajectory reproduces the uninterrupted
+      one.
+    - ``metric_logger``: JSONL scalars (loss/elbo/gamma) at the log cadence.
+    - ``sampler="device"``: training set lives in HBM, minibatches drawn
+      inside the jitted step (make_device_scan_step) — host traffic per
+      dispatch is one PRNG key + the (K,) γ schedule. Requires ``data`` to
+      expose the ``.arrays`` property.
+    - Ctrl-C checkpoints the current step and returns ``interrupted=True``.
     """
     import time
 
+    import numpy as _np
+
     from .loop import FitResult
     from .scan import fit_scanned, stage_batches
-
-    if adam_warmup:
-        warm = fit_scanned(
-            model, data, num_iter=adam_warmup, batch_size=batch_size,
-            num_inner=min(num_inner, adam_warmup), learning_rate=adam_lr,
-            log_every_blocks=0, log_fn=log_fn,
-        )
-        model = warm.model
-        num_iter = max(num_iter - adam_warmup, num_inner)
 
     trainer = NaturalGradientTrainer(
         model, gamma=gamma, adam_lr=adam_lr,
         gamma_warmup=gamma_warmup, gamma_init=gamma_init,
         max_mean_step=max_mean_step,
     )
-    opt_state = trainer.init(model)
-    step = trainer.make_scan_step()
+
+    start_step = None
+    opt_state = None
+    if resume and ckpt_manager is not None:
+        restored = ckpt_manager.restore_latest(model, trainer.init(model))
+        if restored is not None:
+            model, opt_state, start_step = restored
+            log_fn(f"resumed natgrad from checkpoint at step {start_step}")
+            if sampler != "device" and start_step and hasattr(data, "skip"):
+                data.skip(batch_size, start_step)
+
+    if start_step is None:
+        if adam_warmup:
+            warm = fit_scanned(
+                model, data, num_iter=adam_warmup, batch_size=batch_size,
+                num_inner=min(num_inner, adam_warmup), learning_rate=adam_lr,
+                log_every_blocks=0, log_fn=log_fn,
+                sampler=sampler, sampler_seed=sampler_seed,
+            )
+            if warm.interrupted:
+                return warm
+            model = warm.model
+        opt_state = trainer.init(model)
+        start_step = adam_warmup
+
+    num_iter = max(num_iter, start_step + num_inner)
+    device_mode = sampler == "device"
+    if device_mode:
+        Xd, Yd = data.arrays
+        step = trainer.make_device_scan_step(Xd, Yd, batch_size)
+    else:
+        step = trainer.make_scan_step()
+
+    if ckpt_manager is not None and ckpt_manager.latest_step() is None:
+        ckpt_manager.save_at(start_step, model, opt_state)
 
     losses = []
-    num_blocks = max(1, num_iter // num_inner)
+    num_blocks = max(1, (num_iter - start_step) // num_inner)
     t_start = time.time()
     timed_steps = 0
-    for b in range(num_blocks):
-        Xs, Ys = stage_batches(data, batch_size, num_inner)
-        gammas = trainer.gamma_at(jnp.arange(b * num_inner, (b + 1) * num_inner))
-        model, opt_state, block_losses = step(model, opt_state, Xs, Ys, gammas)
-        if b == 0:
-            jax.block_until_ready(block_losses)
-            t_start = time.time()
-        else:
-            timed_steps += num_inner
-        if log_every_blocks and b % log_every_blocks == 0:
-            last = float(block_losses[-1])
-            losses.append(last)
-            log_fn(f"step {(b + 1) * num_inner:>8d}  loss {last:.6f}")
+    steps_done = start_step
+    restored_this_block = False
+    try:
+        for b in range(num_blocks):
+            restored_this_block = False
+            # γ schedule is keyed to the natgrad-phase-local step so warmup /
+            # resume offsets don't distort the ramp
+            local = steps_done - adam_warmup
+            gammas = trainer.gamma_at(jnp.arange(local, local + num_inner))
+            if device_mode:
+                block_key = jnp.asarray(
+                    _np.array([sampler_seed, steps_done // num_inner], dtype=_np.uint32)
+                )
+                model, opt_state, block_losses = step(
+                    model, opt_state, block_key, gammas
+                )
+            else:
+                Xs, Ys = stage_batches(data, batch_size, num_inner)
+                model, opt_state, block_losses = step(
+                    model, opt_state, Xs, Ys, gammas
+                )
+            prev_steps = steps_done
+            steps_done += num_inner
+            if b == 0:
+                jax.block_until_ready(block_losses)
+                t_start = time.time()
+            else:
+                timed_steps += num_inner
+
+            is_log = log_every_blocks and b % log_every_blocks == 0
+            ckpt_due = ckpt_manager is not None and ckpt_manager.crossed(
+                prev_steps, steps_done
+            )
+            # Sync only when this block needs the loss value (see fit_scanned
+            # for the measured cost of per-block syncs). Never checkpoint
+            # unverified state.
+            if is_log or ckpt_due:
+                last = float(block_losses[-1])
+                if not jnp.isfinite(last):
+                    log_fn(f"step {steps_done:>8d}  NON-FINITE loss")
+                    if ckpt_manager is not None and recover_on_nan:
+                        restored = ckpt_manager.restore_latest(model, opt_state)
+                        if restored is not None:
+                            model, opt_state, from_step = restored
+                            restored_this_block = True
+                            log_fn(f"restored from checkpoint at step {from_step}")
+                    continue
+                if ckpt_due:
+                    ckpt_manager.save_at(steps_done, model, opt_state)
+                if is_log:
+                    losses.append(last)
+                    log_fn(f"step {steps_done:>8d}  loss {last:.6f}")
+                    if metric_logger is not None:
+                        metric_logger.log(
+                            steps_done,
+                            scalars={
+                                "loss": last,
+                                "elbo": -last,
+                                "gamma": float(trainer.gamma_at(steps_done - adam_warmup)),
+                            },
+                        )
+    except KeyboardInterrupt:
+        jax.block_until_ready(model)
+        log_fn(f"interrupted at step {steps_done} — checkpointing for resume")
+        if ckpt_manager is not None:
+            last = float(block_losses[-1]) if steps_done > start_step else 0.0
+            if jnp.isfinite(last):
+                ckpt_manager.save_at(steps_done, model, opt_state)
+            else:
+                log_fn("interrupt state is non-finite — not checkpointed")
+        elapsed = max(time.time() - t_start, 1e-12)
+        return FitResult(
+            model=model,
+            opt_state=opt_state,
+            losses=losses,
+            steps_per_sec=timed_steps / elapsed if timed_steps else 0.0,
+            interrupted=True,
+        )
     jax.block_until_ready(model)
+    # same silent-NaN closure as fit_scanned: one final sync regardless of
+    # logging/checkpoint cadence
+    final_loss = float(block_losses[-1]) if num_blocks else 0.0
+    if not jnp.isfinite(final_loss) and not restored_this_block:
+        raise FloatingPointError(
+            f"fit_natgrad_scanned finished at step {steps_done} with a "
+            f"non-finite loss ({final_loss}); the trained state is unusable. "
+            "Enable checkpointing (ckpt_manager) to get NaN recovery mid-run."
+        )
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
         model=model,
