@@ -192,3 +192,32 @@ def test_chol_inv_vmap(rng):
         L0 = np.linalg.cholesky(np.asarray(Kb[i]))
         np.testing.assert_allclose(np.asarray(L[i]), L0, rtol=1e-9, atol=1e-10)
         np.testing.assert_allclose(np.asarray(Linv[i]), np.linalg.inv(L0), rtol=1e-8, atol=1e-9)
+
+
+def test_chol_inv_blocked_matches_numpy(rng):
+    """Two-level blocked kernel (VERDICT r2 #2): diagonal blocks via the
+    sequential rank-2 kernel, panels/updates/back-substitution via exact-f32
+    matmuls — parity at the scale config's n=250 and friends."""
+    from zigp_tpu.ops.pallas.chol_inv import chol_inv_blocked
+
+    for n in (130, 250, 256, 300):
+        K = _spd(rng, (2, n, n))
+        L, Linv = chol_inv_blocked(jnp.asarray(K, jnp.float32), interpret=True)
+        L0 = np.linalg.cholesky(K)
+        Li0 = np.linalg.inv(L0)
+        np.testing.assert_allclose(np.asarray(L), L0, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Linv), Li0, rtol=2e-4, atol=2e-4)
+        # strict lower-triangularity of both outputs (identity-tail unpadding)
+        assert np.allclose(np.triu(np.asarray(L), 1), 0.0)
+        assert np.allclose(np.triu(np.asarray(Linv), 1), 0.0)
+
+
+def test_chol_inv_blocked_single_block_consistent(rng):
+    """n <= nb degenerates to the plain kernel."""
+    from zigp_tpu.ops.pallas.chol_inv import chol_inv_blocked, chol_inv_pallas
+
+    K = jnp.asarray(_spd(rng, (3, 64, 64)), jnp.float32)
+    La, Lia = chol_inv_blocked(K, interpret=True)
+    Lb, Lib = chol_inv_pallas(K, interpret=True)
+    np.testing.assert_allclose(np.asarray(La), np.asarray(Lb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Lia), np.asarray(Lib), rtol=1e-6)

@@ -54,24 +54,39 @@ def hdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-# Above this factor size the Pallas kernel's sequential column loop loses to
-# XLA's blocked Cholesky + solve (measured on v5e at the 105×250 scale
-# config: n=250 via Pallas costs ~25 % of step throughput; n=100 via Pallas
-# wins ~1.6×). Either way downstream stays solve-free (matmuls against L⁻¹).
+# Above this factor size the single-program Pallas kernel's sequential column
+# loop loses to alternatives (measured on v5e at the 105×250 scale config:
+# n=250 via the sequential kernel costs ~25 % of step throughput; n=100 wins
+# ~1.6×). For 128 < n ≤ _PALLAS_BLOCKED_MAX_N the two-level blocked variant
+# (sequential kernel on 128×128 diagonal blocks, exact-f32 MXU matmuls for
+# panels/updates) takes over; beyond that, XLA chol + solve. Either way
+# downstream stays solve-free (matmuls against L⁻¹).
+#
+# Measured (v5e, round 3): per standalone call the blocked kernel beats the
+# XLA chol+solve pair ~30 % at n=250-500 (1080 vs 1507 µs incl. dispatch)
+# with ~100× better L⁻¹ accuracy vs f64 (8e-7 vs 8e-5 — triangular inverse
+# via exact panel matmuls instead of a solve against an f32 L). Inside the
+# scanned 105×250 train step it is throughput-neutral (2163 vs 2163 steps/s
+# at 20k steps): after round 2's device sampler, the factorization is off the
+# critical path there — the step is bound by the O(M·B) factored
+# contractions, which grow linearly with the 26k-row inducing grid.
 _PALLAS_MAX_N = 128
+_PALLAS_BLOCKED_MAX_N = 512
 
 
 def _chol_inv_impl(K: jnp.ndarray):
-    if (
-        K.dtype == jnp.float32
-        and K.shape[-1] <= _PALLAS_MAX_N
-        and jax.default_backend() == "tpu"
-    ):
-        from .pallas.chol_inv import chol_inv_pallas
+    n = K.shape[-1]
+    if K.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        if n <= _PALLAS_MAX_N:
+            from .pallas.chol_inv import chol_inv_pallas
 
-        return chol_inv_pallas(K)
+            return chol_inv_pallas(K)
+        if n <= _PALLAS_BLOCKED_MAX_N:
+            from .pallas.chol_inv import chol_inv_blocked
+
+            return chol_inv_blocked(K)
     L = _cholesky(K, lower=True)
-    eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=K.dtype), K.shape)
     return L, solve_triangular(L, eye, lower=True)
 
 

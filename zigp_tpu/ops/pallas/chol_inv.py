@@ -153,3 +153,85 @@ def chol_inv_pallas(K, *, interpret: bool = False):
         Linv[:, :n, :n].reshape(batch_shape + (n, n)),
     )
 
+
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
+def chol_inv_blocked(K, *, nb: int = 128, interpret: bool = False):
+    """Blocked (L, L⁻¹) for medium matrices (128 < n ≤ 512, float32).
+
+    Two-level scheme (VERDICT r2 #2): the exact sequential rank-2 Pallas
+    kernel factorizes the nb×nb *diagonal* blocks — where fp exactness is
+    load-bearing (pivots/divisions) — while panels, trailing Schur updates,
+    and the L⁻¹ block back-substitution are MXU matmuls at Precision.HIGHEST
+    (exact f32 via 6-pass; these matmuls REPLACE triangular solves, so bf16
+    products here would poison positive-definiteness — the measured round-2
+    failure of the uniformly-bf16 8×8 blocked variant). Sequential vector
+    work drops from O(n³) to O(n·nb²); the O(n³) bulk rides the MXU.
+
+    Replaces the XLA fallback at the 105×250 scale config, where the 250-knot
+    temporal factor's chol+solve custom calls dominate the step (RESULTS.md).
+    Reference hot spot being replaced: /root/reference/onofftf/main.py:356.
+    """
+    batch_shape = K.shape[:-2]
+    n = K.shape[-1]
+    nblk = -(-n // nb)
+    m = nblk * nb
+    Kb = K.astype(jnp.float32).reshape((-1, n, n))
+    if m != n:
+        # identity tail: chol/inv of blockdiag(K, I) = blockdiag(chol K, I)
+        Kb = jnp.pad(Kb, ((0, 0), (0, m - n), (0, m - n)))
+        tail = (jnp.arange(m)[:, None] == jnp.arange(m)[None, :]) & (
+            jnp.arange(m)[None, :] >= n
+        )
+        Kb = Kb + tail.astype(Kb.dtype)[None]
+
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    mT = lambda a: jnp.swapaxes(a, -1, -2)
+
+    # blocked right-looking Cholesky; nblk ≤ 4 so the Python loops unroll
+    A = Kb
+    Lb = [[None] * nblk for _ in range(nblk)]
+    Ld_inv = [None] * nblk
+    for i in range(nblk):
+        d = slice(i * nb, (i + 1) * nb)
+        Lii, Linv_ii = chol_inv_pallas(A[:, d, d], interpret=interpret)
+        Lb[i][i] = Lii
+        Ld_inv[i] = Linv_ii
+        if i + 1 < nblk:
+            t = slice((i + 1) * nb, m)
+            # panel: L[t, i] = A[t, i] L_iiᵀ⁻¹  (matmul against the inverse)
+            P = mm(A[:, t, d], mT(Linv_ii))
+            for j in range(i + 1, nblk):
+                Lb[j][i] = P[:, (j - i - 1) * nb : (j - i) * nb, :]
+            A = A.at[:, t, t].add(-mm(P, mT(P)))
+
+    # L⁻¹ by block forward substitution: (L⁻¹)_ij = −L_ii⁻¹ Σ_k L_ik (L⁻¹)_kj
+    Bi = [[None] * nblk for _ in range(nblk)]
+    for i in range(nblk):
+        Bi[i][i] = Ld_inv[i]
+        for j in range(i - 1, -1, -1):
+            S = Bi[j][j] * 0.0  # (G, nb, nb) zeros of the right dtype
+            for k in range(j, i):
+                S = S + mm(Lb[i][k], Bi[k][j])
+            Bi[i][j] = -mm(Ld_inv[i], S)
+
+    zero = jnp.zeros_like(Ld_inv[0])
+    L = jnp.concatenate(
+        [
+            jnp.concatenate([Lb[i][j] if j <= i else zero for j in range(nblk)], axis=-1)
+            for i in range(nblk)
+        ],
+        axis=-2,
+    )
+    Linv = jnp.concatenate(
+        [
+            jnp.concatenate([Bi[i][j] if j <= i else zero for j in range(nblk)], axis=-1)
+            for i in range(nblk)
+        ],
+        axis=-2,
+    )
+    return (
+        L[:, :n, :n].reshape(batch_shape + (n, n)),
+        Linv[:, :n, :n].reshape(batch_shape + (n, n)),
+    )
+
