@@ -137,3 +137,117 @@ def test_onoff_fullcov_paired_trains(rng):
     first = float(model.loss(jnp.asarray(X), jnp.asarray(Y)))
     res = fit(model, DataSet(X, Y), num_iter=40, batch_size=25, learning_rate=0.05, log_every=0)
     assert float(res.model.loss(jnp.asarray(X), jnp.asarray(Y))) < first
+
+
+# ---------------------------------------------------------------------------
+# full_cov=True: joint (B, B) predictive covariance + joint sampling
+# (VERDICT r2 #5; reference full_cov branch onofftf/main.py:277-289)
+# ---------------------------------------------------------------------------
+
+
+def _dense_pieces(ks, Zs_np, X, jitter=1e-6):
+    Ms, Mt = Zs_np[0].shape[0], Zs_np[1].shape[0]
+    M, B = Ms * Mt, X.shape[0]
+    Kmms = [np.asarray(linalg.add_jitter(k.K(jnp.asarray(Z)), jitter)) for k, Z in zip(ks, Zs_np)]
+    Kfull = np.kron(Kmms[0], Kmms[1])
+    Kmn_s = np.asarray(ks[0].K(jnp.asarray(Zs_np[0]), jnp.asarray(X[:, :2])))
+    Kmn_t = np.asarray(ks[1].K(jnp.asarray(Zs_np[1]), jnp.asarray(X[:, 2:])))
+    Kmn = (Kmn_s[:, None, :] * Kmn_t[None, :, :]).reshape(M, B)
+    Knn_s = np.asarray(ks[0].K(jnp.asarray(X[:, :2])))
+    Knn_t = np.asarray(ks[1].K(jnp.asarray(X[:, 2:])))
+    return Kfull, Kmn, Knn_s * Knn_t
+
+
+def test_kron_conditional_full_cov_matches_dense_diag_S(rng):
+    from zigp_tpu.ops import conditionals
+
+    Ms, Mt, B = 4, 6, 9
+    Zs_np = [rng.rand(Ms, 2), rng.rand(Mt, 1)]
+    X = rng.rand(B, 3)
+    M = Ms * Mt
+    q_mu = rng.randn(M, 1) * 0.2
+    q_sqrt = 0.2 + rng.rand(M, 1)
+    ks = [RBF.create([0.5, 0.5], 1.2), RBF.create([0.2], 0.8)]
+    masks = [(0, 1), (2,)]
+
+    for whiten in (False, True):
+        mu, cov = conditionals.kron_conditional(
+            jnp.asarray(X), ks, [jnp.asarray(Z) for Z in Zs_np],
+            jnp.asarray(q_mu), jnp.asarray(q_sqrt), masks, jitter=1e-6,
+            whiten=whiten, full_cov=True,
+        )
+        # marginals of the joint must equal the marginal path
+        mu_m, var_m = conditionals.kron_conditional(
+            jnp.asarray(X), ks, [jnp.asarray(Z) for Z in Zs_np],
+            jnp.asarray(q_mu), jnp.asarray(q_sqrt), masks, jitter=1e-6,
+            whiten=whiten, clip_variance=False,
+        )
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_m), rtol=1e-9)
+        np.testing.assert_allclose(
+            np.diagonal(np.asarray(cov)[:, :, 0]), np.asarray(var_m)[:, 0], rtol=1e-7, atol=1e-10
+        )
+        # dense oracle
+        Kfull, Kmn, Knn = _dense_pieces(ks, Zs_np, X)
+        Lfull = np.linalg.cholesky(Kfull)
+        S = np.diag(q_sqrt[:, 0] ** 2)
+        if whiten:
+            A = np.linalg.solve(Lfull, Kmn)  # V
+            mu_d = A.T @ q_mu
+            cov_d = Knn - A.T @ A + A.T @ S @ A
+        else:
+            A = np.linalg.solve(Kfull, Kmn)
+            mu_d = Kmn.T @ np.linalg.solve(Kfull, q_mu)
+            cov_d = Knn - Kmn.T @ A + A.T @ S @ A
+        np.testing.assert_allclose(np.asarray(mu), mu_d, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(cov)[:, :, 0], cov_d, rtol=1e-5, atol=1e-8)
+
+
+def test_kron_conditional_full_cov_matches_dense_kron_S(rng):
+    from zigp_tpu.ops import conditionals
+
+    Ms, Mt, B = 3, 5, 7
+    Zs_np = [rng.rand(Ms, 2), rng.rand(Mt, 1)]
+    X = rng.rand(B, 3)
+    M = Ms * Mt
+    q_mu = rng.randn(M, 1) * 0.2
+    Cs = [_tril(rng, Ms), _tril(rng, Mt)]
+    ks = [RBF.create([0.5, 0.5], 1.2), RBF.create([0.2], 0.8)]
+    masks = [(0, 1), (2,)]
+
+    mu, cov = conditionals.kron_conditional(
+        jnp.asarray(X), ks, [jnp.asarray(Z) for Z in Zs_np],
+        jnp.asarray(q_mu), jnp.ones((M, 1)), masks, jitter=1e-6,
+        q_sqrt_factors=[jnp.asarray(C) for C in Cs], full_cov=True,
+    )
+    Kfull, Kmn, Knn = _dense_pieces(ks, Zs_np, X)
+    A = np.linalg.solve(Kfull, Kmn)
+    S = np.kron(Cs[0] @ Cs[0].T, Cs[1] @ Cs[1].T)
+    mu_d = Kmn.T @ np.linalg.solve(Kfull, q_mu)
+    cov_d = Knn - Kmn.T @ A + A.T @ S @ A
+    np.testing.assert_allclose(np.asarray(mu), mu_d, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cov)[:, :, 0], cov_d, rtol=1e-5, atol=1e-8)
+
+
+def test_kron_joint_samples_match_covariance(rng):
+    """predict_f_samples(full_cov=True): the empirical covariance of many
+    joint draws must approach the predicted (B, B) covariance."""
+    Zs = [rng.rand(3, 2), rng.rand(4, 1)]
+    ks = [RBF.create([1.0, 1.0], 1.0), RBF.create([0.3], 1.0)]
+    gp = KronGP.create(ks, Zs, jitter=1e-6, seed=1)
+    # perturb q so the posterior isn't the prior
+    gp = gp.replace(q_mu=gp.q_mu.replace(raw=jnp.asarray(rng.randn(12, 1) * 0.5)))
+    X = rng.rand(6, 3)
+    mu, cov = gp.predict_f(jnp.asarray(X), full_cov=True)
+    S = 40000
+    samples = gp.predict_f_samples(jax.random.PRNGKey(0), jnp.asarray(X), S, full_cov=True)
+    s = np.asarray(samples)[:, :, 0]
+    emp_mu = s.mean(axis=0)
+    emp_cov = np.cov(s.T)
+    cov_np = np.asarray(cov)[:, :, 0]
+    # MC tolerances scale with the statistic's own standard error: the random
+    # inducing gram amplifies posterior covariances well beyond O(1)
+    sd = np.sqrt(np.maximum(np.diagonal(cov_np), 0.0))
+    np.testing.assert_allclose(emp_mu, np.asarray(mu)[:, 0], rtol=0,
+                               atol=5 * sd.max() / np.sqrt(S) + 1e-3)
+    se_cov = np.sqrt((np.outer(sd, sd) ** 2 + cov_np**2) / S)
+    assert np.all(np.abs(emp_cov - cov_np) < 5 * se_cov + 1e-3)

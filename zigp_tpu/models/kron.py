@@ -131,7 +131,7 @@ class KronGP:
             self.q_mu.value, self.q_sqrt.value, factor_state=factor_state
         )
 
-    def predict_f(self, Xnew: jnp.ndarray, factor_state=None):
+    def predict_f(self, Xnew: jnp.ndarray, factor_state=None, *, full_cov: bool = False):
         return conditionals.kron_conditional(
             Xnew,
             self.kernels,
@@ -145,12 +145,26 @@ class KronGP:
             if self.q_sqrt_factors is None
             else [C.value for C in self.q_sqrt_factors],
             factor_state=factor_state if factor_state is not None else self.factor_state(),
+            full_cov=full_cov,
         )
 
-    def predict_f_samples(self, key, Xnew: jnp.ndarray, num_samples: int = 1) -> jnp.ndarray:
-        """Marginal posterior samples, (S, B, 1)."""
+    def predict_f_samples(
+        self, key, Xnew: jnp.ndarray, num_samples: int = 1, *, full_cov: bool = False
+    ) -> jnp.ndarray:
+        """Posterior samples, (S, B, 1). ``full_cov=True`` draws *jointly*
+        from the (B, B) predictive covariance (matching the dense path's
+        ``SVGP.predict_f_samples(full_cov=True)``; reference full_cov branch
+        onofftf/main.py:277-289) instead of independent marginals."""
         import jax
 
+        if full_cov:
+            mu, cov = self.predict_f(Xnew, full_cov=True)
+            C = linalg.add_jitter(cov[:, :, 0], self.jitter)
+            Lc = linalg.cholesky(C)
+            eps = jax.random.normal(
+                key, (num_samples, Xnew.shape[0]), dtype=mu.dtype
+            )
+            return (mu[:, 0][None] + eps @ Lc.T)[:, :, None]
         mu, var = self.predict_f(Xnew)
         eps = jax.random.normal(key, (num_samples,) + mu.shape, dtype=mu.dtype)
         return mu[None] + jnp.sqrt(jnp.maximum(var, 0.0))[None] * eps
@@ -178,11 +192,17 @@ class KronSVGP:
     def prior_kl(self):
         return self.gp.prior_kl()
 
-    def predict_f(self, Xnew):
-        fmean, fvar = self.gp.predict_f(Xnew)
+    def predict_f(self, Xnew, *, full_cov: bool = False):
+        fmean, fvar = self.gp.predict_f(Xnew, full_cov=full_cov)
         if self.mean_const is not None:
             fmean = fmean + self.mean_const.value
         return fmean, fvar
+
+    def predict_f_samples(self, key, Xnew, num_samples: int = 1, *, full_cov: bool = False):
+        s = self.gp.predict_f_samples(key, Xnew, num_samples, full_cov=full_cov)
+        if self.mean_const is not None:
+            s = s + self.mean_const.value
+        return s
 
     def predict_prob(self, Xnew):
         """Classifier head: p(y=1|x) = Φ̃(μ/√(1+v)) (scripts/classifier.py:139).

@@ -104,6 +104,7 @@ def kron_conditional(
     whiten: bool = False,
     q_sqrt_factors: Optional[Sequence[jnp.ndarray]] = None,
     factor_state=None,
+    full_cov: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kronecker-structured sparse conditional with diagonal q(u) covariance.
 
@@ -121,6 +122,15 @@ def kron_conditional(
 
     Returns (mean (B, 1), var (B, 1)); matches the reference ``kron_inf``
     (scripts/onoff.py:186-213) to fp tolerance while never materializing ⊗.
+
+    ``full_cov=True`` returns the joint (B, B, 1) predictive covariance
+    instead of marginals (reference full_cov branch:
+    /root/reference/onofftf/main.py:277-289, dense only there). Every term
+    stays factored over the inducing dimension: the prior and data-fit pieces
+    are *Hadamard* products of per-factor (B, B) grams
+    (Kmnᵀ(⊗K⁻¹)Kmn = ⊙_p V_pᵀV_p), and the diagonal-S posterior term is a
+    sequential pairwise contraction — only B×B ever materializes, never
+    (Π M_p)².
 
     Numerics: the reference computes explicit ``K⁻¹`` products
     (``matrix_inverse`` of the full gram); here every quadratic form goes
@@ -146,12 +156,12 @@ def kron_conditional(
         # between the KL and the conditional — see KronGP.factor_state).
         Ls, Linvs = factor_state
 
-    Knn = jnp.ones((B,), dtype=dtype)
+    Knn = jnp.ones((B, B) if full_cov else (B,), dtype=dtype)
     Kmn_factors = []
     V_factors = []  # V_p = L_p⁻¹ Kmn_p, solve-free
     for p, (k, Z, L, Li) in enumerate(zip(kernels, Zs, Ls, Linvs)):
         xp = Xnew[:, jnp.array(tuple(input_masks[p]))]
-        Knn = Knn * k.Kdiag(xp)
+        Knn = Knn * (k.K(xp) if full_cov else k.Kdiag(xp))
         Kmn_p = k.K(Z, xp)  # (M_p, B)
         Kmn_factors.append(Kmn_p)
         # hdot, not @: TPU default matmul precision is bf16, and a 4e-3
@@ -175,6 +185,24 @@ def kron_conditional(
         ]
         # mean: mu[b] = Σ_m (Π_p Kmn_p[i_p, b]) alpha[m]
         mu = _factored_contract(alpha[:, 0], sizes, Kmn_factors)
+
+    if full_cov:
+        # posterior-cov term PᵀSP as a (B, B) matrix, still factored over M
+        if q_sqrt_factors is not None:
+            # S = ⊗ C_p C_pᵀ: PᵀSP = ⊙_p (C_pᵀP_p)ᵀ(C_pᵀP_p)
+            c2 = jnp.ones((B, B), dtype=dtype)
+            for C, P_p in zip(q_sqrt_factors, proj):
+                CtP = linalg.hdot(jnp.tril(C).T, P_p)  # (M_p, B)
+                c2 = c2 * linalg.hdot(CtP.T, CtP)
+        else:
+            S = jnp.square(q_sqrt_diag[:, 0])
+            c2 = _factored_contract_pair(S, sizes, proj)
+        # data-fit term Kmnᵀ(⊗K⁻¹)Kmn = ⊙_p V_pᵀV_p
+        c1 = jnp.ones((B, B), dtype=dtype)
+        for V_p in V_factors:
+            c1 = c1 * linalg.hdot(V_p.T, V_p)
+        cov = Knn - c1 + c2
+        return mu[:, None], cov[:, :, None]
 
     if q_sqrt_factors is not None:
         # Kronecker-factored full covariance S = ⊗_p C_p C_pᵀ:
@@ -213,3 +241,19 @@ def _factored_contract(
         else:
             t = jnp.einsum("bi...,ib->b...", t, F)
     return t  # (B,)
+
+
+def _factored_contract_pair(
+    w: jnp.ndarray, sizes: Sequence[int], factors: Sequence[jnp.ndarray]
+) -> jnp.ndarray:
+    """out[b, c] = Σ_{i₁..i_P} w[(i₁..i_P)] Π_p factors[p][i_p, b]·factors[p][i_p, c]
+    — the pairwise (full-covariance) analog of ``_factored_contract``. Each
+    step contracts one factor index against both test axes; cost
+    O(M_p · B² · Π_{q>p} M_q) per step, (B, B) peak memory."""
+    t = w.reshape(tuple(sizes))
+    for p, F in enumerate(factors):
+        if p == 0:
+            t = jnp.einsum("i...,ib,ic->bc...", t, F, F)
+        else:
+            t = jnp.einsum("bci...,ib,ic->bc...", t, F, F)
+    return t  # (B, B)
