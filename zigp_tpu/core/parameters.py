@@ -106,3 +106,22 @@ def collect_lrs(tree, default_lr: float):
         if is_parameter(leaf) and leaf.trainable and leaf.lr is not None:
             groups[f"lr:{leaf.lr:g}"] = leaf.lr
     return groups
+
+
+def hyperparam_summary(tree, *, max_size: int = 8):
+    """{path: constrained value} for every small trainable Parameter — the
+    learned kernel lengthscales/variances and likelihood noise, excluding the
+    variational/inducing arrays. The reference logs exactly these at run
+    completion (scripts/onoff.py:437-446); runners emit one line per entry.
+    """
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+        tree, is_leaf=is_parameter
+    )[0]:
+        if not (is_parameter(leaf) and leaf.trainable):
+            continue
+        if int(np.prod(leaf.shape) or 1) > max_size:
+            continue
+        name = jax.tree_util.keystr(path).replace(".raw", "").strip(".")
+        out[name] = np.asarray(leaf.value)
+    return out

@@ -4,8 +4,10 @@ Replaces the reference's TensorBoard plumbing (tf.summary scalars for
 kl/var_exp/cost at scripts/onoff.py:289-319, histograms of every latent and
 every gradient at :295-303,341-342, FileWriter flush every 200 iters at
 :387-388) with a dependency-free JSONL writer: one JSON object per log step,
-scalars inline, histograms as percentile summaries. Any dashboard (TensorBoard
-via a converter, pandas, jq) can consume it.
+scalars inline, histograms as percentile summaries. Any dashboard (pandas,
+jq) can consume it directly; ``python -m zigp_tpu.utils.tb_export
+metrics.jsonl`` converts a run into TensorBoard event files
+(utils.tb_export).
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ def _summarize_array(a: np.ndarray) -> Dict[str, float]:
         return {}
     pct = np.percentile(a, [0, 5, 25, 50, 75, 95, 100])
     return {
+        "n": int(a.size),
         "mean": float(a.mean()),
         "std": float(a.std()),
         "p0": float(pct[0]),

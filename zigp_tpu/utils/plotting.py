@@ -50,9 +50,18 @@ def plot_onoff_1d(
     ax = axes[0]
     ax.plot(xs, _col(y[order] if y.ndim > 1 else y[order, None]), "k.", ms=3, label="y")
     gf = _col(pred.gfmean)
-    gfs = np.sqrt(np.maximum(_col(pred.gfvar), 0.0))
+    fs0 = np.sqrt(np.maximum(_col(pred.fvar), 0.0))
+    pgm0 = _col(pred.pgmean)
+    pgs0 = np.sqrt(np.maximum(_col(pred.pgvar), 0.0))
+    noise_sd = 0.0
+    lik = getattr(model, "likelihood", None)
+    if lik is not None and hasattr(lik, "variance"):
+        noise_sd = float(np.sqrt(np.asarray(lik.variance.value)))
+    # the reference's predictive band composes gate and signal uncertainty:
+    # ±1.5·(√fvar·Φ̄ + √pgvar·(1−Φ̄) + √σ)  (PlotOnOff1D.py:56-58)
+    band = 1.5 * (fs0 * pgm0 + pgs0 * (1.0 - pgm0) + noise_sd)
     ax.plot(xs, gf, "b-", label="E[Φ(g)·f]")
-    ax.fill_between(xs, gf - 2 * gfs, gf + 2 * gfs, alpha=0.2)
+    ax.fill_between(xs, gf - band, gf + band, alpha=0.2)
     ax.set_title("data and gated prediction")
     ax.legend(loc="best", fontsize=8)
 
