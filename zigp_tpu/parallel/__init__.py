@@ -1,3 +1,4 @@
+from .distributed import initialize as initialize_distributed, make_multihost_mesh
 from .mesh import batch_sharding, make_mesh, replicate, replicated, shard_batch
 from .step import (
     make_device_sampling_sharded_scan_step,
@@ -7,6 +8,8 @@ from .step import (
 from .tp import make_tp_train_step, tp_place, tp_shardings_tree
 
 __all__ = [
+    "initialize_distributed",
+    "make_multihost_mesh",
     "make_mesh",
     "replicated",
     "batch_sharding",
