@@ -143,3 +143,127 @@ def test_periodic_works_as_kron_temporal_factor(rng):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     per_grad = np.asarray(g.gp.kernels[1].period.raw)
     assert np.all(np.isfinite(per_grad)) and np.any(per_grad != 0)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-zoo wiring into the experiment surface (VERDICT r2 #4): KernelInit
+# family specs, composite Sum/Product create, CLI flag threading
+# ---------------------------------------------------------------------------
+
+
+def test_make_kernel_families(rng):
+    from zigp_tpu.experiments.builders import make_kernel
+    from zigp_tpu.experiments.configs import KernelInit
+    from zigp_tpu.ops import kernels as kz
+
+    init = KernelInit((0.5,), 1.2)
+    import dataclasses
+    cases = {
+        "rbf": kz.SquaredExponential,
+        "matern32": kz.Matern,
+        "matern52": kz.Matern,
+        "periodic": kz.Periodic,
+        "rq": kz.RationalQuadratic,
+        "linear": kz.Linear,
+    }
+    X = jnp.asarray(rng.rand(7, 1))
+    for fam, typ in cases.items():
+        k = make_kernel(dataclasses.replace(init, family=fam, period=(0.3,)), lr=2e-3)
+        assert isinstance(k, typ), fam
+        K = np.asarray(k.K(X))
+        assert K.shape == (7, 7) and np.isfinite(K).all()
+
+
+def test_make_kernel_composites(rng):
+    import dataclasses
+
+    from zigp_tpu.experiments.builders import make_kernel
+    from zigp_tpu.experiments.configs import KernelInit
+    from zigp_tpu.ops import kernels as kz
+
+    init = KernelInit((0.4,), 1.0, period=(0.5,))
+    X = jnp.asarray(rng.rand(6, 1))
+    prod = make_kernel(dataclasses.replace(init, family="periodic*rbf"))
+    assert isinstance(prod, kz.Product)
+    both = make_kernel(dataclasses.replace(init, family="periodic*rbf+linear"))
+    assert isinstance(both, kz.Sum)
+    # product binds tighter than sum: K = K_periodic·K_rbf + K_linear
+    kp = make_kernel(dataclasses.replace(init, family="periodic"))
+    kr = make_kernel(dataclasses.replace(init, family="rbf"))
+    kl = make_kernel(dataclasses.replace(init, family="linear"))
+    want = np.asarray(kp.K(X)) * np.asarray(kr.K(X)) + np.asarray(kl.K(X))
+    np.testing.assert_allclose(np.asarray(both.K(X)), want, rtol=1e-12)
+    # unknown family is a clear error
+    import pytest
+    with pytest.raises(ValueError, match="unknown kernel family"):
+        make_kernel(dataclasses.replace(init, family="spline"))
+
+
+def test_composite_kernel_carries_per_group_lr(rng):
+    """Sum/Product children created with lr= keep their per-group labels, so
+    the multi_transform optimizer gives them their own Adam group."""
+    import dataclasses
+
+    from zigp_tpu.core.parameters import collect_lrs
+    from zigp_tpu.experiments.builders import make_kernel
+    from zigp_tpu.experiments.configs import KernelInit
+
+    k = make_kernel(
+        dataclasses.replace(KernelInit((0.4,), 1.0, period=(0.5,)), family="periodic*rbf"),
+        lr=7e-3,
+    )
+    groups = collect_lrs(k, default_lr=1e-3)
+    assert groups.get("lr:0.007") == 7e-3
+
+
+def test_kron_svgp_trains_with_periodic_product_temporal(rng):
+    """A Periodic⊗SE temporal factor trains end-to-end inside the Kron model
+    on a synthetic daily-cycle signal."""
+    import dataclasses
+
+    from zigp_tpu.experiments.builders import make_kernel
+    from zigp_tpu.experiments.configs import KernelInit
+    from zigp_tpu.likelihoods import Gaussian
+    from zigp_tpu.models import KronSVGP
+    from zigp_tpu.training import DataSet, fit
+
+    N = 120
+    t = np.linspace(0, 2, N)[:, None]
+    X = np.concatenate([rng.rand(N, 2), t], axis=1)
+    Y = np.sin(2 * np.pi * t / 0.5) + 0.1 * rng.randn(N, 1)
+    Zs = [rng.rand(3, 2), np.linspace(0, 2, 8)[:, None]]
+    kt = make_kernel(KernelInit((0.3,), 1.0, family="periodic*rbf", period=(0.5,)))
+    ks = make_kernel(KernelInit((1.0, 1.0), 1.0))
+    model = KronSVGP.create([ks, kt], Zs, Gaussian.create(0.1), num_data=N, jitter=1e-6)
+    first = float(model.loss(jnp.asarray(X), jnp.asarray(Y)))
+    res = fit(model, DataSet(X, Y), num_iter=60, batch_size=N, learning_rate=0.05, log_every=0)
+    assert float(res.model.loss(jnp.asarray(X), jnp.asarray(Y))) < first - 1.0
+
+
+def test_cli_kernel_flag_threads_family(monkeypatch, tmp_path, rng):
+    """--kernel-temporal periodic*rbf reaches the builder config."""
+    import zigp_tpu.experiments.cli as cli_mod
+
+    captured = {}
+
+    def fake_run_onoff(split, cfg=None, **kw):
+        captured["cfg"] = cfg
+        return {"test_rmse": 1.0, "test_mae": 1.0, "steps_per_sec": 1.0}
+
+    import zigp_tpu.experiments.runners as runners_mod
+    monkeypatch.setattr(runners_mod, "run_onoff", fake_run_onoff)
+
+    # fake fold loading to avoid needing the pptr data file
+    from zigp_tpu.io.datasets import Split
+    X = rng.rand(20, 3)
+    split = Split(X, rng.rand(20, 1), X[:5], rng.rand(5, 1))
+    monkeypatch.setattr(cli_mod, "_load_fold", lambda args: split)
+
+    cli_mod.main([
+        "onoff", "--workdir", str(tmp_path), "--iters", "10",
+        "--kernel-temporal", "periodic*rbf", "--kernel-period", "0.001",
+    ])
+    cfg = captured["cfg"]
+    assert cfg.fk_temporal.family == "periodic*rbf"
+    assert cfg.gk_temporal.family == "periodic*rbf"
+    assert cfg.fk_temporal.period == (0.001,)

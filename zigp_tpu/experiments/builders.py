@@ -7,8 +7,58 @@ import numpy as np
 from ..io.datasets import Split, kron_inducing_init
 from ..likelihoods import Bernoulli, Gaussian, OnOffGaussian
 from ..models import KronOnOffSVGP, KronSVGP
+from ..ops import kernels as _kz
 from ..ops.kernels import RBF
-from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
+from .configs import ClassifierPptrConfig, KernelInit, OnOffPptrConfig, SvgpPptrConfig
+
+_FAMILIES = {
+    "rbf": lambda init, lr: RBF.create(list(init.lengthscales), init.variance, lr=lr),
+    "se": lambda init, lr: RBF.create(list(init.lengthscales), init.variance, lr=lr),
+    "matern12": lambda init, lr: _kz.Matern.create(
+        list(init.lengthscales), init.variance, nu="1/2", lr=lr),
+    "matern32": lambda init, lr: _kz.Matern.create(
+        list(init.lengthscales), init.variance, nu="3/2", lr=lr),
+    "matern52": lambda init, lr: _kz.Matern.create(
+        list(init.lengthscales), init.variance, nu="5/2", lr=lr),
+    "periodic": lambda init, lr: _kz.Periodic.create(
+        list(init.lengthscales),
+        list(init.period) if init.period else [1.0] * len(init.lengthscales),
+        init.variance, lr=lr),
+    "rq": lambda init, lr: _kz.RationalQuadratic.create(
+        list(init.lengthscales), init.variance, alpha=init.alpha, lr=lr),
+    "linear": lambda init, lr: _kz.Linear.create(
+        [init.variance] * len(init.lengthscales), lr=lr),
+}
+
+
+def make_kernel(init: KernelInit, *, lr=None):
+    """Build the kernel named by ``init.family`` — a zoo name or a composite
+    "a*b" / "a+b" spec (Product binds tighter than Sum; components share the
+    lengthscale/variance init). The experiment surface for the kernel zoo
+    (ops/kernels.py; the reference is SE-only, onofftf/main.py:84-120)."""
+    spec = (init.family or "rbf").strip().lower()
+
+    def atom(name):
+        name = name.strip()
+        if name not in _FAMILIES:
+            raise ValueError(
+                f"unknown kernel family {name!r}; choose from "
+                f"{sorted(_FAMILIES)} or join with '*' / '+'"
+            )
+        return _FAMILIES[name](init, lr)
+
+    def product(term):
+        parts = term.split("*")
+        k = atom(parts[0])
+        for p in parts[1:]:
+            k = _kz.Product.create(k, atom(p))
+        return k
+
+    terms = spec.split("+")
+    k = product(terms[0])
+    for t in terms[1:]:
+        k = _kz.Sum.create(k, product(t))
+    return k
 
 
 def build_onoff_pptr(cfg: OnOffPptrConfig, split: Split) -> KronOnOffSVGP:
@@ -16,12 +66,12 @@ def build_onoff_pptr(cfg: OnOffPptrConfig, split: Split) -> KronOnOffSVGP:
         split.Xtrain, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed
     )
     fkerns = [
-        RBF.create(list(cfg.fk_spatial.lengthscales), cfg.fk_spatial.variance, lr=cfg.kern_lr),
-        RBF.create(list(cfg.fk_temporal.lengthscales), cfg.fk_temporal.variance, lr=cfg.kern_lr),
+        make_kernel(cfg.fk_spatial, lr=cfg.kern_lr),
+        make_kernel(cfg.fk_temporal, lr=cfg.kern_lr),
     ]
     gkerns = [
-        RBF.create(list(cfg.gk_spatial.lengthscales), cfg.gk_spatial.variance, lr=cfg.kern_lr),
-        RBF.create(list(cfg.gk_temporal.lengthscales), cfg.gk_temporal.variance, lr=cfg.kern_lr),
+        make_kernel(cfg.gk_spatial, lr=cfg.kern_lr),
+        make_kernel(cfg.gk_temporal, lr=cfg.kern_lr),
     ]
     return KronOnOffSVGP.create(
         fkerns,
@@ -45,8 +95,8 @@ def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> Kr
     X = split.Xtrain if subset_idx is None else split.Xtrain[subset_idx]
     Zs = kron_inducing_init(X, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed)
     kerns = [
-        RBF.create(list(cfg.k_spatial.lengthscales), cfg.k_spatial.variance, lr=cfg.lr),
-        RBF.create(list(cfg.k_temporal.lengthscales), cfg.k_temporal.variance, lr=cfg.lr),
+        make_kernel(cfg.k_spatial, lr=cfg.lr),
+        make_kernel(cfg.k_temporal, lr=cfg.lr),
     ]
     return KronSVGP.create(
         kerns,
@@ -67,8 +117,8 @@ def build_classifier_pptr(cfg: ClassifierPptrConfig, split: Split) -> KronSVGP:
         split.Xtrain, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed
     )
     kerns = [
-        RBF.create(list(cfg.k_spatial.lengthscales), cfg.k_spatial.variance, lr=cfg.lr),
-        RBF.create(list(cfg.k_temporal.lengthscales), cfg.k_temporal.variance, lr=cfg.lr),
+        make_kernel(cfg.k_spatial, lr=cfg.lr),
+        make_kernel(cfg.k_temporal, lr=cfg.lr),
     ]
     return KronSVGP.create(
         kerns,

@@ -21,8 +21,21 @@ class KronGridConfig:
 
 @dataclass
 class KernelInit:
+    """Initial hyperparameters + family for one Kronecker kernel factor.
+
+    ``family`` selects from the kernel zoo (ops.kernels): "rbf" (reference
+    default), "matern12"/"matern32"/"matern52", "periodic", "rq", "linear" —
+    or a composite spec joining those with "*" (Product) or "+" (Sum), e.g.
+    "periodic*rbf" for decaying periodicity on the temporal factor. Component
+    kernels share the ``lengthscales``/``variance`` init; "periodic" reads
+    ``period``, "rq" reads ``alpha``.
+    """
+
     lengthscales: Tuple[float, ...]
     variance: float
+    family: str = "rbf"
+    period: Tuple[float, ...] = ()
+    alpha: float = 1.0
 
 
 @dataclass

@@ -193,6 +193,12 @@ class Sum:
     k1: object
     k2: object
 
+    @classmethod
+    def create(cls, k1, k2) -> "Sum":
+        """Compose two already-created kernels; per-group learning rates ride
+        on the children's Parameters (created with their own ``lr=``)."""
+        return cls(k1=k1, k2=k2)
+
     def K(self, X, X2=None):
         return self.k1.K(X, X2) + self.k2.K(X, X2)
 
@@ -207,6 +213,12 @@ class Product:
 
     k1: object
     k2: object
+
+    @classmethod
+    def create(cls, k1, k2) -> "Product":
+        """Compose two already-created kernels; per-group learning rates ride
+        on the children's Parameters (created with their own ``lr=``)."""
+        return cls(k1=k1, k2=k2)
 
     def K(self, X, X2=None):
         return self.k1.K(X, X2) * self.k2.K(X, X2)
