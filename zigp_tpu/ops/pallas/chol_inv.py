@@ -36,102 +36,125 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chol_inv_body(K, n: int):
+def _chol_inv_body(K, n: int, rank: int = 2):
     """Right-looking Cholesky interleaved with forward substitution on I,
-    two columns per iteration (rank-2 Schur updates).
+    ``rank`` columns per iteration (rank-r Schur updates).
 
-    Iteration t finalizes columns j = 2t, k = 2t+1 of L and the matching rows
-    of L⁻¹. Column k first absorbs column j's rank-1 update inline (a vector
-    op), then both outer products hit the trailing block together — halving
-    the length of the sequential dependent-op chain, which is what bounds
-    this latency-dominated loop (the (n, n) tiles are only ~⌈n/8⌉ vregs, so
-    per-op cost is issue latency, not vector throughput).
+    Iteration t finalizes columns j = r·t .. r·t+r−1 of L and the matching
+    rows of L⁻¹: the r×r diagonal block's Cholesky is done in scalar math on
+    masked-reduced entries, the r columns absorb each other's updates inline
+    (vector ops), and all r outer products hit the trailing block together —
+    dividing the count of matrix-wide ops (the big tiles that bound this
+    latency-dominated loop: the (n, n) tiles are only ~⌈n/8⌉ vregs, so
+    per-op cost is issue latency, not vector throughput) by r.
 
     Mosaic has no dynamic_slice on VMEM tiles, so column/row picks use masked
-    reductions (iota == j). The updates deliberately touch only the strictly-
-    trailing region; row garbage above the diagonal is zeroed at the end.
+    reductions (iota == j); every *scalar* pick goes through a 2-D masked
+    reduce — Mosaic miscompiles 1-D masked scalar picks (relayout bug on
+    vector<1xN>). The updates deliberately touch only the strictly-trailing
+    region; row garbage above the diagonal is zeroed at the end.
 
     No pivot clamp: a non-PSD input must yield NaN (sqrt of a negative pivot
     propagates), matching lax.linalg.cholesky instead of silently returning
-    garbage. n must be even (callers pad with an identity tail).
+    garbage. n must be divisible by ``rank`` (callers pad with an identity
+    tail).
     """
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     rv = row_ids[:, 0]
+    r = rank
 
     B = jnp.where(row_ids == col_ids, 1.0, 0.0).astype(K.dtype)
 
     def body(t, carry):
         A, B = carry
-        j = 2 * t
-        k = j + 1
-        is_col_j = col_ids == j
-        is_row_j = row_ids == j
-        is_col_k = col_ids == k
-        is_row_k = row_ids == k
+        js = [r * t + c for c in range(r)]
+        is_col = [col_ids == j for j in js]
+        is_row = [row_ids == j for j in js]
 
-        col = jnp.sum(jnp.where(is_col_j, A, 0.0), axis=1)  # A[:, j]
-        pivot = jnp.sqrt(jnp.sum(jnp.where(is_row_j & is_col_j, A, 0.0)))
-        colj = jnp.where(rv >= j, col / pivot, 0.0)
-        rowj = jnp.sum(jnp.where(is_row_j, B, 0.0), axis=0) / pivot  # B[j, :]
+        # r×r diagonal-block entries, each read as a 2-D masked reduce
+        s = {
+            (c, d): jnp.sum(jnp.where(is_row[c] & is_col[d], A, 0.0))
+            for c in range(r)
+            for d in range(c + 1)
+        }
+        # scalar Cholesky of the block: piv[c], l[(d,c)] = L[j_d, j_c]
+        piv = [None] * r
+        l = {}
+        for c in range(r):
+            piv[c] = jnp.sqrt(s[(c, c)] - sum(l[(c, e)] * l[(c, e)] for e in range(c)))
+            for d in range(c + 1, r):
+                l[(d, c)] = (
+                    s[(d, c)] - sum(l[(d, e)] * l[(c, e)] for e in range(c))
+                ) / piv[c]
 
-        colk_raw = jnp.sum(jnp.where(is_col_k, A, 0.0), axis=1)
-        # colj[k] = A[k, j]/pivot and colk_upd[k] = A[k, k] − colj[k]²: read
-        # both through 2-D masked reduces — Mosaic miscompiles 1-D masked
-        # scalar picks (relayout bug on vector<1xN>).
-        cj_k = jnp.sum(jnp.where(is_row_k & is_col_j, A, 0.0)) / pivot
-        colk_upd = colk_raw - colj * cj_k
-        a_kk = jnp.sum(jnp.where(is_row_k & is_col_k, A, 0.0))
-        piv_k = jnp.sqrt(a_kk - cj_k * cj_k)
-        colk = jnp.where(rv >= k, colk_upd / piv_k, 0.0)
-        rowk_raw = jnp.sum(jnp.where(is_row_k, B, 0.0), axis=0)
-        rowk = (rowk_raw - cj_k * rowj) / piv_k  # absorb j's deferred update
+        # columns of L: each absorbs the in-block deferred updates inline
+        v = [None] * r
+        for c in range(r):
+            u = jnp.sum(jnp.where(is_col[c], A, 0.0), axis=1)
+            for e in range(c):
+                u = u - v[e] * l[(c, e)]
+            v[c] = jnp.where(rv >= js[c], u / piv[c], 0.0)
 
-        trailing = (row_ids > k) & (col_ids > k)
-        upd = colj[:, None] * colj[None, :] + colk[:, None] * colk[None, :]
+        # rows of L⁻¹ by forward substitution on the block
+        w = [None] * r
+        for c in range(r):
+            q = jnp.sum(jnp.where(is_row[c], B, 0.0), axis=0)
+            for e in range(c):
+                q = q - l[(c, e)] * w[e]
+            w[c] = q / piv[c]
+
+        last = js[-1]
+        trailing = (row_ids > last) & (col_ids > last)
+        upd = sum(vc[:, None] * vc[None, :] for vc in v)
         A = A - jnp.where(trailing, upd, 0.0)
-        A = jnp.where(is_col_j, colj[:, None], A)
-        A = jnp.where(is_col_k, colk[:, None], A)
+        for c in range(r):
+            A = jnp.where(is_col[c], v[c][:, None], A)
 
-        below = row_ids > k
-        bupd = colj[:, None] * rowj[None, :] + colk[:, None] * rowk[None, :]
+        below = row_ids > last
+        bupd = sum(vc[:, None] * wc[None, :] for vc, wc in zip(v, w))
         B = B - jnp.where(below, bupd, 0.0)
-        B = jnp.where(is_row_j, rowj[None, :], B)
-        B = jnp.where(is_row_k, rowk[None, :], B)
+        for c in range(r):
+            B = jnp.where(is_row[c], w[c][None, :], B)
         return A, B
 
-    A, B = jax.lax.fori_loop(0, n // 2, body, (K, B))
+    A, B = jax.lax.fori_loop(0, n // r, body, (K, B))
     tril_mask = row_ids >= col_ids
     return jnp.where(tril_mask, A, 0.0), jnp.where(tril_mask, B, 0.0)
 
 
-def _kernel(k_ref, l_ref, linv_ref, *, n: int):
-    L, Linv = _chol_inv_body(k_ref[0], n)
+def _kernel(k_ref, l_ref, linv_ref, *, n: int, rank: int):
+    L, Linv = _chol_inv_body(k_ref[0], n, rank)
     l_ref[0] = L
     linv_ref[0] = Linv
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def chol_inv_pallas(K, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "rank"))
+def chol_inv_pallas(K, *, interpret: bool = False, rank: int = 4):
     """(L, L⁻¹) of a batch (..., n, n) of small SPD matrices (float32).
 
     One grid program per matrix; both factorization and inverse stay in VMEM.
+    ``rank``: columns finalized per loop iteration (see _chol_inv_body).
+    Default 4 — interleaved A/B at the flagship scanned step (v5e): rank-4
+    ~6,240 steps/s vs rank-2 ~6,190, a consistent ~1 % from quartering the
+    matrix-wide update ops; the in-block scalar chain growth caps further
+    gains (rank-2 → rank-4 was +1 %, rank-1 → rank-2 was +9 %).
     """
     batch_shape = K.shape[:-2]
     n = K.shape[-1]
     Kb = K.astype(jnp.float32).reshape((-1, n, n))
     G = Kb.shape[0]
-    # Even-pad with an identity tail (chol/inv of blockdiag(K, I) is
-    # blockdiag(chol(K), I)) — the rank-2 loop consumes columns in pairs.
-    m = n + (n % 2)
+    # Pad with an identity tail (chol/inv of blockdiag(K, I) is
+    # blockdiag(chol(K), I)) — the loop consumes columns ``rank`` at a time.
+    m = -(-n // rank) * rank
     if m != n:
-        Kb = jnp.pad(Kb, ((0, 0), (0, 1), (0, 1)))
+        Kb = jnp.pad(Kb, ((0, 0), (0, m - n), (0, m - n)))
         tail = (jnp.arange(m)[:, None] == jnp.arange(m)[None, :]) & (
             jnp.arange(m)[None, :] >= n
         )
         Kb = Kb + tail.astype(Kb.dtype)[None]
     L, Linv = pl.pallas_call(
-        functools.partial(_kernel, n=m),
+        functools.partial(_kernel, n=m, rank=rank),
         out_shape=(
             jax.ShapeDtypeStruct((G, m, m), jnp.float32),
             jax.ShapeDtypeStruct((G, m, m), jnp.float32),
