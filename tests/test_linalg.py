@@ -81,3 +81,44 @@ def test_kron_logdet(rng):
     got = float(linalg.kron_logdet_from_chols(Ls))
     want = np.linalg.slogdet(np.kron(Ka, Kb))[1]
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_add_jitter_f32_masked_diag_mean_matches_direct(rng):
+    """The relative-f32 jitter uses a masked-sum diagonal mean (layout-safe,
+    see the comment in linalg.add_jitter); it must equal the direct
+    mean-of-diagonal formulation, batched and unbatched."""
+    from zigp_tpu.ops import linalg
+
+    for shape in ((7, 7), (3, 7, 7)):
+        K = np.asarray(rng.randn(*shape), np.float32)
+        K = K @ np.swapaxes(K, -1, -2) + 7 * np.eye(7, dtype=np.float32)
+        got = np.asarray(linalg.add_jitter(jnp.asarray(K), 1e-5))
+        mean_diag = np.mean(np.diagonal(K, axis1=-2, axis2=-1), axis=-1)
+        want = K + (1e-5 + 2e-4 * mean_diag)[..., None, None] * np.eye(7, dtype=np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_add_jitter_f64_parity_path_unchanged(rng):
+    from zigp_tpu.ops import linalg
+
+    K = np.asarray(rng.randn(5, 5))
+    K = K @ K.T + 5 * np.eye(5)
+    got = np.asarray(linalg.add_jitter(jnp.asarray(K, jnp.float64), 1e-4))
+    np.testing.assert_allclose(got, K + 1e-4 * np.eye(5), rtol=0, atol=0)
+
+
+def test_chol_inv_stacked_matches_per_factor(rng):
+    """Padded-stacked factorization (experimental, measured slower in the
+    step — linalg.chol_inv_stacked docstring) must still be numerically
+    exact vs per-factor chol_inv."""
+    from zigp_tpu.ops import linalg
+
+    Ks = []
+    for n in (4, 9):
+        A = rng.randn(2, n, n)
+        Ks.append(jnp.asarray(A @ np.swapaxes(A, -1, -2) + n * np.eye(n)))
+    pairs = linalg.chol_inv_stacked(Ks)
+    for K, (L, Li) in zip(Ks, pairs):
+        L0, Li0 = linalg.chol_inv(K)
+        np.testing.assert_allclose(np.asarray(L), np.asarray(L0), rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Li), np.asarray(Li0), rtol=1e-8, atol=1e-9)

@@ -221,3 +221,61 @@ def test_chol_inv_blocked_single_block_consistent(rng):
     Lb, Lib = chol_inv_pallas(K, interpret=True)
     np.testing.assert_allclose(np.asarray(La), np.asarray(Lb), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(Lia), np.asarray(Lib), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# round-3 experimental solve-free alternatives (measured A/B losers, kept
+# with tests as the record — see ops/pallas/__init__.py for the numbers)
+# ---------------------------------------------------------------------------
+
+
+def test_chol_pallas_l_only_matches_numpy(rng):
+    from zigp_tpu.ops.pallas.chol_inv import chol_pallas
+
+    for n in (10, 100, 105):
+        for rank in (2, 4, 8):
+            K = _spd(rng, (2, n, n))
+            L = chol_pallas(jnp.asarray(K, jnp.float32), interpret=True, rank=rank)
+            L0 = np.linalg.cholesky(K)
+            np.testing.assert_allclose(np.asarray(L), L0, rtol=2e-4, atol=1e-4)
+
+
+def test_tri_inv_newton_matches_inverse(rng):
+    from zigp_tpu.ops.pallas.chol_inv import tri_inv_newton
+
+    for n in (1, 10, 100, 128):
+        L = np.linalg.cholesky(_spd(rng, (2, n, n))).astype(np.float32)
+        X = np.asarray(tri_inv_newton(jnp.asarray(L)))
+        np.testing.assert_allclose(X, np.linalg.inv(L.astype(np.float64)), rtol=2e-4, atol=1e-4)
+        assert np.allclose(np.triu(X, 1), 0.0)
+
+
+def test_tri_inv_newton_overflows_on_dense_temporal_gram():
+    """The documented disqualifier: the Cholesky factor of a tightly-spaced
+    1-D RBF gram (the pptr temporal-factor shape) has a bounded inverse,
+    but tri_inv_newton's truncated-Neumann intermediates only cancel at
+    full depth and overflow f32 at the last squarings. tri_inv_dc inverts
+    the same factor fine."""
+    from zigp_tpu.ops.pallas.chol_inv import tri_inv_dc, tri_inv_newton
+
+    n = 256
+    x = np.linspace(0, 1, n)[:, None]
+    K = 20.0 * np.exp(-0.5 * (x - x.T) ** 2 / 0.1**2)
+    K += (1e-5 + 2e-4 * 20.0) * np.eye(n)
+    L = np.linalg.cholesky(K.astype(np.float64)).astype(np.float32)
+    Xn = np.asarray(tri_inv_newton(jnp.asarray(L)))
+    assert not np.isfinite(Xn).all()
+    Xd = np.asarray(tri_inv_dc(jnp.asarray(L)))
+    ref = np.linalg.inv(L.astype(np.float64))
+    assert np.isfinite(Xd).all()
+    assert np.max(np.abs(Xd - ref)) / np.max(np.abs(ref)) < 1e-3
+
+
+def test_tri_inv_dc_matches_inverse(rng):
+    from zigp_tpu.ops.pallas.chol_inv import tri_inv_dc
+
+    for n in (1, 2, 3, 10, 100, 105, 128, 250):
+        L = np.linalg.cholesky(_spd(rng, (2, n, n))).astype(np.float32)
+        X = np.asarray(tri_inv_dc(jnp.asarray(L)))
+        np.testing.assert_allclose(X, np.linalg.inv(L.astype(np.float64)), rtol=2e-4, atol=1e-4)
+        assert np.allclose(np.triu(X, 1), 0.0)

@@ -29,6 +29,7 @@ products instead.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -127,6 +128,211 @@ def _kernel(k_ref, l_ref, linv_ref, *, n: int, rank: int):
     L, Linv = _chol_inv_body(k_ref[0], n, rank)
     l_ref[0] = L
     linv_ref[0] = Linv
+
+
+def _chol_body(K, n: int, rank: int = 4):
+    """L-only right-looking Cholesky, ``rank`` columns per iteration.
+
+    EXPERIMENTAL — measured ~20 % SLOWER than the full fused kernel at the
+    flagship step despite doing half the work: the masked scalar picks this
+    body leans on (r(r+1)/2 + r per iteration, each a (rv==j)[:, None]
+    broadcast + (n, 1) reduce) relayout per pick and cost more than the
+    full-tile reduces they replace. Kept as the documented negative result;
+    see ops/pallas/__init__.py.
+
+    Structure: no inverse carry (the per-iteration row picks and the B
+    outer-product update disappear), and the r×r diagonal-block entries are
+    picked from the already-extracted column vectors — after column c
+    absorbs the in-block updates, entry j_d of it *is* l[(d,c)]·piv[c], so
+    the block factor entries are single picks. (The picks go through a
+    [:, None] broadcast to 2-D — Mosaic miscompiles 1-D masked scalar
+    picks.)
+    """
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rv = row_ids[:, 0]
+    r = rank
+
+    def pick(vec, j):
+        # scalar vec[j] as a 2-D masked reduce on an (n, 1) tile
+        return jnp.sum(jnp.where((rv == j)[:, None], vec[:, None], 0.0))
+
+    def body(t, A):
+        js = [r * t + c for c in range(r)]
+        is_col = [col_ids == j for j in js]
+
+        v = [None] * r
+        piv = [None] * r
+        l = {}
+        for c in range(r):
+            u = jnp.sum(jnp.where(is_col[c], A, 0.0), axis=1)
+            for e in range(c):
+                u = u - v[e] * l[(c, e)]
+            piv[c] = jnp.sqrt(pick(u, js[c]))
+            for d in range(c + 1, r):
+                l[(d, c)] = pick(u, js[d]) / piv[c]
+            v[c] = jnp.where(rv >= js[c], u / piv[c], 0.0)
+
+        last = js[-1]
+        trailing = (row_ids > last) & (col_ids > last)
+        upd = sum(vc[:, None] * vc[None, :] for vc in v)
+        A = A - jnp.where(trailing, upd, 0.0)
+        for c in range(r):
+            A = jnp.where(is_col[c], v[c][:, None], A)
+        return A
+
+    A = jax.lax.fori_loop(0, n // r, body, K)
+    return jnp.where(row_ids >= col_ids, A, 0.0)
+
+
+def _chol_only_kernel(k_ref, l_ref, *, n: int, rank: int):
+    l_ref[0] = _chol_body(k_ref[0], n, rank)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rank"))
+def chol_pallas(K, *, interpret: bool = False, rank: int = 4):
+    """L = chol(K) only, batched (..., n, n) float32 — the L⁻¹-free variant
+    of ``chol_inv_pallas`` (pair it with ``tri_inv_newton`` for the inverse)."""
+    batch_shape = K.shape[:-2]
+    n = K.shape[-1]
+    Kb = K.astype(jnp.float32).reshape((-1, n, n))
+    G = Kb.shape[0]
+    m = -(-n // rank) * rank
+    if m != n:
+        Kb = jnp.pad(Kb, ((0, 0), (0, m - n), (0, m - n)))
+        tail = (jnp.arange(m)[:, None] == jnp.arange(m)[None, :]) & (
+            jnp.arange(m)[None, :] >= n
+        )
+        Kb = Kb + tail.astype(Kb.dtype)[None]
+    L = pl.pallas_call(
+        functools.partial(_chol_only_kernel, n=m, rank=rank),
+        out_shape=jax.ShapeDtypeStruct((G, m, m), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, m, m), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, m, m), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(Kb)
+    return L[:, :n, :n].reshape(batch_shape + (n, n))
+
+
+def tri_inv_newton(L: jnp.ndarray) -> jnp.ndarray:
+    """L⁻¹ for lower-triangular L in ⌈log₂n⌉ Newton steps — matmuls only.
+
+    EXPERIMENTAL — fastest measured flagship variant (xla-chol + newton
+    5,612 vs fused-kernel 5,436 steps/s) but NOT production-safe: see the
+    overflow caveat below and ops/pallas/__init__.py.
+
+    X ← X(2I − LX) with X₀ = diag(L)⁻¹ is *exact* in exact arithmetic after
+    ⌈log₂n⌉ iterations: writing L = D(I+N) with N strictly lower (nilpotent,
+    Nⁿ = 0), the iterate equals Σ_{j<2^k}(−N)ʲ D⁻¹ — a truncated Neumann
+    series that terminates. The catch: the *partial* sums legitimately
+    contain huge alternating terms whenever ‖N‖ ≳ 1 — they only cancel at
+    full depth — so intermediates overflow float32 in a structure-dependent
+    way. Measured: the pptr scale config's 250-knot temporal factor
+    (‖N‖₂ ≈ 1.9) infs at the last squaring at init, while the 105-centre
+    spatial factor with ‖N‖₂ ≈ 500 survives (its N ʲ decay truncates early).
+    Since the boundary moves with learned lengthscales, this is unusable as
+    a production path; ``tri_inv_dc`` is the overflow-safe (slower)
+    log-depth form. All products run at Precision.HIGHEST: these matmuls
+    REPLACE a triangular-solve custom call, where bf16 products measurably
+    poison training (see linalg.hdot). Zeros below stay exact: products of
+    lower triangulars never touch the upper triangle.
+    """
+    n = L.shape[-1]
+    eye = jnp.eye(n, dtype=L.dtype)
+    d = 1.0 / jnp.diagonal(L, axis1=-2, axis2=-1)  # (..., n)
+    # First level is free of matmuls: X₁ = X₀(2I − LX₀) with diagonal
+    # X₀ = D⁻¹ is elementwise row/column scaling: 2D⁻¹ − D⁻¹LD⁻¹.
+    X = 2.0 * eye * d[..., :, None] - L * d[..., :, None] * d[..., None, :]
+    I2 = 2.0 * eye
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    for _ in range(max(0, math.ceil(math.log2(max(n, 2))) - 1)):
+        X = mm(X, I2 - mm(L, X))
+    return X
+
+
+def tri_inv_dc(L: jnp.ndarray) -> jnp.ndarray:
+    """L⁻¹ for lower-triangular L by divide-and-conquer block inversion —
+    log₂n levels of *batched* MXU matmuls, overflow-safe.
+
+    EXPERIMENTAL — robust where ``tri_inv_newton`` overflows, but measured
+    ~18 % slower than the fused kernel at the flagship step and ~30 % at the
+    105×250 scale step (the per-level diagonal-block gathers and concats
+    cost more op-issue latency than the log solve depth saves); kept as the
+    documented negative result. See ops/pallas/__init__.py.
+
+    inv([[A, 0], [B, C]]) = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]] applied bottom-up:
+    level s holds the n/s diagonal s×s block inverses as a batch
+    (..., n/s, s, s); doubling a level computes every off-diagonal block with
+    two batched matmuls. Unlike ``tri_inv_newton`` (whose truncated-Neumann
+    intermediates overflow float32 whenever ‖D⁻¹L − I‖ ≳ 1 — measured: the
+    250-knot temporal RBF factor at the pptr scale config infs at the last
+    squaring), every quantity here is a *final* sub-inverse, bounded by
+    ‖L⁻¹‖ — there is nothing to overflow. Matmuls run at Precision.HIGHEST
+    (they replace a triangular-solve custom call; see linalg.hdot).
+
+    Accuracy matches forward substitution (same error model: products of
+    computed sub-inverses); cost is ~n³/4 MACs total (vs n³/2 for
+    substitution) in 2⌈log₂n⌉ batched matmuls.
+    """
+    n = L.shape[-1]
+    batch = L.shape[:-2]
+    m = 1 << max(0, (n - 1).bit_length())  # next power of two
+    if m != n:
+        # identity tail: inv(blockdiag(L, I)) = blockdiag(inv L, I)
+        pad = [(0, 0)] * (len(batch)) + [(0, m - n), (0, m - n)]
+        tail = (jnp.arange(m)[:, None] == jnp.arange(m)[None, :]) & (
+            jnp.arange(m)[None, :] >= n
+        )
+        L = jnp.pad(L, pad) + tail.astype(L.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+
+    if m == 1:
+        return (1.0 / L)[..., :n, :n]
+
+    # base level s=2, elementwise: inv([[a,0],[b,c]]) = [[1/a,0],[-b/(ac),1/c]]
+    Lb = L.reshape(batch + (m // 2, 2, m // 2, 2))
+    Ld = jnp.moveaxis(jnp.diagonal(Lb, axis1=-4, axis2=-2), -1, -3)  # (..., m/2, 2, 2)
+    a = Ld[..., 0:1, 0:1]
+    b = Ld[..., 1:2, 0:1]
+    c = Ld[..., 1:2, 1:2]
+    zero = jnp.zeros_like(a)
+    X = jnp.concatenate(
+        [
+            jnp.concatenate([1.0 / a, zero], axis=-1),
+            jnp.concatenate([-b / (a * c), 1.0 / c], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., m/2, 2, 2)
+
+    s = 2
+    while s < m:
+        nb = m // (2 * s)
+        # diagonal (2s × 2s) blocks of L, batched: (..., nb, 2s, 2s)
+        L4 = L.reshape(batch + (nb, 2 * s, nb, 2 * s))
+        Ldb = jnp.moveaxis(jnp.diagonal(L4, axis1=-4, axis2=-2), -1, -3)
+        L21 = Ldb[..., s:, :s]  # (..., nb, s, s)
+        X11 = X[..., 0::2, :, :]
+        X22 = X[..., 1::2, :, :]
+        X21 = -mm(X22, mm(L21, X11))
+        zeros = jnp.zeros_like(X21)
+        X = jnp.concatenate(
+            [
+                jnp.concatenate([X11, zeros], axis=-1),
+                jnp.concatenate([X21, X22], axis=-1),
+            ],
+            axis=-2,
+        )  # (..., nb, 2s, 2s)
+        s *= 2
+    return X[..., 0, :n, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "rank"))
