@@ -53,7 +53,7 @@ def gauss_kl(
         diag = False
         num_latent = q_sqrt.shape[2]
         Lq = jnp.tril(jnp.transpose(q_sqrt, (2, 0, 1)))  # (L, M, M)
-        Lq_diag = jnp.diagonal(Lq, axis1=1, axis2=2)
+        Lq_diag = linalg.masked_diag(Lq)  # layout-safe diag, see linalg
     else:
         raise ValueError(f"Bad q_sqrt ndim: {q_sqrt.ndim}")
 
@@ -172,7 +172,7 @@ def gauss_kl_kron_full(
     logdet_qcov = 0.0
     for C in C_factors:
         logdet_qcov = logdet_qcov + (M // C.shape[0]) * 2.0 * jnp.sum(
-            jnp.log(jnp.maximum(jnp.abs(jnp.diagonal(C)), tiny))
+            jnp.log(jnp.maximum(jnp.abs(linalg.masked_diag(C)), tiny))
         )
 
     constant = -jnp.asarray(M, dtype=dtype)

@@ -132,13 +132,30 @@ def _chol_inv_bwd(res, cots):
     dL, dLinv = cots
     mT = lambda A: jnp.swapaxes(A, -1, -2)
     hi = jax.lax.Precision.HIGHEST  # bf16 products here poison the gradients
-    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
-    LinvT = mT(Linv)
+    # Transposed operands go through dot_general contracting-dimension
+    # numbers, NOT materialized swapaxes + matmul: under the train step's
+    # vmap-of-jvp the explicit transposes forced per-iteration relayout
+    # copies of the full factors in the compiled HLO (same pathology as the
+    # add_jitter diagonal; lax.dot_general has no transpose op to lay out).
+    nb = L.ndim - 2
+    bdims = (tuple(range(nb)), tuple(range(nb)))
+
+    def tdot(a, b):  # aᵀ @ b
+        return jax.lax.dot_general(a, b, (((nb,), (nb,)), bdims), precision=hi)
+
+    def dott(a, b):  # a @ bᵀ
+        return jax.lax.dot_general(
+            a, b, (((nb + 1,), (nb + 1,)), bdims), precision=hi
+        )
+
+    def dot(a, b):  # a @ b
+        return jax.lax.dot_general(a, b, (((nb + 1,), (nb,)), bdims), precision=hi)
+
     # Pullback through Linv = L⁻¹ (lower-tri dof only): −tril(L⁻ᵀ dLinv L⁻ᵀ)
-    dL_tot = dL - jnp.tril(mm(mm(LinvT, dLinv), LinvT))
+    dL_tot = dL - jnp.tril(dott(tdot(Linv, dLinv), Linv))
     # Reverse-mode Cholesky with L⁻¹ available: matmuls only.
-    P = _phi_half_diag(mm(mT(L), dL_tot))
-    dK = 0.5 * mm(mm(LinvT, P + mT(P)), Linv)
+    P = _phi_half_diag(tdot(L, dL_tot))
+    dK = 0.5 * dot(tdot(Linv, P + mT(P)), Linv)
     return (dK,)
 
 
@@ -195,8 +212,21 @@ def diag_of_inv_from_chol(L: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.square(Linv), axis=0)
 
 
+def masked_diag(A: jnp.ndarray) -> jnp.ndarray:
+    """diag(A) (batched over leading dims) as a masked reduce. Layout-safe:
+    jnp.diagonal's *gather* lowers, under the train step's vmap-of-jvp
+    transposes, to a cond plus full-matrix relayout copies per scan
+    iteration (the same HLO pathology fixed in add_jitter); the masked
+    reduce fuses and has an elementwise VJP."""
+    eye = jnp.eye(A.shape[-1], dtype=bool)
+    return jnp.sum(jnp.where(eye, A, jnp.zeros((), A.dtype)), axis=-1)
+
+
 def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
-    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    # log over the eye-masked tile (off-diagonal entries pinned to 1 → log 0)
+    # rather than log(diagonal(L)) — see masked_diag for why.
+    eye = jnp.eye(L.shape[-1], dtype=bool)
+    return 2.0 * jnp.sum(jnp.log(jnp.where(eye, L, jnp.ones((), L.dtype))))
 
 
 # ---------------------------------------------------------------------------
