@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -122,3 +123,30 @@ def test_chol_inv_stacked_matches_per_factor(rng):
         L0, Li0 = linalg.chol_inv(K)
         np.testing.assert_allclose(np.asarray(L), np.asarray(L0), rtol=1e-9, atol=1e-10)
         np.testing.assert_allclose(np.asarray(Li), np.asarray(Li0), rtol=1e-8, atol=1e-9)
+
+
+def test_set_solve_precision_switches_hdot_and_restores():
+    """The solve-precision knob (measured study in RESULTS.md) must change
+    the precision recorded on hdot's dot at trace time, reject unknown
+    names, and restore the exact-f32 default."""
+    import jax
+    from zigp_tpu.ops import linalg
+
+    a = jnp.ones((3, 3), jnp.float32)
+
+    def prec_of():
+        # fresh callable per trace: jax caches traces on the function object,
+        # so tracing linalg.hdot itself twice would replay the first jaxpr
+        jaxpr = jax.make_jaxpr(lambda x, y: linalg.hdot(x, y))(a, a)
+        (eqn,) = [e for e in jaxpr.eqns if e.primitive.name == "dot_general"]
+        return eqn.params["precision"]
+
+    assert prec_of() == (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+    try:
+        linalg.set_solve_precision("high")
+        assert prec_of() == (jax.lax.Precision.HIGH, jax.lax.Precision.HIGH)
+        with pytest.raises(KeyError):
+            linalg.set_solve_precision("default")  # deliberately unsupported
+    finally:
+        linalg.set_solve_precision("highest")
+    assert prec_of() == (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)

@@ -86,6 +86,15 @@ def _common(p):
                    help="initial period for 'periodic' temporal kernels, in "
                         "the model's time units (pptr time is days/1000; "
                         "1 day = 0.001)")
+    p.add_argument("--solve-precision", type=str, default=None,
+                   dest="solve_precision", choices=("highest", "high"),
+                   help="matmul precision on the solve-replacing contractions "
+                        "(ops.linalg.hdot): highest = exact-f32 6-pass bf16 "
+                        "(default, reproduces RESULTS.md); high = 3-pass "
+                        "(~1e-4 rel err on ill-conditioned factors) — measured "
+                        "+60%% steps/s on the champion/classifier configs at a "
+                        "small champion-RMSE cost; see RESULTS.md precision "
+                        "study before using for headline numbers")
     p.add_argument("--mesh-data", type=int, default=None, dest="mesh_data",
                    help="shard the minibatch over this many devices (data "
                         "parallelism; batch size must divide it)")
@@ -177,6 +186,13 @@ def main(argv=None):
     split = _load_fold(args)
     workdir = os.path.join(args.workdir, str(args.fold))
     log = _setup_logging(workdir, args.cmd)
+
+    if getattr(args, "solve_precision", None):
+        # Global trace-time policy; set before any step function is built.
+        from ..ops import linalg
+
+        linalg.set_solve_precision(args.solve_precision)
+        log(f"solve precision: {args.solve_precision}")
 
     def _cfgkw(cfg):
         kw = {}

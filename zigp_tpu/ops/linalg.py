@@ -53,6 +53,26 @@ def cholesky(K: jnp.ndarray) -> jnp.ndarray:
     return _cholesky(K, lower=True)
 
 
+# Precision of the solve-replacing matmuls (hdot + the chol_inv VJP).
+# HIGHEST = 6-pass bf16 (exact f32 products); HIGH = 3-pass bf16 (drops the
+# lo×lo term, ~1e-5 relative — between exact f32 and the 4e-3 of DEFAULT).
+# Captured at trace time: switch it before building/jitting a train step.
+_SOLVE_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_solve_precision(name: str) -> None:
+    """Set the matmul precision used on every solve-replacing contraction
+    (``hdot`` and the chol_inv custom VJP): "highest" (default, exact-f32
+    6-pass) or "high" (3-pass, ~1e-5 relative). Affects functions traced
+    AFTER the call — already-jitted steps keep the precision they captured.
+    """
+    global _SOLVE_PRECISION
+    _SOLVE_PRECISION = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+    }[name]
+
+
 def hdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Full-precision matmul. TPU 'default' matmul precision multiplies f32
     operands in bfloat16 (~4e-3 relative error) — fine for the ELBO's bulk
@@ -60,7 +80,7 @@ def hdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     solves (an exact-f32 custom call) in the chol_inv fast path: the
     variance-sensitive GH objective measurably fails to train off the bf16
     products. Every solve-replacing matmul goes through here."""
-    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(a, b, precision=_SOLVE_PRECISION)
 
 
 # Above this factor size the single-program Pallas kernel's sequential column
@@ -131,7 +151,7 @@ def _chol_inv_bwd(res, cots):
     L, Linv = res
     dL, dLinv = cots
     mT = lambda A: jnp.swapaxes(A, -1, -2)
-    hi = jax.lax.Precision.HIGHEST  # bf16 products here poison the gradients
+    hi = _SOLVE_PRECISION  # bf16 products here poison the gradients
     # Transposed operands go through dot_general contracting-dimension
     # numbers, NOT materialized swapaxes + matmul: under the train step's
     # vmap-of-jvp the explicit transposes forced per-iteration relayout
