@@ -1,0 +1,154 @@
+"""Time-to-target benchmark: wall-clock for the champion on/off GP to reach
+reference-level test RMSE on a pptr CV fold.
+
+BASELINE.md names "time-to-target test RMSE" as a north-star metric alongside
+steps/sec. This driver trains the champion preset (``configs.
+best_onoff_config``) with the device-resident sampler, pausing every
+``eval_every`` steps to measure test RMSE with a once-jitted predictor, and
+records when the curve first crosses each target:
+
+- 0.68   — the predict-all-zeros floor (89.6 % of pptr targets are zero);
+- the reference protocol's 5-fold mean (0.636, results/cv_reference_protocol
+  .json) — "reference quality", which the reference reaches after 50,000 TF1
+  session steps (scripts/onoff.py:375-427; ≈2.8 days at the measured 0.204
+  steps/s of bench.py's same-math dense CPU proxy);
+- within 1 % of this fold's final champion RMSE — "converged".
+
+Train wall-clock excludes evaluation pauses (each eval syncs the dispatch
+pipeline); total wall-clock includes them.
+
+Usage: python -m zigp_tpu.experiments.time_to_target [--fold 1] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ZERO_TARGET = 0.68
+REFERENCE_TARGET = 0.636
+
+
+def run_time_to_target(fold: int = 1, eval_every: int = 2000, out: str | None = None):
+    from ..io.datasets import load_pptr, make_cv_splits
+    from ..training.optim import cosine_adam, make_optimizer
+    from ..training.scan import make_device_sampling_scan_step
+    from ..utils import metrics
+    from .builders import build_onoff_pptr
+    from .configs import best_onoff_config
+
+    split = make_cv_splits(load_pptr())[fold - 1]
+    cfg = best_onoff_config()
+    model = build_onoff_pptr(cfg, split)
+    optimizer = make_optimizer(
+        model, default_lr=cfg.indp_lr, opt_factory=cosine_adam(cfg.num_iter)
+    )
+    opt_state = optimizer.init(model)
+    step = make_device_sampling_scan_step(
+        optimizer, split.Xtrain, split.Ytrain, cfg.batch_size
+    )
+
+    # Once-jitted fixed-shape predictor: the model pytree is an argument, so
+    # one executable serves every eval as the parameters move.
+    Xtest = np.asarray(split.Xtest, np.float32)
+    CHUNK = 4096
+    pad = (-len(Xtest)) % CHUNK
+    Xp = np.concatenate([Xtest, np.repeat(Xtest[-1:], pad, axis=0)]) if pad else Xtest
+    chunks = [jnp.asarray(Xp[i : i + CHUNK]) for i in range(0, len(Xp), CHUNK)]
+
+    @jax.jit
+    def _predict(m, X):
+        return m.predict(X).gfmean
+
+    def test_rmse(m):
+        parts = jax.device_get([_predict(m, c) for c in chunks])
+        pred = np.concatenate(parts, axis=0)[: len(Xtest)]
+        return float(metrics.rmse(np.maximum(pred, 0), split.Ytest, clip_at_zero=False))
+
+    K = cfg.scan_inner or 50
+    blocks_per_eval = max(1, eval_every // K)
+    num_blocks = cfg.num_iter // K
+
+    # compile (not counted: one-time cost, reported separately)
+    t0 = time.time()
+    model, opt_state, losses = step(model, opt_state, jax.random.PRNGKey(cfg.seed), K)
+    jax.block_until_ready(losses)
+    compile_sec = time.time() - t0
+    _ = test_rmse(model)  # compile the predictor too
+    done = 1
+
+    curve = []
+    train_sec = 0.0
+    wall0 = time.time()
+    while done < num_blocks:
+        t0 = time.time()
+        n = min(blocks_per_eval, num_blocks - done)
+        for b in range(n):
+            model, opt_state, losses = step(
+                model, opt_state, jax.random.PRNGKey(cfg.seed + done + b + 1), K
+            )
+        jax.block_until_ready(losses)
+        train_sec += time.time() - t0
+        done += n
+        curve.append({
+            "step": done * K,
+            "train_sec": round(train_sec, 3),
+            "total_sec": round(time.time() - wall0, 3),
+            "test_rmse": test_rmse(model),
+        })
+        print(curve[-1], flush=True)
+
+    final_rmse = curve[-1]["test_rmse"]
+    targets = {
+        "rmse<=0.68 (zero-predictor floor)": ZERO_TARGET,
+        "rmse<=0.636 (reference-protocol 5-fold mean)": REFERENCE_TARGET,
+        "rmse within 1% of final": final_rmse * 1.01,
+    }
+    hits = {}
+    for name, tgt in targets.items():
+        hit = next((c for c in curve if c["test_rmse"] <= tgt), None)
+        hits[name] = hit and {
+            "step": hit["step"], "train_sec": hit["train_sec"],
+            "total_sec": hit["total_sec"], "test_rmse": hit["test_rmse"],
+        }
+
+    result = {
+        "task": "time to target test RMSE, champion preset, pptr fold "
+                f"{fold} (BASELINE.md north-star)",
+        "fold": fold,
+        "eval_every_steps": blocks_per_eval * K,
+        "compile_sec": round(compile_sec, 2),
+        "final_rmse": final_rmse,
+        "steps_per_sec_train_only": round(cfg.num_iter / train_sec, 1),
+        "targets": hits,
+        "reference_anchor": {
+            "protocol": "50,000 TF1 session steps to reach ~0.636 5-fold mean",
+            "proxy_steps_per_sec": 0.204,
+            "estimated_reference_wall_sec": round(50_000 / 0.204),
+        },
+        "curve": curve,
+    }
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "curve"}, indent=1))
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="zigp_tpu.experiments.time_to_target")
+    p.add_argument("--fold", type=int, default=1)
+    p.add_argument("--eval-every", type=int, default=2000)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+    run_time_to_target(args.fold, args.eval_every, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
