@@ -41,12 +41,17 @@ def bench_tpu_steps_per_sec(num_steps: int = 200, batch: int = 1000):
     model, opt_state, loss = step(model, opt_state, X, Y)
     jax.block_until_ready(loss)
 
-    t0 = time.time()
-    for _ in range(num_steps):
-        model, opt_state, loss = step(model, opt_state, X, Y)
-    jax.block_until_ready(loss)
-    dt = time.time() - t0
-    return num_steps / dt, float(loss)
+    # median of 3 timed passes: dispatch latency through the TPU tunnel
+    # varies run to run (measured ±9 % round over round), and a single pass
+    # inherits whatever the tunnel was doing that minute
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(num_steps):
+            model, opt_state, loss = step(model, opt_state, X, Y)
+        jax.block_until_ready(loss)
+        rates.append(num_steps / (time.time() - t0))
+    return sorted(rates)[1], float(loss)
 
 
 def bench_tpu_scanned_steps_per_sec(num_inner: int = 100, num_blocks: int = 10, batch: int = 1000):
@@ -72,12 +77,18 @@ def bench_tpu_scanned_steps_per_sec(num_inner: int = 100, num_blocks: int = 10, 
     model, opt_state, losses = step(model, opt_state, *blocks[0])  # compile
     jax.block_until_ready(losses)
 
-    t0 = time.time()
-    for Xs, Ys in blocks:
-        model, opt_state, losses = step(model, opt_state, Xs, Ys)
-    jax.block_until_ready(losses)
-    dt = time.time() - t0
-    return num_blocks * num_inner / dt, float(losses[-1])
+    # median of 3 timed passes over the same staged blocks (tunnel dispatch
+    # jitter is the dominant run-to-run variance; see the single-dispatch
+    # bench for the same pattern). Training continues across passes — only
+    # the timing window repeats.
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        for Xs, Ys in blocks:
+            model, opt_state, losses = step(model, opt_state, Xs, Ys)
+        jax.block_until_ready(losses)
+        rates.append(num_blocks * num_inner / (time.time() - t0))
+    return sorted(rates)[1], float(losses[-1])
 
 
 def bench_reference_proxy_steps_per_sec(num_steps: int = 3, batch: int = 1000):
@@ -126,10 +137,12 @@ def bench_reference_proxy_steps_per_sec(num_steps: int = 3, batch: int = 1000):
         return total
 
     forward()  # warmup numpy/BLAS
-    t0 = time.time()
+    times = []
     for _ in range(num_steps):
+        t0 = time.time()
         forward()
-    fwd = (time.time() - t0) / num_steps
+        times.append(time.time() - t0)
+    fwd = sorted(times)[len(times) // 2]  # median: host CPU contention jitter
     # reverse-mode AD of this graph costs ~2× forward on top (TF1 measured
     # convention); total per train step ≈ 3× forward.
     return 1.0 / (3.0 * fwd)
