@@ -52,3 +52,19 @@ def test_cli_cv_command(synth_pptr, tmp_path):
                "--workdir", wd, "--iters", "10", "--batch", "64"])
     assert rc == 0
     assert (tmp_path / "cvrun" / "cv_summary.json").exists()
+
+
+def test_cli_predict_roundtrip(synth_pptr, tmp_path):
+    """`predict` restores the latest checkpoint written by a training run and
+    writes predictions without training (reference onofftf/*pred.py flow)."""
+    wd = str(tmp_path / "runs")
+    assert main(["onoff", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "60", "--batch", "64"]) == 0
+    assert main(["predict", "--model", "onoff", "--fold", "1",
+                 "--data", synth_pptr, "--workdir", wd, "--batch", "64"]) == 0
+    assert (tmp_path / "runs" / "1" / "predictions_onoff.pickle").exists()
+
+    # no checkpoint for svgp in this workdir -> clean error
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        main(["predict", "--model", "svgp", "--fold", "1",
+              "--data", synth_pptr, "--workdir", wd, "--batch", "64"])

@@ -114,3 +114,50 @@ def test_gaussian_nlpd_closed_form():
     )
     # overconfident variance is penalized more than calibrated at the same error
     assert gaussian_nlpd([0.0], [0.01], [1.0]) > gaussian_nlpd([0.0], [1.0], [1.0])
+
+
+def test_run_predict_restores_and_reproduces(rng, tmp_path):
+    """run_predict (CLI `predict`) rebuilds the model, restores the latest
+    checkpoint, and reproduces the training run's final test metrics exactly
+    — the reference's standalone restore-and-predict workflow
+    (onofftf/onoffpred.py:15) without the graph-rebuild dance."""
+    from zigp_tpu.experiments import run_predict
+
+    split = _synthetic_split(rng)
+    cfg = OnOffPptrConfig(
+        num_iter=200, batch_size=100, scan_inner=50, ckpt_every=100,
+        grid=_tiny_grid(), log_every=0,
+    )
+    trained = run_onoff(split, cfg, workdir=str(tmp_path), log_fn=lambda s: None)
+
+    res = run_predict(split, "onoff", cfg, workdir=str(tmp_path), log_fn=lambda s: None)
+    assert res["restored_step"] == 200
+    np.testing.assert_allclose(res["test_rmse"], trained["test_rmse"], rtol=1e-7)
+    np.testing.assert_allclose(
+        res["pred_test"]["gfmean"], trained["pred_test"]["gfmean"], rtol=1e-6, atol=1e-7
+    )
+    assert (tmp_path / "predictions_onoff.pickle").exists()
+
+    # missing checkpoint -> clean error
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        run_predict(split, "onoff", cfg, workdir=str(tmp_path / "empty"),
+                    log_fn=lambda s: None)
+
+
+def test_run_predict_from_natgrad_checkpoint(rng, tmp_path):
+    """Model-only restore must work regardless of which optimizer wrote the
+    checkpoint — natgrad's trainer state differs structurally from Adam's."""
+    from zigp_tpu.experiments import run_predict
+
+    split = _synthetic_split(rng)
+    cfg = OnOffPptrConfig(
+        num_iter=100, batch_size=100, scan_inner=50, ckpt_every=50,
+        grid=_tiny_grid(), log_every=0, optimizer="natgrad",
+        natgrad_warmup=20, natgrad_adam_warmup=10,
+    )
+    trained = run_onoff(split, cfg, workdir=str(tmp_path), log_fn=lambda s: None)
+    res = run_predict(split, "onoff", cfg, workdir=str(tmp_path), log_fn=lambda s: None)
+    # warmup 10 + ceil(90/50)=2 natgrad blocks: the scanned loop rounds UP to
+    # whole blocks, never below the requested count
+    assert res["restored_step"] >= cfg.num_iter
+    np.testing.assert_allclose(res["test_rmse"], trained["test_rmse"], rtol=1e-7)

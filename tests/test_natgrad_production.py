@@ -199,6 +199,6 @@ def test_runner_natgrad_threads_machinery(rng, tmp_path):
     )
     wd = str(tmp_path / "run")
     run_onoff(split, cfg, workdir=wd, log_fn=lambda s: None)
-    assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
-    mgr = CheckpointManager(os.path.join(wd, "ckpt"), every=10)
+    assert os.path.exists(os.path.join(wd, "metrics_onoff.jsonl"))
+    mgr = CheckpointManager(os.path.join(wd, "ckpt_onoff"), every=10)
     assert mgr.latest_step() == 20

@@ -148,8 +148,8 @@ def test_runner_resume_cli_path(rng, tmp_path):
     )
     wd = str(tmp_path / "run")
     r1 = run_svgp(split, cfg, workdir=wd, log_fn=lambda s: None)
-    assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
-    mgr = CheckpointManager(os.path.join(wd, "ckpt"), every=10)
+    assert os.path.exists(os.path.join(wd, "metrics_svgp.jsonl"))
+    mgr = CheckpointManager(os.path.join(wd, "ckpt_svgp"), every=10)
     assert mgr.latest_step() == 20
 
     logs = []

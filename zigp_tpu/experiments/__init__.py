@@ -7,7 +7,14 @@ from .configs import (
     SvgpPptrConfig,
     ToyOnOffConfig,
 )
-from .runners import run_classifier, run_hurdle, run_onoff, run_svgp, run_zero_inflated
+from .runners import (
+    run_classifier,
+    run_hurdle,
+    run_onoff,
+    run_predict,
+    run_svgp,
+    run_zero_inflated,
+)
 from .toy import REFERENCE_TOY_ELBO, build_toy_model, run_toy
 
 __all__ = [
@@ -21,6 +28,7 @@ __all__ = [
     "KronGridConfig",
     "ToyOnOffConfig",
     "run_onoff",
+    "run_predict",
     "run_svgp",
     "run_classifier",
     "run_hurdle",

@@ -119,6 +119,17 @@ def main(argv=None):
     for name in ("onoff", "svgp", "classifier", "hurdle", "zi"):
         _common(sub.add_parser(name))
 
+    p_pred = sub.add_parser(
+        "predict",
+        help="restore the latest checkpoint in the workdir and predict "
+             "without training (the reference's onofftf/*pred.py workflow)",
+    )
+    _common(p_pred)
+    p_pred.add_argument("--model", type=str, default="onoff",
+                        choices=("onoff", "svgp", "classifier"),
+                        help="which trained model to restore; config flags "
+                             "(--preset/--kernel-*/...) must match training")
+
     p_cv = sub.add_parser("cv", help="run model variants over all 5 CV folds")
     p_cv.add_argument("--models", type=str, default="onoff",
                       help="comma-separated: onoff,svgp,classifier,hurdle,zi")
@@ -228,6 +239,24 @@ def main(argv=None):
         return dataclasses.replace(cfg, **kw)
 
     best = getattr(args, "preset", "reference") == "best"
+    if args.cmd == "predict":
+        from .configs import (
+            ClassifierPptrConfig,
+            OnOffPptrConfig,
+            SvgpPptrConfig,
+            best_onoff_config,
+            tuned_classifier_config,
+            tuned_svgp_config,
+        )
+        from .runners import run_predict
+
+        cfg = {
+            "onoff": best_onoff_config() if best else OnOffPptrConfig(),
+            "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
+            "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
+        }[args.model]
+        run_predict(split, args.model, _cfgkw(cfg), workdir=workdir, log_fn=log)
+        return 0
     if args.cmd == "onoff":
         from .configs import OnOffPptrConfig, best_onoff_config
         from .runners import run_onoff

@@ -81,7 +81,7 @@ def predict_batched(predict_fn: Callable, X: np.ndarray, batch: int = 4096) -> D
 
 
 def _fit_auto(
-    model, ds, cfg, *, learning_rate, log_fn,
+    model, ds, cfg, *, learning_rate, log_fn, kind: str,
     workdir: Optional[str] = None, resume: bool = False, monitor_cb=None,
 ):
     """Use the scanned multi-step loop when the run is long enough for it
@@ -110,9 +110,15 @@ def _fit_auto(
     ckpt = metric = None
     if workdir:
         os.makedirs(workdir, exist_ok=True)
+        # per-model-kind artifact names: the five experiment variants share a
+        # fold workdir (CLI: runs/pptr/<fold>/), so an unscoped "ckpt"
+        # directory would interleave checkpoints of structurally different
+        # models and restore the wrong one
         if getattr(cfg, "ckpt_every", 0):
-            ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), every=cfg.ckpt_every)
-        metric = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
+            ckpt = CheckpointManager(
+                os.path.join(workdir, f"ckpt_{kind}"), every=cfg.ckpt_every
+            )
+        metric = MetricLogger(os.path.join(workdir, f"metrics_{kind}.jsonl"))
 
     if getattr(cfg, "optimizer", "adam") == "natgrad":
         from ..training.natgrad import fit_natgrad_scanned
@@ -251,12 +257,27 @@ def run_onoff(
 
     t0 = time.time()
     res = _fit_auto(
-        model, ds, cfg, learning_rate=cfg.indp_lr, log_fn=log_fn,
+        model, ds, cfg, learning_rate=cfg.indp_lr, log_fn=log_fn, kind="onoff",
         workdir=workdir, resume=resume, monitor_cb=monitor_cb,
     )
     model = res.model
     train_time = time.time() - t0
     _log_hyperparams(model, log_fn)
+
+    results = _eval_onoff(model, split, log_fn)
+    results.update(
+        steps_per_sec=res.steps_per_sec,
+        train_time_sec=train_time,
+        losses=res.losses,
+        interrupted=bool(getattr(res, "interrupted", False)),
+    )
+    _maybe_pickle(results, workdir, "results_onoff.pickle")
+    results["model"] = model
+    return results
+
+
+def _eval_onoff(model, split: Split, log_fn) -> dict:
+    """Predict + metric block of the onoff runner (shared with run_predict)."""
 
     def predict(X):
         return model.predict(X)
@@ -285,21 +306,14 @@ def run_onoff(
     )
     log_fn(f"test nlpd: {test_nlpd}")
 
-    results = {
+    return {
         "test_rmse": test_rmse,
         "test_mae": test_mae,
         "test_rmse_hard": test_rmse_hard,
         "test_mae_hard": test_mae_hard,
         "test_nlpd": test_nlpd,
         "pred_test": pred_test,
-        "steps_per_sec": res.steps_per_sec,
-        "train_time_sec": train_time,
-        "losses": res.losses,
-        "interrupted": bool(getattr(res, "interrupted", False)),
     }
-    _maybe_pickle(results, workdir, "results_onoff.pickle")
-    results["model"] = model
-    return results
 
 
 def run_svgp(
@@ -315,11 +329,25 @@ def run_svgp(
     model = build_svgp_pptr(cfg, split)
     ds = make_dataset(split.Xtrain, split.Ytrain)
     res = _fit_auto(
-        model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn,
+        model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn, kind="svgp",
         workdir=workdir, resume=resume,
     )
     model = res.model
     _log_hyperparams(model, log_fn)
+
+    results = _eval_svgp(model, split, log_fn)
+    results.update(
+        steps_per_sec=res.steps_per_sec,
+        losses=res.losses,
+        interrupted=bool(getattr(res, "interrupted", False)),
+    )
+    _maybe_pickle(results, workdir, "results_svgp.pickle")
+    results["model"] = model
+    return results
+
+
+def _eval_svgp(model, split: Split, log_fn) -> dict:
+    """Predict + metric block of the svgp runner (shared with run_predict)."""
 
     def predict(X):
         fmean, fvar = model.predict_f(X)
@@ -336,19 +364,13 @@ def run_svgp(
     log_fn(f"test rmse: {test_rmse}")
     log_fn(f"test nlpd: {test_nlpd}")
 
-    results = {
+    return {
         "pred_train": pred_train,
         "pred_test": pred_test,
         "test_rmse": test_rmse,
         "test_mae": test_mae,
         "test_nlpd": test_nlpd,
-        "steps_per_sec": res.steps_per_sec,
-        "losses": res.losses,
-        "interrupted": bool(getattr(res, "interrupted", False)),
     }
-    _maybe_pickle(results, workdir, "results_svgp.pickle")
-    results["model"] = model
-    return results
 
 
 def run_classifier(
@@ -361,16 +383,31 @@ def run_classifier(
 ) -> dict:
     """Sparse GP classifier on binarized pptr (scripts/classifier.py)."""
     cfg = cfg or ClassifierPptrConfig()
-    Ytrain_b = binarize_targets(split.Ytrain)
-    Ytest_b = binarize_targets(split.Ytest)
     model = build_classifier_pptr(cfg, split)
-    ds = make_dataset(split.Xtrain, Ytrain_b)
+    ds = make_dataset(split.Xtrain, binarize_targets(split.Ytrain))
     res = _fit_auto(
-        model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn,
+        model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn, kind="classifier",
         workdir=workdir, resume=resume,
     )
     model = res.model
     _log_hyperparams(model, log_fn)
+
+    results = _eval_classifier(model, split, log_fn)
+    results.update(
+        steps_per_sec=res.steps_per_sec,
+        losses=res.losses,
+        interrupted=bool(getattr(res, "interrupted", False)),
+    )
+    _maybe_pickle(results, workdir, "results_scgp.pickle")
+    results["model"] = model
+    return results
+
+
+def _eval_classifier(model, split: Split, log_fn) -> dict:
+    """Predict + metric block of the classifier runner (shared with
+    run_predict). Binarizes the targets itself (scripts/classifier.py:44-47)."""
+    Ytrain_b = binarize_targets(split.Ytrain)
+    Ytest_b = binarize_targets(split.Ytest)
 
     def predict(X):
         pfmean, pfvar = model.predict_prob(X)
@@ -379,13 +416,7 @@ def run_classifier(
     pred_train = predict_batched(predict, split.Xtrain)
     pred_test = predict_batched(predict, split.Xtest)
 
-    results = {
-        "pred_train": pred_train,
-        "pred_test": pred_test,
-        "steps_per_sec": res.steps_per_sec,
-        "losses": res.losses,
-        "interrupted": bool(getattr(res, "interrupted", False)),
-    }
+    results = {"pred_train": pred_train, "pred_test": pred_test}
     for name, pred, actual in (
         ("train", pred_train["pfmean"], Ytrain_b),
         ("test", pred_test["pfmean"], Ytest_b),
@@ -397,8 +428,6 @@ def run_classifier(
         log_fn(
             f"{name}: acc {results[f'{name}_accuracy']:.4f} auc {results[f'{name}_auc']:.4f}"
         )
-    _maybe_pickle(results, workdir, "results_scgp.pickle")
-    results["model"] = model
     return results
 
 
@@ -485,4 +514,59 @@ def run_zero_inflated(
     }
     log_fn(f"zi prob test rmse: {results['test_zi_prob_reg_rmse']}")
     _maybe_pickle(results, workdir, "results_zi.pickle")
+    return results
+
+
+def run_predict(
+    split: Split,
+    kind: str,
+    cfg=None,
+    *,
+    workdir: str,
+    log_fn: Callable[[str], None] = logger.info,
+) -> dict:
+    """Standalone restore-and-predict: rebuild the model from its config,
+    restore the latest Orbax checkpoint in ``workdir``, and run the same
+    predict+metric block as the training runner — without training.
+
+    The reference ships this workflow as separate graph-rebuilding modules
+    (onofftf/onoffpred.py:15, svgppred.py:15, svcppred.py:15, each re-declaring
+    every Param then Saver.restore); here the model is a pytree, so restore is
+    structural. Only the model is restored (the optimizer state in the
+    checkpoint is ignored), so checkpoints from any optimizer — Adam, natgrad —
+    predict identically.
+
+    ``kind``: "onoff" | "svgp" | "classifier". ``cfg`` must match the training
+    config's model shape (grid, q_cov, whiten, kernel families).
+    Writes ``predictions_<kind>.pickle`` into ``workdir``.
+    """
+    from ..io.checkpoint import CheckpointManager
+
+    builders = {
+        "onoff": (build_onoff_pptr, OnOffPptrConfig, _eval_onoff),
+        "svgp": (build_svgp_pptr, SvgpPptrConfig, _eval_svgp),
+        "classifier": (build_classifier_pptr, ClassifierPptrConfig, _eval_classifier),
+    }
+    if kind not in builders:
+        raise SystemExit(f"error: unknown predict kind {kind!r} (onoff|svgp|classifier)")
+    build, default_cfg, evaluate = builders[kind]
+    cfg = cfg or default_cfg()
+    model = build(cfg, split)
+
+    ckpt_dir = os.path.join(workdir, f"ckpt_{kind}")
+    ckpt = CheckpointManager(ckpt_dir)
+    restored = ckpt.restore_latest(model, None)
+    if restored is None:
+        raise SystemExit(
+            f"error: no checkpoint under {ckpt_dir} — "
+            f"train '{kind}' with this --workdir first"
+        )
+    model, _, step = restored
+    log_fn(f"restored {kind} checkpoint at step {step}")
+    _log_hyperparams(model, log_fn)
+
+    results = evaluate(model, split, log_fn)
+    results["restored_step"] = step
+    _maybe_pickle(results, workdir, f"predictions_{kind}.pickle")
+    results["model"] = model
     return results

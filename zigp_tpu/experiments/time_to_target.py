@@ -34,7 +34,15 @@ ZERO_TARGET = 0.68
 REFERENCE_TARGET = 0.636
 
 
-def run_time_to_target(fold: int = 1, eval_every: int = 2000, out: str | None = None):
+def run_time_to_target(
+    fold: int = 1,
+    eval_every: int = 2000,
+    out: str | None = None,
+    cfg=None,
+    split=None,
+):
+    """``cfg``/``split`` default to the champion preset on the requested pptr
+    CV fold; tests pass tiny ones."""
     from ..io.datasets import load_pptr, make_cv_splits
     from ..training.optim import cosine_adam, make_optimizer
     from ..training.scan import make_device_sampling_scan_step
@@ -42,8 +50,9 @@ def run_time_to_target(fold: int = 1, eval_every: int = 2000, out: str | None = 
     from .builders import build_onoff_pptr
     from .configs import best_onoff_config
 
-    split = make_cv_splits(load_pptr())[fold - 1]
-    cfg = best_onoff_config()
+    if split is None:
+        split = make_cv_splits(load_pptr())[fold - 1]
+    cfg = cfg or best_onoff_config()
     model = build_onoff_pptr(cfg, split)
     optimizer = make_optimizer(
         model, default_lr=cfg.indp_lr, opt_factory=cosine_adam(cfg.num_iter)

@@ -32,12 +32,49 @@ def save(path: str, model: Any, opt_state: Optional[Any] = None, step: Optional[
 
 
 def restore(path: str, like: Any, opt_state_like: Optional[Any] = None) -> Tuple[Any, Any, Optional[int]]:
-    """Restore into the structure of ``like`` (and optionally opt state)."""
+    """Restore into the structure of ``like`` (and optionally opt state).
+
+    With ``opt_state_like=None`` only the model (and step) are read — a
+    partial restore, so checkpoints written by any optimizer (Adam, natgrad)
+    can be loaded for prediction without knowing its state structure.
+    """
     path = os.path.abspath(path)
-    payload = {"model": like, "opt_state": opt_state_like, "step": 0}
     ckptr = _checkpointer()
+    if opt_state_like is None:
+        # Itemless (raw) restore, then re-impose the template's pytree
+        # structure. Orbax's partial_restore cannot be used here: it asserts
+        # on None leaves, which our model pytrees legitimately contain
+        # (optional fields like q_sqrt_factors in the diag family).
+        raw = ckptr.restore(path)
+        return _fill_like(like, raw["model"]), None, raw.get("step")
+    payload = {"model": like, "opt_state": opt_state_like, "step": 0}
     restored = ckptr.restore(path, item=payload)
     return restored["model"], restored.get("opt_state"), restored.get("step")
+
+
+def _fill_like(like: Any, raw: Any) -> Any:
+    """Map a raw (nested dict/list) orbax restore onto the pytree structure
+    of ``like``: each template leaf is replaced by the raw value at the same
+    tree path. Static (non-pytree) fields keep the template's values; None
+    subtrees in the template stay None."""
+    from jax import tree_util as jtu
+
+    def lookup(path):
+        node = raw
+        for p in path:
+            if isinstance(p, jtu.DictKey):
+                node = node[p.key]
+            elif isinstance(p, jtu.GetAttrKey):
+                node = node[p.name]
+            elif isinstance(p, jtu.SequenceKey):
+                node = node[p.idx]
+            elif isinstance(p, jtu.FlattenedIndexKey):
+                node = node[str(p.key)]
+            else:  # pragma: no cover - unknown key kind
+                raise TypeError(f"unsupported pytree path entry: {p!r}")
+        return node
+
+    return jtu.tree_map_with_path(lambda path, _: lookup(path), like)
 
 
 class CheckpointManager:

@@ -463,7 +463,8 @@ def fit_natgrad_scanned(
         ckpt_manager.save_at(start_step, model, opt_state)
 
     losses = []
-    num_blocks = max(1, (num_iter - start_step) // num_inner)
+    # ceil, matching fit_scanned: never train fewer steps than asked
+    num_blocks = max(1, -(-(num_iter - start_step) // num_inner))
     t_start = time.time()
     timed_steps = 0
     steps_done = start_step
@@ -554,6 +555,10 @@ def fit_natgrad_scanned(
             f"non-finite loss ({final_loss}); the trained state is unusable. "
             "Enable checkpointing (ckpt_manager) to get NaN recovery mid-run."
         )
+    # Final save at completion (reference: scripts/onoff.py:429-430), matching
+    # fit_scanned — restore-and-predict always sees the fully trained state.
+    if ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
+        ckpt_manager.save_at(steps_done, model, opt_state)
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
         model=model,

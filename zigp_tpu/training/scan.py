@@ -250,7 +250,11 @@ def fit_scanned(
         ckpt_manager.save_at(start_step, model, opt_state)
 
     losses = []
-    num_blocks = max(1, num_iter // num_inner)
+    # ceil: never train FEWER steps than asked — the scanned execution model
+    # rounds the run up to whole blocks (≤ num_inner−1 extra steps), matching
+    # the reference's exact-count semantics as closely as one compiled block
+    # shape allows. (Floor here silently shortchanged non-multiple requests.)
+    num_blocks = max(1, -(-num_iter // num_inner))
     t_start = time.time()
     timed_steps = 0
     steps_done = start_step
@@ -371,6 +375,11 @@ def fit_scanned(
             f"loss ({final_loss}); the trained state is unusable. Enable "
             "checkpointing (ckpt_manager) to get NaN recovery mid-run."
         )
+    # Final save at completion (reference: scripts/onoff.py:429-430 saves
+    # after the loop regardless of cadence) so restore-and-predict always
+    # sees the fully trained state.
+    if ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
+        ckpt_manager.save_at(steps_done, model, opt_state)
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
         model=model,

@@ -7,7 +7,7 @@ write dependency-free JSONL (utils.logging.MetricLogger) so the hot path
 never touches an event-writer; this module converts a finished (or live) run
 so TensorBoard can load it:
 
-    python -m zigp_tpu.utils.tb_export runs/pptr/1/metrics.jsonl [logdir]
+    python -m zigp_tpu.utils.tb_export runs/pptr/1/metrics_onoff.jsonl [logdir]
 
 Scalars map to ordinary scalar summaries. Histogram records are stored as
 percentile summaries (p0..p100, mean/std/n) rather than raw buckets; they are
