@@ -1,6 +1,8 @@
 """Failure detection / elastic recovery: checkpoint cadence inside fit() and
 restore-from-latest on a non-finite loss."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -25,7 +27,10 @@ def test_fit_writes_checkpoints(rng, tmp_path):
     model = _model(rng, N)
     fit(model, DataSet(X, Y), num_iter=12, batch_size=N, log_every=0,
         ckpt_manager=mgr, log_fn=lambda s: None)
-    assert mgr.latest_step() == 10
+    # cadence saves at 5 and 10, plus the final save at completion (step 12)
+    # so restore-and-predict sees the fully trained state
+    assert mgr.latest_step() == 12
+    assert os.path.isdir(mgr._path(10))
 
 
 def test_fit_recovers_from_nan_loss(rng, tmp_path):

@@ -127,6 +127,16 @@ def fit(
         if callback is not None:
             callback(i, model, loss)
     jax.block_until_ready(model)
+    # Final save at completion (reference: scripts/onoff.py:429-430), matching
+    # fit_scanned — restore-and-predict always sees the fully trained state.
+    # Same gate as every other save site: never checkpoint unverified state.
+    if (
+        ckpt_manager is not None
+        and num_iter > 0
+        and ckpt_manager.latest_step() != num_iter
+        and bool(jnp.isfinite(loss))
+    ):
+        ckpt_manager.save_at(num_iter, model, opt_state)
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
         model=model,
