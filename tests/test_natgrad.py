@@ -151,6 +151,152 @@ def test_natgrad_trainer_kron_covariance_trains_both_blocks(rng):
     assert not np.allclose(np.asarray(model.gp.q_sqrt_factors[0].value), C0, atol=1e-6)
 
 
+def _dense_gauss_kl(m, S, m_star, S_star):
+    """KL(N(m,S) ‖ N(m*,S*)) dense, jnp (test oracle only)."""
+    import jax
+
+    M = S.shape[0]
+    Ls = jnp.linalg.cholesky(S_star)
+    diff = m_star - m
+    sol = jax.scipy.linalg.cho_solve((Ls, True), S + diff @ diff.T)
+    return 0.5 * (
+        jnp.trace(sol) - M
+        + 2.0 * jnp.sum(jnp.log(jnp.diag(Ls)))
+        - jnp.linalg.slogdet(S)[1]
+    )
+
+
+def _joint_jump_case(rng, p, sizes):
+    """One γ=1 joint natural step on (m, Σ_p) for L = KL(q ‖ p*) with p* in
+    the subfamily (other factors matching) must land exactly on p* — the
+    exponential-family mirror-step exactness that validates the whole
+    θ/η/VJP chain of natgrad_update_block_kron."""
+    import jax
+    from zigp_tpu.training.natgrad import natgrad_update_block_kron
+
+    def _spd(n):
+        A = rng.randn(n, n)
+        return A @ A.T + n * np.eye(n)
+
+    # current factors; target replaces factor p only (and the mean)
+    Cs = [np.linalg.cholesky(_spd(n)) for n in sizes]
+    S_p_star = _spd(sizes[p])
+    M = int(np.prod(sizes))
+    m_star = rng.randn(M, 1)
+    m0 = rng.randn(M, 1)
+
+    S_star_facs = [
+        S_p_star if q == p else C @ C.T for q, C in enumerate(Cs)
+    ]
+    S_star = S_star_facs[0]
+    for F in S_star_facs[1:]:
+        S_star = np.kron(S_star, F)
+
+    def loss(m, Cp):
+        facs = [
+            Cp @ Cp.T if q == p else jnp.asarray(C @ C.T)
+            for q, C in enumerate(Cs)
+        ]
+        S = facs[0]
+        for F in facs[1:]:
+            S = jnp.kron(S, F)
+        return _dense_gauss_kl(m, S, jnp.asarray(m_star), jnp.asarray(S_star))
+
+    g_m, g_Cp = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(m0), jnp.asarray(Cs[p])
+    )
+    m_new, Cp_new = natgrad_update_block_kron(
+        jnp.asarray(m0), [jnp.asarray(C) for C in Cs], p, g_m, g_Cp,
+        1.0, max_mean_step=0.0, max_var_growth=1e30,
+    )
+    np.testing.assert_allclose(
+        np.asarray(Cp_new @ Cp_new.T), S_p_star, rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(m_new), m_star, rtol=1e-7, atol=1e-9)
+
+
+def test_natgrad_block_kron_gamma1_jumps_to_target_factor0(rng):
+    _joint_jump_case(rng, p=0, sizes=[3, 4])
+
+
+def test_natgrad_block_kron_gamma1_jumps_to_target_factor1(rng):
+    _joint_jump_case(rng, p=1, sizes=[3, 4])
+
+
+def test_natgrad_block_kron_single_factor_is_full_gaussian(rng):
+    # P=1: the subfamily is the full dense-covariance Gaussian family
+    _joint_jump_case(rng, p=0, sizes=[5])
+
+
+def test_natgrad_block_kron_sign_flip_invariance(rng):
+    """The model's C_p is tril-unconstrained; a column-sign-flipped C_p
+    represents the same Σ_p and must produce the same updated state (the
+    canonicalizing gradient transform in natgrad_update_block_kron)."""
+    import jax
+    from zigp_tpu.training.natgrad import natgrad_update_block_kron
+
+    def _spd(n):
+        A = rng.randn(n, n)
+        return A @ A.T + n * np.eye(n)
+
+    Cs = [np.linalg.cholesky(_spd(3)), np.linalg.cholesky(_spd(4))]
+    m0 = rng.randn(12, 1)
+    m_star = rng.randn(12, 1)
+    S_star = np.kron(_spd(3), Cs[1] @ Cs[1].T)
+
+    def loss(m, C0):
+        S = jnp.kron(C0 @ C0.T, jnp.asarray(Cs[1] @ Cs[1].T))
+        return _dense_gauss_kl(m, S, jnp.asarray(m_star), jnp.asarray(S_star))
+
+    D = np.diag([1.0, -1.0, 1.0])
+    outs = []
+    for C0 in (Cs[0], Cs[0] @ D):  # same Σ₀, flipped column signs
+        g_m, g_C0 = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(m0), jnp.asarray(C0)
+        )
+        m_new, C0_new = natgrad_update_block_kron(
+            jnp.asarray(m0), [jnp.asarray(C0), jnp.asarray(Cs[1])], 0,
+            g_m, g_C0, 0.5, max_var_growth=1e30,
+        )
+        outs.append((np.asarray(m_new), np.asarray(C0_new @ C0_new.T)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-9, atol=1e-12)
+
+
+def test_natgrad_trainer_kron_joint_trains_all_blocks(rng):
+    """kron_joint=True: the joint block natural step must move the mean and
+    BOTH covariance factors (alternating parity) and converge."""
+    N = 60
+    X = np.concatenate([rng.rand(N, 2), rng.rand(N, 1)], axis=1)
+    Y = np.sin(5 * X[:, 2:3]) + 0.1 * rng.randn(N, 1)
+    Zs = [rng.rand(3, 2), np.linspace(0, 1, 6)[:, None]]
+    ks = [RBF.create([1.0, 1.0], 1.0), RBF.create([0.3], 1.0)]
+    model = KronSVGP.create(ks, Zs, Gaussian.create(0.1), num_data=N,
+                            jitter=1e-6, q_cov="kron")
+    C0 = np.asarray(model.gp.q_sqrt_factors[0].value).copy()
+    C1 = np.asarray(model.gp.q_sqrt_factors[1].value).copy()
+    mu0 = np.asarray(model.gp.q_mu.value).copy()
+
+    trainer = NaturalGradientTrainer(
+        model, gamma=0.02, adam_lr=1e-2, kron_joint=True
+    )
+    state = trainer.init(model)
+    step = trainer.make_step()
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    first = float(model.loss(Xj, Yj))
+    for i in range(100):
+        model, state, loss = step(model, state, Xj, Yj, None, i)
+    assert np.isfinite(float(loss))
+    assert float(loss) < 0.1 * first
+    assert not np.allclose(np.asarray(model.gp.q_mu.value), mu0, atol=1e-5)
+    assert not np.allclose(
+        np.asarray(model.gp.q_sqrt_factors[0].value), C0, atol=1e-6
+    ), "factor 0 did not move under the joint block step"
+    assert not np.allclose(
+        np.asarray(model.gp.q_sqrt_factors[1].value), C1, atol=1e-6
+    ), "factor 1 did not move under the joint block step"
+
+
 def test_natgrad_gamma_warmup_single_compilation(rng):
     """γ is a traced argument: stepping through a warmup schedule must not
     recompile per γ value."""

@@ -73,6 +73,22 @@ def _common(p):
                    help="adam = reference optimizer; natgrad = natural "
                         "gradient on the variational (q_mu, q_sqrt) pairs + "
                         "Adam on hyperparameters (models that support it)")
+    p.add_argument("--natgrad-joint", action="store_true", default=None,
+                   dest="natgrad_kron_joint",
+                   help="with --optimizer natgrad and --q-cov kron: take the "
+                        "exact joint natural step on (mean, one covariance "
+                        "factor) per step, alternating factors, instead of "
+                        "the mean-only natural step with Adam on the factors")
+    p.add_argument("--natgrad-gamma", type=float, default=None,
+                   dest="natgrad_gamma",
+                   help="natural-gradient step size γ (post-warmup plateau; "
+                        "default: the config's, 0.1 diag / see RESULTS.md "
+                        "for kron probes)")
+    p.add_argument("--q-cov", type=str, default=None, dest="q_cov",
+                   choices=("diag", "kron"),
+                   help="variational covariance family: diag (reference) or "
+                        "kron (Kronecker-factored full covariance, the "
+                        "champion family)")
     p.add_argument("--kernel-temporal", type=str, default=None,
                    dest="kernel_temporal",
                    help="temporal-factor kernel family: rbf (reference), "
@@ -215,6 +231,16 @@ def main(argv=None):
             kw["sampler"] = args.sampler
         if getattr(args, "optimizer", None) and hasattr(cfg, "optimizer"):
             kw["optimizer"] = args.optimizer
+        if getattr(args, "natgrad_kron_joint", None) and hasattr(
+            cfg, "natgrad_kron_joint"
+        ):
+            kw["natgrad_kron_joint"] = True
+        if getattr(args, "natgrad_gamma", None) is not None and hasattr(
+            cfg, "natgrad_gamma"
+        ):
+            kw["natgrad_gamma"] = args.natgrad_gamma
+        if getattr(args, "q_cov", None) and hasattr(cfg, "q_cov"):
+            kw["q_cov"] = args.q_cov
         fam_t = getattr(args, "kernel_temporal", None)
         fam_s = getattr(args, "kernel_spatial", None)
         period = getattr(args, "kernel_period", None)

@@ -71,6 +71,10 @@ class OnOffPptrConfig:
     natgrad_gamma: float = 0.1
     natgrad_warmup: int = 2000  # γ ramp length (steps)
     natgrad_adam_warmup: int = 1000  # all-param Adam phase before the split
+    # q_cov="kron" only: joint block natural step on (mean, one Σ factor)
+    # alternating factors per step, instead of mean-only natural + Adam on
+    # the factors (natgrad_update_block_kron)
+    natgrad_kron_joint: bool = False
     g_mean_shift: float = 0.0  # constant prior-mean shift on g (onoffpred.py:141 uses -1.0)
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
     # Multi-device training over a jax.sharding.Mesh (0/0 = single device):

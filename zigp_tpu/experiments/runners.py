@@ -137,6 +137,7 @@ def _fit_auto(
             gamma=cfg.natgrad_gamma,
             gamma_warmup=cfg.natgrad_warmup,
             adam_warmup=cfg.natgrad_adam_warmup,
+            kron_joint=getattr(cfg, "natgrad_kron_joint", False),
             adam_lr=learning_rate,
             log_every_blocks=max(
                 1, (cfg.log_every or 200) // (getattr(cfg, "scan_inner", 50) or 50)

@@ -46,6 +46,7 @@ Supported families:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -130,6 +131,149 @@ def natgrad_update_mean_kron(
     return jnp.where(jnp.isfinite(m_new), m_new, q_mu)
 
 
+def natgrad_update_block_kron(
+    q_mu, C_factors, p, dL_dmu, dL_dCp, lr, *,
+    max_mean_step: float = 0.0, max_var_growth: float = 10.0,
+):
+    """Exact joint natural-gradient step on (m, Σ_p) for N(m, ⊗_q Σ_q),
+    Σ_q = C_q C_qᵀ, holding the other factors fixed (ROADMAP #9).
+
+    Why this is exact: for fixed R = ⊗_{q≠p} Σ_q the set
+    {N(m, Σ_p ⊗ R)} is an *exponential family* — the precision
+    S⁻¹ = A ⊗ R⁻¹ is linear in A = Σ_p⁻¹, so (θ₁ = S⁻¹m, A) are natural
+    parameters with sufficient statistics (u, −½ U R⁻¹ Uᵀ) where U is u
+    reshaped (M_p, M/M_p) with factor p's index leading. The natural-gradient
+    step therefore has the classic mirror form  θ ← θ − γ ∂L/∂η  with
+    expectation parameters available in closed *factored* form:
+
+        η₁ = m,    η_A = −½ (Ū R⁻¹ Ūᵀ + (M/M_p) Σ_p),  Ū = reshape(m).
+
+    ∂L/∂η is obtained from the ordinary gradients (∂L/∂m, ∂L/∂C_p) by one
+    VJP through the closed-form map η → (m, C_p). Everything is per-factor
+    sized — no M×M matrix is ever formed (contrast the reference's dense
+    Kronecker materialization, onofftf/main.py:356). Alternating p over
+    steps gives block-coordinate natural descent on the full ⊗-manifold,
+    replacing the mean-only step (natgrad_update_mean_kron) whose fixed-S
+    assumption was measured non-stationary under Adam-moving factors
+    (RESULTS.md, natgrad × kron).
+
+    Safeguards mirror the diagonal family: per-step marginal-variance growth
+    of factor p is capped at ``max_var_growth``×, the mean move at
+    ``max_mean_step`` current marginal σ, and a non-PD / non-finite update
+    falls back to the previous (m, C_p).
+
+    Returns (m_new, Cp_new); ``lr`` (γ) may be a traced scalar.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    from ..ops import linalg
+
+    HI = jax.lax.Precision.HIGHEST
+    sizes = [C.shape[0] for C in C_factors]
+    M = math.prod(sizes)
+    Mp = sizes[p]
+    Mrest = M // Mp
+    Cs = [jnp.tril(C) for C in C_factors]
+    Cp = Cs[p]
+    eyep = jnp.eye(Mp, dtype=q_mu.dtype)
+
+    # R⁻¹ factors (other factors' inverses), original relative order
+    def _inv_from_tril(C):
+        Ci = solve_triangular(C, jnp.eye(C.shape[0], dtype=C.dtype), lower=True)
+        return jnp.dot(Ci.T, Ci, precision=HI)
+
+    Rinv = [_inv_from_tril(C) for q, C in enumerate(Cs) if q != p]
+    Rmats = [jnp.dot(C, C.T, precision=HI) for q, C in enumerate(Cs) if q != p]
+
+    def _apply_R(mats, X):
+        # (⊗ mats) Xᵀ for X of shape (Mp, Mrest): returns same shape
+        if not mats:
+            return X
+        return linalg.kron_mv(mats, X.T, precision=HI).T
+
+    # permute factor p's index to the front of the row-major mean layout
+    def _perm(v):
+        t = v.reshape(sizes)
+        return jnp.moveaxis(t, p, 0).reshape(Mp, Mrest)
+
+    def _unperm(U):
+        t = U.reshape([Mp] + [s for q, s in enumerate(sizes) if q != p])
+        return jnp.moveaxis(t, 0, p).reshape(M, 1)
+
+    Mu = _perm(q_mu)
+    Sigma_p = jnp.dot(Cp, Cp.T, precision=HI)
+
+    # current natural parameters: A = Σ_p⁻¹, θ₁ = (A ⊗ R⁻¹) m.
+    # (chol of Σ_p, not C_p itself: the tril parameterization does not
+    # constrain C_p's diagonal sign, the canonical Cholesky does.)
+    Cpi = solve_triangular(jnp.linalg.cholesky(Sigma_p), eyep, lower=True)
+    A = jnp.dot(Cpi.T, Cpi, precision=HI)
+    theta1 = jnp.dot(A, _apply_R(Rinv, Mu), precision=HI)  # (Mp, Mrest)
+
+    # current expectation parameters
+    MuRinv = _apply_R(Rinv, Mu)
+    etaA = -0.5 * (jnp.dot(Mu, MuRinv.T, precision=HI) + Mrest * Sigma_p)
+    eta1 = Mu
+
+    # ∂L/∂η via one VJP through the closed-form η → (m, C_p) map
+    def xi_of_eta(e1, eA):
+        U = e1
+        Sp = (-2.0 * eA - jnp.dot(U, _apply_R(Rinv, U).T, precision=HI)) / Mrest
+        Sp = 0.5 * (Sp + Sp.T)
+        return U, jnp.linalg.cholesky(Sp)
+
+    # xi_of_eta returns the *canonical* (positive-diagonal) Cholesky; the
+    # model's C_p may have sign-flipped columns (tril raw is unconstrained,
+    # e.g. after an Adam warm-start). L depends on C_p only through
+    # Σ_p = C_pC_pᵀ, so ∇L(C_p·D) = ∇L(C_p)·D for the diagonal sign flip D
+    # that canonicalizes C_p — transform the cotangent accordingly.
+    d = jnp.sign(linalg.masked_diag(Cp))
+    d = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+    _, vjp = jax.vjp(xi_of_eta, eta1, etaA)
+    dL_deta1, dL_detaA = vjp((_perm(dL_dmu), jnp.tril(dL_dCp) * d[None, :]))
+    dL_detaA = 0.5 * (dL_detaA + dL_detaA.T)
+
+    # mirror step in natural space
+    theta1_new = theta1 - lr * dL_deta1
+    A_new = A - lr * dL_detaA
+
+    # map back: Σ_p' = A'⁻¹ via its Cholesky; m' = (Σ_p' ⊗ R) θ₁'
+    La = jnp.linalg.cholesky(A_new)
+    Lai = solve_triangular(
+        jnp.where(jnp.isfinite(La), La, eyep), eyep, lower=True
+    )
+    Sigma_new = jnp.dot(Lai.T, Lai, precision=HI)
+    Cp_new = jnp.linalg.cholesky(Sigma_new)
+    m_new = _unperm(
+        jnp.dot(Sigma_new, _apply_R(Rmats, theta1_new), precision=HI)
+    )
+
+    # safeguards: PD + finite + bounded marginal-variance growth, else revert
+    growth = linalg.masked_diag(Sigma_new) / jnp.maximum(
+        linalg.masked_diag(Sigma_p), 1e-30
+    )
+    ok = (
+        jnp.all(jnp.isfinite(La))
+        & jnp.all(jnp.isfinite(Cp_new))
+        & jnp.all(jnp.isfinite(m_new))
+        & jnp.all(growth < max_var_growth)
+        & jnp.all(growth > 1.0 / max_var_growth)
+    )
+    if max_mean_step:
+        # marginal σ² = diag(⊗ Σ_q): rowsumsq of each C_q, the new Σ for p
+        diags = [
+            linalg.masked_diag(Sigma_new) if q == p
+            else jnp.sum(jnp.square(C), axis=1)
+            for q, C in enumerate(Cs)
+        ]
+        sigma = jnp.sqrt(linalg.kron_diag(diags))[:, None]
+        cap = max_mean_step * sigma
+        m_new = jnp.clip(m_new, q_mu - cap, q_mu + cap)
+    m_new = jnp.where(ok, m_new, q_mu)
+    Cp_new = jnp.where(ok, Cp_new, Cp)
+    return m_new, Cp_new
+
+
 def gamma_schedule(step, *, gamma: float, warmup: int, gamma_init: float = 1e-4):
     """Log-linear γ ramp: gamma_init → gamma over ``warmup`` steps, then
     constant (Salimbeni et al.'s natural-gradient warmup). ``step`` may be a
@@ -159,18 +303,24 @@ class NaturalGradientTrainer:
         gamma_warmup: int = 0,
         gamma_init: float = 1e-4,
         max_mean_step: float = 10.0,
+        kron_joint: bool = False,
     ):
         from ..core.parameters import is_parameter
 
         # Kron-factored covariance family (q_sqrt_factors present): the mean
         # gets the exact fixed-covariance natural step; the covariance factors
-        # train under Adam (they live on the ⊗ manifold, no diagonal dual).
+        # train under Adam (they live on the ⊗ manifold, no diagonal dual) —
+        # unless ``kron_joint=True``: then each step takes the exact joint
+        # natural step on (m, Σ_p) for one factor p (alternating by step
+        # parity; see natgrad_update_block_kron) and the factors are frozen
+        # for Adam like every other variational parameter.
         self._kron_cov = any(
             "q_sqrt_factors" in jax.tree_util.keystr(p)
             for p, _ in jax.tree_util.tree_flatten_with_path(
                 model, is_leaf=is_parameter
             )[0]
         )
+        self.kron_joint = bool(kron_joint) and self._kron_cov
 
         self.gamma = float(gamma)
         self.gamma_warmup = int(gamma_warmup)
@@ -197,13 +347,12 @@ class NaturalGradientTrainer:
         )
         self._step = None
 
-    @staticmethod
-    def _is_variational(path_name: str) -> bool:
-        # q_sqrt_factors is NOT variational-for-the-natgrad-step: in the kron
-        # family the covariance factors train under Adam (only the mean gets
-        # the natural step), so they must not be frozen here.
+    def _is_variational(self, path_name: str) -> bool:
+        # In the default kron mode the covariance factors train under Adam
+        # (only the mean gets the natural step), so they must not be frozen
+        # here; in kron_joint mode the block natural step owns them.
         if "q_sqrt_factors" in path_name:
-            return False
+            return self.kron_joint
         return (
             "q_mu" in path_name
             or "q_sqrt" in path_name
@@ -221,9 +370,10 @@ class NaturalGradientTrainer:
     def init(self, model):
         return self.adam.init(model)
 
-    def _natgrad_apply(self, model, grads, gamma):
+    def _natgrad_apply(self, model, grads, gamma, step=0):
         """Apply one natural-gradient step to every variational pair; grads
-        are raw-space loss gradients."""
+        are raw-space loss gradients. ``step`` (traced ok) selects which
+        Kronecker factor the joint block step updates in kron_joint mode."""
         from ..core.parameters import is_parameter
 
         flat_m, treedef = jax.tree_util.tree_flatten_with_path(
@@ -256,6 +406,36 @@ class NaturalGradientTrainer:
                     factor_names = sorted(
                         n for n in by_name if n.startswith(factors_prefix)
                     )
+            if factor_names and self.kron_joint:
+                # exact joint natural step on (m, Σ_p), factor p alternating
+                # by step parity — block-coordinate natural descent on the
+                # full ⊗-manifold (ROADMAP #9)
+                C_leaves = [by_name[n][0] for n in factor_names]
+                C_vals = tuple(c.value for c in C_leaves)
+                g_Cs = tuple(by_name[n][1].raw for n in factor_names)
+                P = len(C_vals)
+
+                def make_branch(p):
+                    def branch(m_val, C_vals, g_m, g_Cs, gam):
+                        m_new, Cp_new = natgrad_update_block_kron(
+                            m_val, list(C_vals), p, g_m, g_Cs[p], gam,
+                            max_mean_step=self.max_mean_step,
+                        )
+                        return m_new, tuple(
+                            Cp_new if q == p else C for q, C in enumerate(C_vals)
+                        )
+
+                    return branch
+
+                m_new, Cs_new = jax.lax.switch(
+                    jnp.mod(jnp.asarray(step, jnp.int32), P),
+                    [make_branch(p) for p in range(P)],
+                    leaf.value, C_vals, gleaf.raw, g_Cs, gamma,
+                )
+                new_leaves[name] = leaf.replace(raw=m_new)
+                for n, cl, cn in zip(factor_names, C_leaves, Cs_new):
+                    new_leaves[n] = cl.replace(raw=cn)
+                continue
             if factor_names:
                 C_factors = [by_name[n][0].value for n in factor_names]
                 m_new = natgrad_update_mean_kron(
@@ -291,42 +471,47 @@ class NaturalGradientTrainer:
             model = jax.tree_util.tree_unflatten(treedef, rebuilt)
         return model
 
-    def _step_body(self, model, opt_state, X, Y, gamma):
+    def _step_body(self, model, opt_state, X, Y, gamma, step=0):
         loss, grads = jax.value_and_grad(lambda m: m.loss(X, Y))(model)
         # Adam on non-variational params
         updates, opt_state = self.adam.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
-        # natural gradient on each (q_mu, q_sqrt) pair; γ is traced
-        model = self._natgrad_apply(model, grads, gamma)
+        # natural gradient on each (q_mu, q_sqrt) pair; γ and step are traced
+        model = self._natgrad_apply(model, grads, gamma, step)
         return model, opt_state, loss
 
     def make_step(self):
-        """Jitted (model, opt_state, X, Y[, gamma]) — γ is always passed as a
-        traced scalar (default: the trainer's γ), so every γ value of the
-        warmup schedule reuses one compilation."""
+        """Jitted (model, opt_state, X, Y[, gamma, step]) — γ and the step
+        index are always passed as traced scalars (defaults: the trainer's γ,
+        step 0), so every (γ, step) of the schedule reuses one compilation."""
         jitted = jax.jit(self._step_body)
         default = jnp.asarray(self.gamma, jnp.float32)
 
-        def step(model, opt_state, X, Y, gamma=None):
+        def step(model, opt_state, X, Y, gamma=None, step_idx=0):
             g = default if gamma is None else jnp.asarray(gamma, jnp.float32)
-            return jitted(model, opt_state, X, Y, g)
+            return jitted(
+                model, opt_state, X, Y, g, jnp.asarray(step_idx, jnp.int32)
+            )
 
         return step
 
     def make_scan_step(self, *, unroll: int = 4):
-        """Jitted (model, opt_state, Xs, Ys, gammas) running K natgrad+Adam
-        steps per dispatch (Xs: (K,B,D), gammas: (K,)); buffers donated."""
+        """Jitted (model, opt_state, Xs, Ys, gammas, steps) running K
+        natgrad+Adam steps per dispatch (Xs: (K,B,D), gammas/steps: (K,));
+        buffers donated."""
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(model, opt_state, Xs, Ys, gammas):
+        def step(model, opt_state, Xs, Ys, gammas, steps):
             def body(carry, batch):
                 model, opt_state = carry
-                X, Y, gamma = batch
-                model, opt_state, loss = self._step_body(model, opt_state, X, Y, gamma)
+                X, Y, gamma, i = batch
+                model, opt_state, loss = self._step_body(
+                    model, opt_state, X, Y, gamma, i
+                )
                 return (model, opt_state), loss
 
             (model, opt_state), losses = jax.lax.scan(
-                body, (model, opt_state), (Xs, Ys, gammas), unroll=unroll
+                body, (model, opt_state), (Xs, Ys, gammas, steps), unroll=unroll
             )
             return model, opt_state, losses
 
@@ -336,28 +521,28 @@ class NaturalGradientTrainer:
         """Device-sampling variant of make_scan_step (mirrors
         training/scan.make_device_sampling_scan_step): the training set lives
         in HBM, each scan iteration draws a uniform minibatch inside the
-        jitted step, and the host ships one PRNG key + the (K,) γ schedule
-        per dispatch. (model, opt_state, block_key, gammas) -> (model,
-        opt_state, losses)."""
+        jitted step, and the host ships one PRNG key + the (K,) γ/step
+        schedules per dispatch. (model, opt_state, block_key, gammas, steps)
+        -> (model, opt_state, losses)."""
         Xtrain = jnp.asarray(Xtrain)
         Ytrain = jnp.asarray(Ytrain)
         N = Xtrain.shape[0]
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(model, opt_state, block_key, gammas):
+        def step(model, opt_state, block_key, gammas, steps):
             keys = jax.random.split(block_key, gammas.shape[0])
 
             def body(carry, inp):
                 model, opt_state = carry
-                key, gamma = inp
+                key, gamma, i = inp
                 idx = jax.random.randint(key, (batch_size,), 0, N)
                 model, opt_state, loss = self._step_body(
-                    model, opt_state, Xtrain[idx], Ytrain[idx], gamma
+                    model, opt_state, Xtrain[idx], Ytrain[idx], gamma, i
                 )
                 return (model, opt_state), loss
 
             (model, opt_state), losses = jax.lax.scan(
-                body, (model, opt_state), (keys, gammas), unroll=unroll
+                body, (model, opt_state), (keys, gammas, steps), unroll=unroll
             )
             return model, opt_state, losses
 
@@ -377,6 +562,7 @@ def fit_natgrad_scanned(
     adam_lr: float = 1e-3,
     adam_warmup: int = 0,
     max_mean_step: float = 10.0,
+    kron_joint: bool = False,
     log_every_blocks: int = 4,
     log_fn=print,
     ckpt_manager=None,
@@ -424,7 +610,7 @@ def fit_natgrad_scanned(
     trainer = NaturalGradientTrainer(
         model, gamma=gamma, adam_lr=adam_lr,
         gamma_warmup=gamma_warmup, gamma_init=gamma_init,
-        max_mean_step=max_mean_step,
+        max_mean_step=max_mean_step, kron_joint=kron_joint,
     )
 
     start_step = None
@@ -475,18 +661,19 @@ def fit_natgrad_scanned(
             # γ schedule is keyed to the natgrad-phase-local step so warmup /
             # resume offsets don't distort the ramp
             local = steps_done - adam_warmup
-            gammas = trainer.gamma_at(jnp.arange(local, local + num_inner))
+            local_steps = jnp.arange(local, local + num_inner, dtype=jnp.int32)
+            gammas = trainer.gamma_at(local_steps)
             if device_mode:
                 block_key = jnp.asarray(
                     _np.array([sampler_seed, steps_done // num_inner], dtype=_np.uint32)
                 )
                 model, opt_state, block_losses = step(
-                    model, opt_state, block_key, gammas
+                    model, opt_state, block_key, gammas, local_steps
                 )
             else:
                 Xs, Ys = stage_batches(data, batch_size, num_inner)
                 model, opt_state, block_losses = step(
-                    model, opt_state, Xs, Ys, gammas
+                    model, opt_state, Xs, Ys, gammas, local_steps
                 )
             prev_steps = steps_done
             steps_done += num_inner
