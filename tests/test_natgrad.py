@@ -297,6 +297,125 @@ def test_natgrad_trainer_kron_joint_trains_all_blocks(rng):
     ), "factor 1 did not move under the joint block step"
 
 
+def test_natgrad_block_kron_f32_gamma0_is_identity_on_mean(rng):
+    """f32 stability regression (the TPU-divergence post-mortem): with an
+    ill-conditioned Σ and a large whitened mean, the γ→0 joint step must
+    leave the mean bit-exact. The naive formulation (VJP through the
+    η → (m, C_p) map + the literal m → θ₁ → m' roundtrip) amplifies the mean
+    by cond(Σ_p)²·cond(R)² f32 roundoff and fails this even at γ=1e-4 —
+    measured as instant divergence at the pptr production config.
+
+    All inputs are float32, and JAX's weak typing keeps every intermediate
+    float32 even under the suite's x64 mode — this exercises the exact
+    production dtype path."""
+    from zigp_tpu.training.natgrad import natgrad_update_block_kron
+
+    # ill-conditioned factors (lengthscale-saturated kernels look like
+    # this after warm-up) + a mean far from 0
+    n0, n1 = 10, 100
+    t0 = np.linspace(0, 1, n0)[:, None]
+    t1 = np.linspace(0, 1, n1)[:, None]
+    K0 = np.exp(-0.5 * ((t0 - t0.T) / 0.5) ** 2) + 1e-4 * np.eye(n0)
+    K1 = np.exp(-0.5 * ((t1 - t1.T) / 0.3) ** 2) + 1e-4 * np.eye(n1)
+    Cs = [
+        jnp.asarray(np.linalg.cholesky(K0), jnp.float32),
+        jnp.asarray(np.linalg.cholesky(K1), jnp.float32),
+    ]
+    m0 = jnp.asarray(10.0 * rng.randn(n0 * n1, 1), jnp.float32)
+    g_m = jnp.asarray(rng.randn(n0 * n1, 1), jnp.float32)
+    g_C = jnp.asarray(np.tril(rng.randn(n0, n0)), jnp.float32)
+
+    m_new, C_new = natgrad_update_block_kron(
+        m0, Cs, 0, g_m, g_C, jnp.float32(0.0), max_mean_step=10.0
+    )
+    assert m_new.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(m_new), np.asarray(m0))
+    # Σ_p roundtrips through A = Σ_p⁻¹ at γ=0: near-identity, not exact —
+    # error ~ cond(Σ_p)·ε_f32, and this fixture is deliberately
+    # ill-conditioned (cond ≈ 1e4)
+    np.testing.assert_allclose(
+        np.asarray(C_new @ C_new.T), np.asarray(Cs[0] @ Cs[0].T),
+        rtol=5e-2, atol=1e-3,
+    )
+
+    # and at a small but finite γ the mean must move O(γ), not O(cond²ε)
+    m_eps, _ = natgrad_update_block_kron(
+        m0, Cs, 0, g_m, g_C, jnp.float32(1e-4), max_mean_step=10.0
+    )
+    assert float(jnp.max(jnp.abs(m_eps - m0))) < 1.0
+
+
+def test_natgrad_mean_kron_kl_cap_lands_on_budget(rng):
+    """An explosive gradient must be rescaled so KL(q'‖q) = ½ΔmᵀS⁻¹Δm lands
+    exactly on the cap (the divergence mechanism: unwhitened-kron S at prior
+    scale makes γ·λmax(S·H) ≫ 2 for any practical γ — RESULTS.md)."""
+    from zigp_tpu.training.natgrad import natgrad_update_mean_kron
+
+    def _spd(n, scale):
+        A = rng.randn(n, n)
+        return scale * (A @ A.T + n * np.eye(n))
+
+    # prior-scale covariance factors (the pptr failure mode)
+    Cs = [np.linalg.cholesky(_spd(4, 20.0)), np.linalg.cholesky(_spd(6, 20.0))]
+    m0 = jnp.asarray(rng.randn(24, 1))
+    g = jnp.asarray(1e6 * rng.randn(24, 1))  # num_data-scaled gradient
+    cap = 10.0
+
+    m_new = natgrad_update_mean_kron(
+        m0, [jnp.asarray(C) for C in Cs], g, 0.1, kl_cap=cap
+    )
+    S = np.kron(Cs[0] @ Cs[0].T, Cs[1] @ Cs[1].T)
+    dm = np.asarray(m_new - m0)
+    kl = 0.5 * float((dm.T @ np.linalg.solve(S, dm)).item())
+    np.testing.assert_allclose(kl, cap, rtol=1e-4)
+
+    # a healthy small step must pass through unscaled
+    g_small = jnp.asarray(1e-4 * rng.randn(24, 1))
+    m_free = natgrad_update_mean_kron(
+        m0, [jnp.asarray(C) for C in Cs], g_small, 0.1, kl_cap=cap
+    )
+    m_ref = natgrad_update_mean_kron(
+        m0, [jnp.asarray(C) for C in Cs], g_small, 0.1
+    )
+    np.testing.assert_allclose(np.asarray(m_free), np.asarray(m_ref))
+
+
+def test_natgrad_block_kron_kl_cap_bounds_step(rng):
+    """The joint block step with explosive gradients must land within ~2× of
+    the KL budget (γ rescaled once via the quadratic leading order)."""
+    import jax
+
+    from zigp_tpu.training.natgrad import natgrad_update_block_kron
+
+    def _spd(n, scale=1.0):
+        A = rng.randn(n, n)
+        return scale * (A @ A.T + n * np.eye(n))
+
+    Cs = [np.linalg.cholesky(_spd(4, 20.0)), np.linalg.cholesky(_spd(6, 20.0))]
+    m0 = jnp.asarray(rng.randn(24, 1))
+    g_m = jnp.asarray(1e6 * rng.randn(24, 1))
+    g_C = jnp.asarray(1e6 * np.tril(rng.randn(4, 4)))
+    cap = 10.0
+
+    m_new, C_new = natgrad_update_block_kron(
+        m0, [jnp.asarray(C) for C in Cs], 0, g_m, g_C, 0.1,
+        max_var_growth=1e30, kl_cap=cap,
+    )
+    S_old = np.kron(Cs[0] @ Cs[0].T, Cs[1] @ Cs[1].T)
+    S_new = np.kron(
+        np.asarray(C_new @ C_new.T), Cs[1] @ Cs[1].T
+    )
+    dm = np.asarray(m_new - m0)
+    sol = np.linalg.solve(S_old, S_new + dm @ dm.T)
+    kl = 0.5 * (
+        np.trace(sol) - 24
+        + np.linalg.slogdet(S_old)[1] - np.linalg.slogdet(S_new)[1]
+    )
+    assert kl < 2.0 * cap, f"KL {kl} exceeds twice the {cap}-nat budget"
+    assert kl > 0.1 * cap, "cap engaged but the step collapsed to nothing"
+    assert np.all(np.isfinite(np.asarray(m_new)))
+
+
 def test_natgrad_gamma_warmup_single_compilation(rng):
     """γ is a traced argument: stepping through a warmup schedule must not
     recompile per γ value."""

@@ -84,11 +84,22 @@ def _common(p):
                    help="natural-gradient step size γ (post-warmup plateau; "
                         "default: the config's, 0.1 diag / see RESULTS.md "
                         "for kron probes)")
+    p.add_argument("--natgrad-kl-cap", type=float, default=None,
+                   dest="natgrad_kl_cap",
+                   help="per-step KL(q'|q) budget in nats for the kron-family "
+                        "natural steps (default 10; 0 disables). The "
+                        "stabilizer that keeps unwhitened-kron natgrad from "
+                        "diverging — see RESULTS.md natgrad × kron")
     p.add_argument("--q-cov", type=str, default=None, dest="q_cov",
                    choices=("diag", "kron"),
                    help="variational covariance family: diag (reference) or "
                         "kron (Kronecker-factored full covariance, the "
                         "champion family)")
+    p.add_argument("--whiten", action="store_true", default=None,
+                   dest="whiten",
+                   help="whitened variational parameterization (prior N(0,I) "
+                        "on the whitened inducing values; the champion "
+                        "preset's choice, not in the reference)")
     p.add_argument("--kernel-temporal", type=str, default=None,
                    dest="kernel_temporal",
                    help="temporal-factor kernel family: rbf (reference), "
@@ -239,8 +250,14 @@ def main(argv=None):
             cfg, "natgrad_gamma"
         ):
             kw["natgrad_gamma"] = args.natgrad_gamma
+        if getattr(args, "natgrad_kl_cap", None) is not None and hasattr(
+            cfg, "natgrad_kl_cap"
+        ):
+            kw["natgrad_kl_cap"] = args.natgrad_kl_cap
         if getattr(args, "q_cov", None) and hasattr(cfg, "q_cov"):
             kw["q_cov"] = args.q_cov
+        if getattr(args, "whiten", None) and hasattr(cfg, "whiten"):
+            kw["whiten"] = True
         fam_t = getattr(args, "kernel_temporal", None)
         fam_s = getattr(args, "kernel_spatial", None)
         period = getattr(args, "kernel_period", None)

@@ -75,6 +75,11 @@ class OnOffPptrConfig:
     # alternating factors per step, instead of mean-only natural + Adam on
     # the factors (natgrad_update_block_kron)
     natgrad_kron_joint: bool = False
+    # per-step KL(q'‖q) budget (nats) for the kron-family natural steps;
+    # 0 disables. Keeps the step stable when the variational covariance is
+    # far from the loss curvature (unwhitened kron diverges without it —
+    # RESULTS.md natgrad × kron)
+    natgrad_kl_cap: float = 10.0
     g_mean_shift: float = 0.0  # constant prior-mean shift on g (onoffpred.py:141 uses -1.0)
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
     # Multi-device training over a jax.sharding.Mesh (0/0 = single device):

@@ -125,6 +125,8 @@ def _fit_auto(
 
         if getattr(cfg, "mesh_data", 0) or getattr(cfg, "mesh_model", 0):
             log_fn("warning: mesh training is not supported with optimizer=natgrad; training single-device")
+        if getattr(cfg, "natgrad_kron_joint", False) and getattr(cfg, "q_cov", "diag") != "kron":
+            log_fn("warning: --natgrad-joint requires q_cov='kron'; taking the diagonal-family natural step instead")
         # natural-gradient production path (γ warmup + trust region + Adam
         # warm-start) with the same checkpoint/metrics/resume machinery and
         # sampler choice as the Adam path
@@ -138,6 +140,7 @@ def _fit_auto(
             gamma_warmup=cfg.natgrad_warmup,
             adam_warmup=cfg.natgrad_adam_warmup,
             kron_joint=getattr(cfg, "natgrad_kron_joint", False),
+            kl_cap=(getattr(cfg, "natgrad_kl_cap", 10.0) or None),
             adam_lr=learning_rate,
             log_every_blocks=max(
                 1, (cfg.log_every or 200) // (getattr(cfg, "scan_inner", 50) or 50)

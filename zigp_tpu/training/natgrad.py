@@ -102,15 +102,29 @@ def natgrad_update_diag(
 
 
 def natgrad_update_mean_kron(
-    q_mu, C_factors, dL_dmu, lr, *, max_mean_step: float = 0.0
+    q_mu, C_factors, dL_dmu, lr, *, max_mean_step: float = 0.0,
+    kl_cap: Optional[float] = None,
 ):
     """Exact natural-gradient step on the mean for N(m, S), S = ⊗_p C_p C_pᵀ.
 
     For fixed covariance the Fisher of the mean is S⁻¹, so the natural step is
-    m ← m − γ S ∇_m L — one factored Kronecker matvec, no solves. The trust
-    region (``max_mean_step`` > 0) caps the move at that many current marginal
-    standard deviations (σ² = diag S = ⊗_p rowsumsq(C_p)), mirroring the
-    diagonal family's safeguard; non-finite updates fall back."""
+    m ← m − γ S ∇_m L — one factored Kronecker matvec, no solves.
+
+    ``kl_cap`` is the production stabilizer: the step moves the distribution
+    by KL(q′‖q) = ½ Δmᵀ S⁻¹ Δm = ½ γ² ∇ᵀ S ∇ nats, available for free (one
+    dot with the already-computed step). If that exceeds ``kl_cap`` the step
+    is rescaled to land exactly on the cap. This is what makes the step safe
+    when S is far from the loss curvature: the preconditioned iteration
+    m ← m − γS∇ diverges whenever γ·λmax(S·H) > 2, and for the *unwhitened*
+    kron family S sits at prior (Kuu) scale, giving λmax(S·H) ~ 1e6 at the
+    pptr config — measured: loss 7.7e6 → 9e16 within 50 steps even at
+    γ = 1e-5, while the same run with a 10-nat cap trains. A per-step KL
+    budget bounds the move in the family's own metric, which rescales γ by
+    exactly the explosive factor, whatever its source.
+
+    ``max_mean_step`` > 0 additionally caps the move at that many current
+    marginal standard deviations (σ² = diag S = ⊗_p rowsumsq(C_p)), mirroring
+    the diagonal family's safeguard; non-finite updates fall back."""
     from ..ops import linalg
 
     # Full-f32 products throughout: this preconditioned step is applied every
@@ -121,7 +135,12 @@ def natgrad_update_mean_kron(
         [linalg.hdot(C, C.T) for C in Cs], dL_dmu,
         precision=jax.lax.Precision.HIGHEST,
     )
-    m_new = q_mu - lr * step
+    scale = lr
+    if kl_cap is not None:
+        kl = 0.5 * lr * lr * jnp.sum(dL_dmu * step)
+        kl = jnp.where(jnp.isfinite(kl), jnp.maximum(kl, 1e-30), jnp.inf)
+        scale = lr * jnp.minimum(1.0, jnp.sqrt(kl_cap / kl))
+    m_new = q_mu - scale * step
     if max_mean_step:
         sigma = jnp.sqrt(
             linalg.kron_diag([jnp.sum(jnp.square(C), axis=1) for C in Cs])
@@ -134,6 +153,7 @@ def natgrad_update_mean_kron(
 def natgrad_update_block_kron(
     q_mu, C_factors, p, dL_dmu, dL_dCp, lr, *,
     max_mean_step: float = 0.0, max_var_growth: float = 10.0,
+    kl_cap: Optional[float] = None,
 ):
     """Exact joint natural-gradient step on (m, Σ_p) for N(m, ⊗_q Σ_q),
     Σ_q = C_q C_qᵀ, holding the other factors fixed (ROADMAP #9).
@@ -148,10 +168,12 @@ def natgrad_update_block_kron(
 
         η₁ = m,    η_A = −½ (Ū R⁻¹ Ūᵀ + (M/M_p) Σ_p),  Ū = reshape(m).
 
-    ∂L/∂η is obtained from the ordinary gradients (∂L/∂m, ∂L/∂C_p) by one
-    VJP through the closed-form map η → (m, C_p). Everything is per-factor
-    sized — no M×M matrix is ever formed (contrast the reference's dense
-    Kronecker materialization, onofftf/main.py:356). Alternating p over
+    ∂L/∂η is obtained from the ordinary gradients (∂L/∂m, ∂L/∂C_p)
+    analytically via the Cholesky pullback D = ∂L/∂Σ_p evaluated at the
+    current Σ_p, and the mean is stepped in exact delta form (see the inline
+    derivation) — both choices are f32-critical, not cosmetic. Everything is
+    per-factor sized — no M×M matrix is ever formed (contrast the reference's
+    dense Kronecker materialization, onofftf/main.py:356). Alternating p over
     steps gives block-coordinate natural descent on the full ⊗-manifold,
     replacing the mean-only step (natgrad_update_mean_kron) whose fixed-S
     assumption was measured non-stationary under Adam-moving factors
@@ -160,7 +182,10 @@ def natgrad_update_block_kron(
     Safeguards mirror the diagonal family: per-step marginal-variance growth
     of factor p is capped at ``max_var_growth``×, the mean move at
     ``max_mean_step`` current marginal σ, and a non-PD / non-finite update
-    falls back to the previous (m, C_p).
+    falls back to the previous (m, C_p). ``kl_cap`` bounds the whole step at
+    that many nats of KL(q′‖q) (exact factored computation, γ rescaled once)
+    — the same production stabilizer as natgrad_update_mean_kron, see there
+    for why this is the one that matters.
 
     Returns (m_new, Cp_new); ``lr`` (γ) may be a traced scalar.
     """
@@ -203,50 +228,108 @@ def natgrad_update_block_kron(
     Mu = _perm(q_mu)
     Sigma_p = jnp.dot(Cp, Cp.T, precision=HI)
 
-    # current natural parameters: A = Σ_p⁻¹, θ₁ = (A ⊗ R⁻¹) m.
+    # current natural parameter A = Σ_p⁻¹.
     # (chol of Σ_p, not C_p itself: the tril parameterization does not
     # constrain C_p's diagonal sign, the canonical Cholesky does.)
     Cpi = solve_triangular(jnp.linalg.cholesky(Sigma_p), eyep, lower=True)
     A = jnp.dot(Cpi.T, Cpi, precision=HI)
-    theta1 = jnp.dot(A, _apply_R(Rinv, Mu), precision=HI)  # (Mp, Mrest)
-
-    # current expectation parameters
     MuRinv = _apply_R(Rinv, Mu)
-    etaA = -0.5 * (jnp.dot(Mu, MuRinv.T, precision=HI) + Mrest * Sigma_p)
-    eta1 = Mu
 
-    # ∂L/∂η via one VJP through the closed-form η → (m, C_p) map
-    def xi_of_eta(e1, eA):
-        U = e1
-        Sp = (-2.0 * eA - jnp.dot(U, _apply_R(Rinv, U).T, precision=HI)) / Mrest
-        Sp = 0.5 * (Sp + Sp.T)
-        return U, jnp.linalg.cholesky(Sp)
-
-    # xi_of_eta returns the *canonical* (positive-diagonal) Cholesky; the
-    # model's C_p may have sign-flipped columns (tril raw is unconstrained,
-    # e.g. after an Adam warm-start). L depends on C_p only through
-    # Σ_p = C_pC_pᵀ, so ∇L(C_p·D) = ∇L(C_p)·D for the diagonal sign flip D
-    # that canonicalizes C_p — transform the cotangent accordingly.
+    # ∂L/∂η analytically. The f32 production path cannot afford the naive
+    # route (VJP through the η → (m, C_p) map): evaluating that map's primal
+    # reconstructs Σ_p = (−2η_A − U R⁻¹Uᵀ)/M_rest, a difference of two large
+    # terms that cancels catastrophically in f32 once ‖m‖ grows (measured:
+    # instant divergence at the pptr 10×100 config even at γ=1e-4). Instead
+    # take the Cholesky pullback D = ∂L/∂Σ_p at the *well-conditioned primal*
+    # Σ_p, then
+    #     ∂L/∂η_A = −(2/M_rest)·D,
+    #     ∂L/∂η₁  = ∂L/∂m − (2/M_rest)·D·(U R⁻¹)   [η₁ = U = perm(m)].
+    #
+    # The model's C_p may have sign-flipped columns vs the canonical Cholesky
+    # (tril raw is unconstrained, e.g. after an Adam warm-start). L depends on
+    # C_p only through Σ_p = C_pC_pᵀ, so ∇L(C_p·D_s) = ∇L(C_p)·D_s for the
+    # diagonal sign flip D_s that canonicalizes C_p — transform the cotangent
+    # accordingly before the pullback.
     d = jnp.sign(linalg.masked_diag(Cp))
     d = jnp.where(d == 0, jnp.ones((), d.dtype), d)
-    _, vjp = jax.vjp(xi_of_eta, eta1, etaA)
-    dL_deta1, dL_detaA = vjp((_perm(dL_dmu), jnp.tril(dL_dCp) * d[None, :]))
-    dL_detaA = 0.5 * (dL_detaA + dL_detaA.T)
+    G = jnp.tril(dL_dCp) * d[None, :]
+    _, chol_vjp = jax.vjp(jnp.linalg.cholesky, Sigma_p)
+    D = chol_vjp(G)[0]
+    D = 0.5 * (D + D.T)
+    g1 = _perm(dL_dmu) - (2.0 / Mrest) * jnp.dot(D, MuRinv, precision=HI)
 
-    # mirror step in natural space
-    theta1_new = theta1 - lr * dL_deta1
-    A_new = A - lr * dL_detaA
+    # map back. Σ_p' = A'⁻¹ via its Cholesky, with A' = A − γ∂L/∂η_A =
+    # A + (2γ/M_rest)D. The mean is updated in exact *delta form* —
+    # substituting θ₁ = (A ⊗ R⁻¹)m and A = A' + γ∂L/∂η_A into
+    # m' = (Σ_p' ⊗ R)(θ₁ − γ∂L/∂η₁) cancels (Σ_p'⊗R)(A⊗R⁻¹) → Σ_p'A ⊗ I →
+    # I + γΣ_p'∂L/∂η_A ⊗ I, giving
+    #     m' = m − γ (Σ_p' ⊗ I)[(2/M_rest)·D·U + (I ⊗ R)·∂L/∂η₁].
+    # Unlike the literal roundtrip (m → θ₁ → m'), this is exactly m at γ→0:
+    # no cond(Σ_p)²·cond(R)² f32 amplification of the current mean.
+    def _map_back(gam):
+        A_new = A + (2.0 * gam / Mrest) * D
+        La = jnp.linalg.cholesky(A_new)
+        Lai = solve_triangular(
+            jnp.where(jnp.isfinite(La), La, eyep), eyep, lower=True
+        )
+        Sigma_new = jnp.dot(Lai.T, Lai, precision=HI)
+        Mu_new = Mu - gam * jnp.dot(
+            Sigma_new,
+            (2.0 / Mrest) * jnp.dot(D, Mu, precision=HI)
+            + _apply_R(Rmats, g1),
+            precision=HI,
+        )
+        return La, Sigma_new, Mu_new
 
-    # map back: Σ_p' = A'⁻¹ via its Cholesky; m' = (Σ_p' ⊗ R) θ₁'
-    La = jnp.linalg.cholesky(A_new)
-    Lai = solve_triangular(
-        jnp.where(jnp.isfinite(La), La, eyep), eyep, lower=True
-    )
-    Sigma_new = jnp.dot(Lai.T, Lai, precision=HI)
+    if kl_cap is not None:
+        # Per-step KL(q′‖q) budget — the same production stabilizer as the
+        # mean step (see natgrad_update_mean_kron). Two passes:
+        #
+        # (1) Quadratic pre-scale, computed BEFORE A' is ever inverted (so it
+        # is finite even when the raw step would leave the PD cone):
+        #   KL_cov ≈ (M_rest/4)·tr((Σ_p ΔA)²) with ΔA = (2γ/M_rest)D
+        #          = (γ²/M_rest)·tr((Σ_p D)²),
+        #   KL_mean ≈ ½ Δm₀ᵀ S⁻¹ Δm₀ at the *current* Σ_p.
+        SpD = jnp.dot(Sigma_p, D, precision=HI)
+        kl_cov_q = (lr * lr / Mrest) * jnp.sum(SpD * SpD.T)
+        dm0 = lr * jnp.dot(
+            Sigma_p,
+            (2.0 / Mrest) * jnp.dot(D, Mu, precision=HI)
+            + _apply_R(Rmats, g1),
+            precision=HI,
+        )
+        kl_mean_q = 0.5 * jnp.sum(
+            dm0 * jnp.dot(A, _apply_R(Rinv, dm0), precision=HI)
+        )
+        kl_q = jnp.maximum(kl_cov_q + kl_mean_q, 1e-30)
+        kl_q = jnp.where(jnp.isfinite(kl_q), kl_q, jnp.inf)
+        lr = lr * jnp.minimum(1.0, jnp.sqrt(kl_cap / kl_q))
+
+    La, Sigma_new, Mu_new = _map_back(lr)
+
+    if kl_cap is not None:
+        # (2) Exact factored KL refinement of the pre-scaled candidate: with
+        # S = Σ_p ⊗ R,
+        #   KL = ½[M_rest·tr(AΣ_p') − M + ΔUᵀ(A ⊗ R⁻¹)ΔU
+        #         + M_rest·(logdet Σ_p − logdet Σ_p')],
+        # rescaling γ once more by √(cap/KL) (KL is quadratic in γ to leading
+        # order). Small-matrix algebra only — the ELBO gradient dwarfs it.
+        dU = Mu_new - Mu
+        quad = jnp.sum(dU * jnp.dot(A, _apply_R(Rinv, dU), precision=HI))
+        # logdet Σ_p = −2Σ log diag(Cpi) (Cpi = chol(Σ_p)⁻¹);
+        # logdet Σ_p' = −logdet A' = −2Σ log diag(La)
+        logdet_old = -2.0 * jnp.sum(jnp.log(jnp.diag(Cpi)))
+        logdet_new = -2.0 * jnp.sum(jnp.log(jnp.diag(La)))
+        tr = jnp.sum(A * Sigma_new)
+        kl = 0.5 * (
+            Mrest * tr - M + quad + Mrest * (logdet_old - logdet_new)
+        )
+        kl = jnp.where(jnp.isfinite(kl), jnp.maximum(kl, 1e-30), jnp.inf)
+        lr = lr * jnp.minimum(1.0, jnp.sqrt(kl_cap / kl))
+        La, Sigma_new, Mu_new = _map_back(lr)
+
     Cp_new = jnp.linalg.cholesky(Sigma_new)
-    m_new = _unperm(
-        jnp.dot(Sigma_new, _apply_R(Rmats, theta1_new), precision=HI)
-    )
+    m_new = _unperm(Mu_new)
 
     # safeguards: PD + finite + bounded marginal-variance growth, else revert
     growth = linalg.masked_diag(Sigma_new) / jnp.maximum(
@@ -304,6 +387,7 @@ class NaturalGradientTrainer:
         gamma_init: float = 1e-4,
         max_mean_step: float = 10.0,
         kron_joint: bool = False,
+        kl_cap: Optional[float] = 10.0,
     ):
         from ..core.parameters import is_parameter
 
@@ -326,6 +410,10 @@ class NaturalGradientTrainer:
         self.gamma_warmup = int(gamma_warmup)
         self.gamma_init = float(gamma_init)
         self.max_mean_step = float(max_mean_step)
+        # per-step KL(q′‖q) budget for the kron-family natural steps (nats);
+        # None disables. See natgrad_update_mean_kron — this is what keeps
+        # the unwhitened kron family from diverging at any γ.
+        self.kl_cap = None if kl_cap is None else float(kl_cap)
 
         # freeze variational params for the Adam side by labelling them frozen
         def label(path, leaf):
@@ -420,6 +508,7 @@ class NaturalGradientTrainer:
                         m_new, Cp_new = natgrad_update_block_kron(
                             m_val, list(C_vals), p, g_m, g_Cs[p], gam,
                             max_mean_step=self.max_mean_step,
+                            kl_cap=self.kl_cap,
                         )
                         return m_new, tuple(
                             Cp_new if q == p else C for q, C in enumerate(C_vals)
@@ -441,6 +530,7 @@ class NaturalGradientTrainer:
                 m_new = natgrad_update_mean_kron(
                     leaf.value, C_factors, gleaf.raw, gamma,
                     max_mean_step=self.max_mean_step,
+                    kl_cap=self.kl_cap,
                 )
                 new_leaves[name] = leaf.replace(raw=m_new)
                 continue
@@ -563,6 +653,7 @@ def fit_natgrad_scanned(
     adam_warmup: int = 0,
     max_mean_step: float = 10.0,
     kron_joint: bool = False,
+    kl_cap: Optional[float] = 10.0,
     log_every_blocks: int = 4,
     log_fn=print,
     ckpt_manager=None,
@@ -610,7 +701,7 @@ def fit_natgrad_scanned(
     trainer = NaturalGradientTrainer(
         model, gamma=gamma, adam_lr=adam_lr,
         gamma_warmup=gamma_warmup, gamma_init=gamma_init,
-        max_mean_step=max_mean_step, kron_joint=kron_joint,
+        max_mean_step=max_mean_step, kron_joint=kron_joint, kl_cap=kl_cap,
     )
 
     start_step = None
