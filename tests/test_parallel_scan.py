@@ -147,6 +147,58 @@ def test_fit_scanned_with_mesh_matches_single(rng, sampler):
 
 
 @requires_8
+@pytest.mark.parametrize("q_cov,kron_joint", [("diag", False), ("kron", True)])
+def test_natgrad_scan_dp_matches_single_device(rng, q_cov, kron_joint):
+    """The natural-gradient scanned step under data parallelism: batch sharded
+    over 'data', parameters and the natural-step algebra replicated — the dp
+    trajectory must be the single-device one for both variational families."""
+    from zigp_tpu.training.natgrad import NaturalGradientTrainer
+
+    Xs, Ys = _blocks(rng)
+    K = Xs.shape[0]
+    gammas = jnp.full((K,), 0.05, jnp.float32)
+    steps = jnp.arange(K, dtype=jnp.int32)
+
+    def run(mesh):
+        model = _onoff(q_cov=q_cov)
+        trainer = NaturalGradientTrainer(
+            model, gamma=0.05, adam_lr=1e-2, kron_joint=kron_joint
+        )
+        state = trainer.init(model)
+        if mesh is not None:
+            model = replicate(mesh, model)
+            state = replicate(mesh, state)
+        step = trainer.make_scan_step(mesh=mesh)
+        return step(model, state, Xs, Ys, gammas, steps)
+
+    m1, s1, losses1 = run(None)
+    m2, s2, losses2 = run(make_mesh(n_data=8))
+    np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses2), rtol=1e-9)
+    _assert_trees_close(m1, m2)
+
+
+@requires_8
+@pytest.mark.parametrize("sampler", ["host", "device"])
+def test_fit_natgrad_scanned_with_mesh_matches_single(rng, sampler):
+    """End-to-end fit_natgrad_scanned(mesh=...) — the production natgrad entry
+    the CLI drives with --mesh-data — reproduces the single-device run
+    (including the Adam warm-start, which runs through fit_scanned's dp path)."""
+    from zigp_tpu.training.natgrad import fit_natgrad_scanned
+
+    N = 64
+    X = rng.rand(N, 3)
+    Y = np.maximum(rng.randn(N, 1), 0.0)
+    kw = dict(num_iter=20, batch_size=16, num_inner=5, gamma=0.05,
+              gamma_warmup=0, adam_warmup=5, log_fn=lambda s: None,
+              sampler=sampler, sampler_seed=3)
+
+    res1 = fit_natgrad_scanned(_onoff(N=N), DataSet(X, Y, seed=5), **kw)
+    res2 = fit_natgrad_scanned(_onoff(N=N), DataSet(X, Y, seed=5),
+                               mesh=make_mesh(n_data=8), **kw)
+    _assert_trees_close(res1.model, res2.model)
+
+
+@requires_8
 def test_fit_scanned_mesh_ckpt_restore_replaces(rng, tmp_path):
     """NaN recovery / resume on the mesh path re-places restored host arrays
     with the run's shardings (fit_scanned place() after restore)."""

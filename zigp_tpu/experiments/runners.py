@@ -123,8 +123,19 @@ def _fit_auto(
     if getattr(cfg, "optimizer", "adam") == "natgrad":
         from ..training.natgrad import fit_natgrad_scanned
 
-        if getattr(cfg, "mesh_data", 0) or getattr(cfg, "mesh_model", 0):
-            log_fn("warning: mesh training is not supported with optimizer=natgrad; training single-device")
+        # Data parallelism composes with natgrad (batch sharded over 'data',
+        # parameters + the natural-step algebra replicated); tensor
+        # parallelism does not — the factored natural steps need the full
+        # variational rows, so a row-sharded q_mu would have to be gathered
+        # every step anyway.
+        ng_mesh = None
+        if getattr(cfg, "mesh_model", 0) and cfg.mesh_model > 1:
+            log_fn("warning: tensor parallelism (mesh_model > 1) is not supported with optimizer=natgrad; training single-device")
+        elif getattr(cfg, "mesh_data", 0):
+            from ..parallel import make_mesh
+
+            ng_mesh = make_mesh(n_data=cfg.mesh_data, n_model=1)
+            log_fn(f"mesh: {ng_mesh.shape['data']}-way data parallel (natgrad)")
         if getattr(cfg, "natgrad_kron_joint", False) and getattr(cfg, "q_cov", "diag") != "kron":
             log_fn("warning: --natgrad-joint requires q_cov='kron'; taking the diagonal-family natural step instead")
         # natural-gradient production path (γ warmup + trust region + Adam
@@ -151,6 +162,7 @@ def _fit_auto(
             resume=resume,
             sampler=getattr(cfg, "sampler", "host"),
             sampler_seed=getattr(cfg, "seed", 0),
+            mesh=ng_mesh,
         )
 
     start_step = 0

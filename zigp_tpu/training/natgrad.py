@@ -585,13 +585,21 @@ class NaturalGradientTrainer:
 
         return step
 
-    def make_scan_step(self, *, unroll: int = 4):
+    def make_scan_step(self, *, unroll: int = 4, mesh=None):
         """Jitted (model, opt_state, Xs, Ys, gammas, steps) running K
         natgrad+Adam steps per dispatch (Xs: (K,B,D), gammas/steps: (K,));
-        buffers donated."""
+        buffers donated.
+
+        With a ``mesh`` (parallel.make_mesh) each step's (B, D) minibatch is
+        sharded over the mesh ``data`` axis — pure data parallelism. The
+        parameters stay replicated; XLA inserts one gradient psum over ICI per
+        scan iteration and the natural-gradient algebra (small per-factor
+        matrices) runs replicated on every device, so the dp trajectory is
+        the single-device one (equivalence-tested on the 8-virtual-device CPU
+        mesh, tests/test_natgrad.py). B must divide by the data-axis size."""
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(model, opt_state, Xs, Ys, gammas, steps):
+        def _step(model, opt_state, Xs, Ys, gammas, steps):
             def body(carry, batch):
                 model, opt_state = carry
                 X, Y, gamma, i = batch
@@ -605,18 +613,55 @@ class NaturalGradientTrainer:
             )
             return model, opt_state, losses
 
+        if mesh is None:
+            return _step
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        block_sh = NamedSharding(mesh, P(None, "data", None))
+        n_data = mesh.shape["data"]
+
+        def step(model, opt_state, Xs, Ys, gammas, steps):
+            assert Xs.shape[1] % n_data == 0, (
+                f"batch size {Xs.shape[1]} not divisible by data axis {n_data}"
+            )
+            Xs = jax.device_put(Xs, block_sh)
+            Ys = jax.device_put(Ys, block_sh)
+            return _step(model, opt_state, Xs, Ys, gammas, steps)
+
+        step.jitted = _step
         return step
 
-    def make_device_scan_step(self, Xtrain, Ytrain, batch_size: int, *, unroll: int = 4):
+    def make_device_scan_step(
+        self, Xtrain, Ytrain, batch_size: int, *, unroll: int = 4, mesh=None
+    ):
         """Device-sampling variant of make_scan_step (mirrors
         training/scan.make_device_sampling_scan_step): the training set lives
         in HBM, each scan iteration draws a uniform minibatch inside the
         jitted step, and the host ships one PRNG key + the (K,) γ/step
         schedules per dispatch. (model, opt_state, block_key, gammas, steps)
-        -> (model, opt_state, losses)."""
+        -> (model, opt_state, losses).
+
+        With a ``mesh`` the training set lives replicated on every device and
+        the drawn minibatch is constrained to the mesh ``data`` axis — same
+        dp semantics (and identical index sequence) as the single-device
+        sampler for the same key."""
         Xtrain = jnp.asarray(Xtrain)
         Ytrain = jnp.asarray(Ytrain)
         N = Xtrain.shape[0]
+
+        bsh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert batch_size % mesh.shape["data"] == 0, (
+                f"batch size {batch_size} not divisible by data axis "
+                f"{mesh.shape['data']}"
+            )
+            bsh = NamedSharding(mesh, P("data", None))
+            rep = NamedSharding(mesh, P())
+            Xtrain = jax.device_put(Xtrain, rep)
+            Ytrain = jax.device_put(Ytrain, rep)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(model, opt_state, block_key, gammas, steps):
@@ -626,8 +671,12 @@ class NaturalGradientTrainer:
                 model, opt_state = carry
                 key, gamma, i = inp
                 idx = jax.random.randint(key, (batch_size,), 0, N)
+                X, Y = Xtrain[idx], Ytrain[idx]
+                if bsh is not None:
+                    X = jax.lax.with_sharding_constraint(X, bsh)
+                    Y = jax.lax.with_sharding_constraint(Y, bsh)
                 model, opt_state, loss = self._step_body(
-                    model, opt_state, Xtrain[idx], Ytrain[idx], gamma, i
+                    model, opt_state, X, Y, gamma, i
                 )
                 return (model, opt_state), loss
 
@@ -662,6 +711,7 @@ def fit_natgrad_scanned(
     resume: bool = False,
     sampler: str = "host",
     sampler_seed: int = 0,
+    mesh=None,
 ):
     """Production natural-gradient training: scanned K-step dispatches with
     the γ-warmup schedule threaded through as per-step traced scalars.
@@ -689,6 +739,12 @@ def fit_natgrad_scanned(
       inside the jitted step (make_device_scan_step) — host traffic per
       dispatch is one PRNG key + the (K,) γ schedule. Requires ``data`` to
       expose the ``.arrays`` property.
+    - ``mesh``: data-parallel training over a jax.sharding.Mesh — the
+      per-step minibatch shards over the mesh ``data`` axis, parameters
+      replicated, one gradient psum per scan iteration; the trajectory is
+      the single-device one (the natural-gradient algebra runs replicated).
+      Tensor parallelism (``model`` axis > 1) is not supported with natgrad:
+      the factored natural steps need the full variational rows.
     - Ctrl-C checkpoints the current step and returns ``interrupted=True``.
     """
     import time
@@ -720,7 +776,7 @@ def fit_natgrad_scanned(
                 model, data, num_iter=adam_warmup, batch_size=batch_size,
                 num_inner=min(num_inner, adam_warmup), learning_rate=adam_lr,
                 log_every_blocks=0, log_fn=log_fn,
-                sampler=sampler, sampler_seed=sampler_seed,
+                sampler=sampler, sampler_seed=sampler_seed, mesh=mesh,
             )
             if warm.interrupted:
                 return warm
@@ -730,11 +786,18 @@ def fit_natgrad_scanned(
 
     num_iter = max(num_iter, start_step + num_inner)
     device_mode = sampler == "device"
+    place = None
+    if mesh is not None:
+        from ..parallel import replicate
+
+        place = replicate
+        model = place(mesh, model)
+        opt_state = place(mesh, opt_state)
     if device_mode:
         Xd, Yd = data.arrays
-        step = trainer.make_device_scan_step(Xd, Yd, batch_size)
+        step = trainer.make_device_scan_step(Xd, Yd, batch_size, mesh=mesh)
     else:
-        step = trainer.make_scan_step()
+        step = trainer.make_scan_step(mesh=mesh)
 
     if ckpt_manager is not None and ckpt_manager.latest_step() is None:
         ckpt_manager.save_at(start_step, model, opt_state)
@@ -789,6 +852,11 @@ def fit_natgrad_scanned(
                         restored = ckpt_manager.restore_latest(model, opt_state)
                         if restored is not None:
                             model, opt_state, from_step = restored
+                            if place is not None:
+                                # restored leaves are host arrays; re-place to
+                                # keep the compiled executable's shardings
+                                model = place(mesh, model)
+                                opt_state = place(mesh, opt_state)
                             restored_this_block = True
                             log_fn(f"restored from checkpoint at step {from_step}")
                     continue
