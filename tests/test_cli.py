@@ -46,6 +46,27 @@ def test_cli_onoff_then_classifier_then_downstream(synth_pptr, tmp_path):
     assert (tmp_path / "runs" / "1" / "results_zi.pickle").exists()
 
 
+def test_cli_svgp_and_classifier_accept_natgrad(synth_pptr, tmp_path):
+    """--optimizer natgrad must actually reach the svgp/classifier runs (their
+    configs previously lacked the natgrad fields, so the flag was silently
+    dropped by the hasattr gate in cli.main)."""
+    from zigp_tpu.experiments.configs import ClassifierPptrConfig, SvgpPptrConfig
+
+    for cfg_cls in (SvgpPptrConfig, ClassifierPptrConfig):
+        assert cfg_cls().optimizer == "adam"
+        assert hasattr(cfg_cls(), "natgrad_gamma")
+
+    wd = str(tmp_path / "runs")
+    assert main(["svgp", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "12", "--batch", "64",
+                 "--optimizer", "natgrad", "--natgrad-gamma", "0.05",
+                 "--whiten"]) == 0
+    assert (tmp_path / "runs" / "1" / "results_svgp.pickle").exists()
+    assert main(["classifier", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "12", "--batch", "64",
+                 "--optimizer", "natgrad"]) == 0
+
+
 def test_cli_cv_command(synth_pptr, tmp_path):
     wd = str(tmp_path / "cvrun")
     rc = main(["cv", "--models", "classifier,svgp,zi", "--data", synth_pptr,

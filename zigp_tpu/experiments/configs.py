@@ -115,6 +115,13 @@ class SvgpPptrConfig:
     sampler: str = "host"  # "host" (epoch pipeline) | "device" (HBM-resident sampling)
     mesh_data: int = 0  # see OnOffPptrConfig.mesh_data
     mesh_model: int = 0
+    # natural-gradient options — see OnOffPptrConfig for the field docs
+    optimizer: str = "adam"  # "adam" | "natgrad"
+    natgrad_gamma: float = 0.1
+    natgrad_warmup: int = 2000
+    natgrad_adam_warmup: int = 1000
+    natgrad_kron_joint: bool = False
+    natgrad_kl_cap: float = 10.0
 
 
 @dataclass
@@ -141,6 +148,13 @@ class ClassifierPptrConfig:
     sampler: str = "host"  # "host" (epoch pipeline) | "device" (HBM-resident sampling)
     mesh_data: int = 0  # see OnOffPptrConfig.mesh_data
     mesh_model: int = 0
+    # natural-gradient options — see OnOffPptrConfig for the field docs
+    optimizer: str = "adam"  # "adam" | "natgrad"
+    natgrad_gamma: float = 0.1
+    natgrad_warmup: int = 2000
+    natgrad_adam_warmup: int = 1000
+    natgrad_kron_joint: bool = False
+    natgrad_kl_cap: float = 10.0
 
 
 def best_onoff_config() -> "OnOffPptrConfig":
