@@ -81,14 +81,29 @@ def bench_tpu_scanned_steps_per_sec(num_inner: int = 100, num_blocks: int = 10, 
     # jitter is the dominant run-to-run variance; see the single-dispatch
     # bench for the same pattern). Training continues across passes — only
     # the timing window repeats.
+    #
+    # Loss reporting: the quoted final_loss is the end of pass 0 (1,100
+    # optimizer steps), the point the single-pass round-1/2 benches reported —
+    # comparable across rounds. The synthetic bench targets are pure noise
+    # (Y = max(randn,0), 90 % zeroed, random X), so training *past* that point
+    # cycles the same noise batches until the likelihood variance collapses
+    # and the ELBO goes stiff: around step ~2,400 the loss spikes several
+    # orders of magnitude before recovering (deterministic, finite
+    # throughout). That is a fit-the-noise artifact of the synthetic data,
+    # not a step-math defect — real-data runs at this lr train 50k+ steps
+    # monotonically (RESULTS.md CV tables) — and it does not affect timing
+    # (identical ops per step). Both losses are emitted for transparency.
     rates = []
+    first_pass_loss = None
     for _ in range(3):
         t0 = time.time()
         for Xs, Ys in blocks:
             model, opt_state, losses = step(model, opt_state, Xs, Ys)
         jax.block_until_ready(losses)
         rates.append(num_blocks * num_inner / (time.time() - t0))
-    return sorted(rates)[1], float(losses[-1])
+        if first_pass_loss is None:
+            first_pass_loss = float(losses[-1])
+    return sorted(rates)[1], first_pass_loss, float(losses[-1])
 
 
 def bench_reference_proxy_steps_per_sec(num_steps: int = 3, batch: int = 1000):
@@ -150,7 +165,7 @@ def bench_reference_proxy_steps_per_sec(num_steps: int = 3, batch: int = 1000):
 
 def main():
     single_sps, single_loss = bench_tpu_steps_per_sec()
-    scan_sps, scan_loss = bench_tpu_scanned_steps_per_sec()
+    scan_sps, scan_loss, scan_loss_3100 = bench_tpu_scanned_steps_per_sec()
     ref_sps = bench_reference_proxy_steps_per_sec()
     import jax
 
@@ -162,8 +177,15 @@ def main():
         "single_dispatch_steps_per_sec": round(single_sps, 3),
         "baseline_proxy_steps_per_sec": round(ref_sps, 3),
         "device": str(jax.devices()[0]),
+        # 1,100-step loss: the round-comparable training-works check (see the
+        # synthetic-noise note in bench_tpu_scanned_steps_per_sec)
         "final_loss": scan_loss if np.isfinite(scan_loss) else single_loss,
-        "losses_finite": bool(np.isfinite(single_loss) and np.isfinite(scan_loss)),
+        "loss_after_3100_steps": scan_loss_3100,
+        "losses_finite": bool(
+            np.isfinite(single_loss)
+            and np.isfinite(scan_loss)
+            and np.isfinite(scan_loss_3100)
+        ),
     }
     print(json.dumps(result))
 
