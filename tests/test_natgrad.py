@@ -416,6 +416,58 @@ def test_natgrad_block_kron_kl_cap_bounds_step(rng):
     assert np.all(np.isfinite(np.asarray(m_new)))
 
 
+def _kron_onoff_model(rng, q_cov="kron"):
+    from zigp_tpu.models import KronOnOffSVGP
+
+    Zs = [rng.rand(4, 2), np.linspace(0, 1, 6)[:, None]]
+    ks = lambda v: [RBF.create([1.0, 1.0], v), RBF.create([0.3], v)]
+    return KronOnOffSVGP.create(
+        ks(2.0), Zs, ks(1.0), [Z.copy() for Z in Zs], OnOffGaussian.create(0.05),
+        num_data=64, jitter=1e-6, seed=3, whiten=True, q_cov=q_cov,
+    )
+
+
+def test_natgrad_kl_cap_zero_disables_not_freezes(rng):
+    """kl_cap=0 must mean 'no cap' (the CLI's documented semantics), not a
+    0-nat budget that silently freezes every variational step at scale 0."""
+    from zigp_tpu.training.natgrad import NaturalGradientTrainer
+
+    model = _kron_onoff_model(rng)
+    trainer = NaturalGradientTrainer(model, gamma=0.05, kl_cap=0.0)
+    assert trainer.kl_cap is None
+    trainer_neg = NaturalGradientTrainer(model, gamma=0.05, kl_cap=-1.0)
+    assert trainer_neg.kl_cap is None
+
+    state = trainer.init(model)
+    step = trainer.make_step()
+    X = jnp.asarray(rng.rand(32, 3))
+    Y = jnp.asarray(np.maximum(rng.randn(32, 1), 0.0))
+    m1, _, _ = step(model, state, X, Y)
+    moved = float(jnp.max(jnp.abs(m1.f.q_mu.raw - model.f.q_mu.raw)))
+    assert moved > 0.0, "kl_cap=0 froze the variational mean"
+
+
+def test_fit_natgrad_scanned_honors_small_budgets(rng, tmp_path):
+    """--iters 12 must train ~12 steps, not the full 1000-step Adam
+    warm-start + a 50-step natgrad block (87x the asked budget)."""
+    from zigp_tpu.io.checkpoint import CheckpointManager
+    from zigp_tpu.training import DataSet
+    from zigp_tpu.training.natgrad import fit_natgrad_scanned
+
+    N = 64
+    X = rng.rand(N, 3)
+    Y = np.maximum(rng.randn(N, 1), 0.0)
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=10_000)
+    res = fit_natgrad_scanned(
+        _kron_onoff_model(rng), DataSet(X, Y, seed=5), num_iter=12,
+        batch_size=16, num_inner=50, adam_warmup=1000,
+        log_every_blocks=0, log_fn=lambda s: None, ckpt_manager=mgr,
+    )
+    assert not res.interrupted
+    # final save at completion records the true trained-step count
+    assert mgr.latest_step() == 12
+
+
 def test_natgrad_gamma_warmup_single_compilation(rng):
     """γ is a traced argument: stepping through a warmup schedule must not
     recompile per γ value."""

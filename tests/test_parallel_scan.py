@@ -199,6 +199,31 @@ def test_fit_natgrad_scanned_with_mesh_matches_single(rng, sampler):
 
 
 @requires_8
+def test_fit_natgrad_scanned_mesh_nan_recovery_replaces(rng, tmp_path):
+    """NaN recovery on the natgrad mesh path: every block goes non-finite
+    (all-NaN targets), each sync restores the start checkpoint, and the
+    restored host arrays must be re-placed with the run's shardings — the
+    compiled executable is fed restored state every block without a sharding
+    crash, and the run completes with the restored (finite) parameters."""
+    from zigp_tpu.io.checkpoint import CheckpointManager
+    from zigp_tpu.training.natgrad import fit_natgrad_scanned
+
+    N = 64
+    X = rng.rand(N, 3)
+    Y = np.full((N, 1), np.nan)
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=5)
+    res = fit_natgrad_scanned(
+        _onoff(N=N), DataSet(X, Y, seed=5), num_iter=20, batch_size=16,
+        num_inner=5, gamma=0.05, gamma_warmup=0, adam_warmup=0,
+        log_every_blocks=1, log_fn=lambda s: None,
+        ckpt_manager=mgr, mesh=make_mesh(n_data=8),
+    )
+    assert not res.interrupted
+    for leaf in jax.tree_util.tree_leaves(res.model):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@requires_8
 def test_fit_scanned_mesh_ckpt_restore_replaces(rng, tmp_path):
     """NaN recovery / resume on the mesh path re-places restored host arrays
     with the run's shardings (fit_scanned place() after restore)."""

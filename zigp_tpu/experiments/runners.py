@@ -130,8 +130,13 @@ def _fit_auto(
         # every step anyway.
         ng_mesh = None
         if getattr(cfg, "mesh_model", 0) and cfg.mesh_model > 1:
-            log_fn("warning: tensor parallelism (mesh_model > 1) is not supported with optimizer=natgrad; training single-device")
-        elif getattr(cfg, "mesh_data", 0):
+            log_fn(
+                "warning: tensor parallelism (mesh_model > 1) is not supported "
+                "with optimizer=natgrad; "
+                + ("keeping the requested data parallelism"
+                   if getattr(cfg, "mesh_data", 0) else "training single-device")
+            )
+        if getattr(cfg, "mesh_data", 0):
             from ..parallel import make_mesh
 
             ng_mesh = make_mesh(n_data=cfg.mesh_data, n_model=1)
@@ -151,7 +156,7 @@ def _fit_auto(
             gamma_warmup=cfg.natgrad_warmup,
             adam_warmup=cfg.natgrad_adam_warmup,
             kron_joint=getattr(cfg, "natgrad_kron_joint", False),
-            kl_cap=(getattr(cfg, "natgrad_kl_cap", 10.0) or None),
+            kl_cap=getattr(cfg, "natgrad_kl_cap", 10.0),  # ≤0 disables (trainer normalizes)
             adam_lr=learning_rate,
             log_every_blocks=max(
                 1, (cfg.log_every or 200) // (getattr(cfg, "scan_inner", 50) or 50)

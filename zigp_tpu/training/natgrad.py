@@ -266,6 +266,10 @@ def natgrad_update_block_kron(
     #     m' = m − γ (Σ_p' ⊗ I)[(2/M_rest)·D·U + (I ⊗ R)·∂L/∂η₁].
     # Unlike the literal roundtrip (m → θ₁ → m'), this is exactly m at γ→0:
     # no cond(Σ_p)²·cond(R)² f32 amplification of the current mean.
+    # γ-independent step direction of the mean update (shared by the map-back
+    # and both KL passes): (2/M_rest)·D·U + (I ⊗ R)·∂L/∂η₁.
+    step_dir = (2.0 / Mrest) * jnp.dot(D, Mu, precision=HI) + _apply_R(Rmats, g1)
+
     def _map_back(gam):
         A_new = A + (2.0 * gam / Mrest) * D
         La = jnp.linalg.cholesky(A_new)
@@ -273,12 +277,7 @@ def natgrad_update_block_kron(
             jnp.where(jnp.isfinite(La), La, eyep), eyep, lower=True
         )
         Sigma_new = jnp.dot(Lai.T, Lai, precision=HI)
-        Mu_new = Mu - gam * jnp.dot(
-            Sigma_new,
-            (2.0 / Mrest) * jnp.dot(D, Mu, precision=HI)
-            + _apply_R(Rmats, g1),
-            precision=HI,
-        )
+        Mu_new = Mu - gam * jnp.dot(Sigma_new, step_dir, precision=HI)
         return La, Sigma_new, Mu_new
 
     if kl_cap is not None:
@@ -292,12 +291,7 @@ def natgrad_update_block_kron(
         #   KL_mean ≈ ½ Δm₀ᵀ S⁻¹ Δm₀ at the *current* Σ_p.
         SpD = jnp.dot(Sigma_p, D, precision=HI)
         kl_cov_q = (lr * lr / Mrest) * jnp.sum(SpD * SpD.T)
-        dm0 = lr * jnp.dot(
-            Sigma_p,
-            (2.0 / Mrest) * jnp.dot(D, Mu, precision=HI)
-            + _apply_R(Rmats, g1),
-            precision=HI,
-        )
+        dm0 = lr * jnp.dot(Sigma_p, step_dir, precision=HI)
         kl_mean_q = 0.5 * jnp.sum(
             dm0 * jnp.dot(A, _apply_R(Rinv, dm0), precision=HI)
         )
@@ -313,7 +307,9 @@ def natgrad_update_block_kron(
         #   KL = ½[M_rest·tr(AΣ_p') − M + ΔUᵀ(A ⊗ R⁻¹)ΔU
         #         + M_rest·(logdet Σ_p − logdet Σ_p')],
         # rescaling γ once more by √(cap/KL) (KL is quadratic in γ to leading
-        # order). Small-matrix algebra only — the ELBO gradient dwarfs it.
+        # order). Small-matrix algebra only — the ELBO gradient dwarfs it —
+        # and the re-map only runs when the exact KL actually exceeds the cap
+        # (post-warmup steps usually pass untouched).
         dU = Mu_new - Mu
         quad = jnp.sum(dU * jnp.dot(A, _apply_R(Rinv, dU), precision=HI))
         # logdet Σ_p = −2Σ log diag(Cpi) (Cpi = chol(Σ_p)⁻¹);
@@ -325,8 +321,12 @@ def natgrad_update_block_kron(
             Mrest * tr - M + quad + Mrest * (logdet_old - logdet_new)
         )
         kl = jnp.where(jnp.isfinite(kl), jnp.maximum(kl, 1e-30), jnp.inf)
-        lr = lr * jnp.minimum(1.0, jnp.sqrt(kl_cap / kl))
-        La, Sigma_new, Mu_new = _map_back(lr)
+        rescale = jnp.minimum(1.0, jnp.sqrt(kl_cap / kl))
+        La, Sigma_new, Mu_new = jax.lax.cond(
+            rescale < 1.0,
+            lambda: _map_back(lr * rescale),
+            lambda: (La, Sigma_new, Mu_new),
+        )
 
     Cp_new = jnp.linalg.cholesky(Sigma_new)
     m_new = _unperm(Mu_new)
@@ -411,9 +411,11 @@ class NaturalGradientTrainer:
         self.gamma_init = float(gamma_init)
         self.max_mean_step = float(max_mean_step)
         # per-step KL(q′‖q) budget for the kron-family natural steps (nats);
-        # None disables. See natgrad_update_mean_kron — this is what keeps
+        # None or any value ≤ 0 disables (matching the CLI's "0 disables"
+        # semantics — a literal 0 cap would silently freeze the variational
+        # step at scale 0). See natgrad_update_mean_kron — this is what keeps
         # the unwhitened kron family from diverging at any γ.
-        self.kl_cap = None if kl_cap is None else float(kl_cap)
+        self.kl_cap = float(kl_cap) if kl_cap is not None and kl_cap > 0 else None
 
         # freeze variational params for the Adam side by labelling them frozen
         def label(path, leaf):
@@ -596,7 +598,8 @@ class NaturalGradientTrainer:
         scan iteration and the natural-gradient algebra (small per-factor
         matrices) runs replicated on every device, so the dp trajectory is
         the single-device one (equivalence-tested on the 8-virtual-device CPU
-        mesh, tests/test_natgrad.py). B must divide by the data-axis size."""
+        mesh, tests/test_parallel_scan.py). B must divide by the data-axis
+        size."""
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def _step(model, opt_state, Xs, Ys, gammas, steps):
@@ -753,6 +756,15 @@ def fit_natgrad_scanned(
 
     from .loop import FitResult
     from .scan import fit_scanned, stage_batches
+
+    # Honor small budgets: a --iters 500 probe must not silently train the
+    # full 1000-step Adam warm-start plus a 50-step natgrad block (87× the
+    # asked budget at --iters 12). Cap the warm-start at half the requested
+    # steps and the natgrad block size at the remainder; production budgets
+    # (num_iter ≥ 2·adam_warmup) are unchanged.
+    num_iter = int(num_iter)
+    adam_warmup = min(int(adam_warmup), num_iter // 2)
+    num_inner = max(1, min(int(num_inner), num_iter - adam_warmup))
 
     trainer = NaturalGradientTrainer(
         model, gamma=gamma, adam_lr=adam_lr,
