@@ -164,6 +164,13 @@ def main(argv=None):
     p_cv.add_argument("--workdir", type=str, default="runs/cv_full")
     p_cv.add_argument("--iters", type=int, default=None)
     p_cv.add_argument("--batch", type=int, default=None)
+    p_cv.add_argument("--batched", action="store_true",
+                      help="train all folds of each variant simultaneously "
+                           "(one compile + one dispatch stream per variant; "
+                           "device-resident sampler; Adam only)")
+    p_cv.add_argument("--resume", action="store_true",
+                      help="with --batched: restore the latest stack "
+                           "checkpoint in --workdir and continue")
 
     args = parser.parse_args(argv)
 
@@ -210,8 +217,8 @@ def main(argv=None):
 
         os.makedirs(args.workdir, exist_ok=True)
         log = _setup_logging(args.workdir, "cv")
-        run_cv(
-            [m.strip() for m in args.models.split(",") if m.strip()],
+        variants = [m.strip() for m in args.models.split(",") if m.strip()]
+        kwargs = dict(
             splits=make_cv_splits(load_pptr(args.data)),
             onoff_cfg=_ckw(OnOffPptrConfig(log_every=0)),
             svgp_cfg=_ckw(SvgpPptrConfig(log_every=0)),
@@ -219,6 +226,12 @@ def main(argv=None):
             workdir=args.workdir,
             log_fn=log,
         )
+        if args.batched:
+            from .cv_batched import run_cv_batched
+
+            run_cv_batched(variants, resume=args.resume, **kwargs)
+        else:
+            run_cv(variants, **kwargs)
         return 0
 
     split = _load_fold(args)

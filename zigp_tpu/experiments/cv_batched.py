@@ -1,0 +1,261 @@
+"""Batched 5-fold cross-validation: every fold of a variant trained
+SIMULTANEOUSLY through one vmapped scanned step (training/batched.py).
+
+The reference's protocol is strictly sequential — one TF1 graph build +
+session per fold per variant (README.md:17-26, scripts/onoff.py:22). The
+sequential driver here (`cv.run_cv`) already caches the jitted step across
+steps, but each fold still pays its own ~40 s TPU compile and its own
+dispatch stream, and at the pptr shapes the per-step device program is
+latency-bound — the MXU idles between tiny ops. Stacking the F per-fold
+models on a leading axis turns every per-step op into a batch-F op: one
+compile, one dispatch stream, F folds of progress per dispatch.
+
+The pptr protocol is the ideal case: all five folds have identical train
+sizes (KFold on 113,015 rows), so the stacked models share every static
+(num_data included) and the data stacks un-padded. The one ragged variant —
+the hurdle's per-fold "on" subsets — uses the padded path: subset rows padded
+to the max fold length (never sampled, `num_rows`) and the true per-fold
+ELBO scale threaded as a traced `num_data` override (models/kron.py elbo).
+
+Semantics: fold f's trajectory is exactly the sequential
+``fit_scanned(sampler="device", sampler_seed=cfg.seed)`` trajectory
+(equivalence-tested in tests/test_batched.py; integration-tested vs run_cv in
+tests/test_cv_batched.py) — batched CV always uses the device-resident
+uniform sampler, not the host epoch pipeline. Not supported in batched mode:
+optimizer="natgrad", mesh sharding, monitor/histogram callbacks (use the
+sequential driver for those).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..io.datasets import Split, load_pptr, make_cv_splits
+from ..models import hurdle_on_indices
+from ..training.batched import fit_batched_scanned
+from .builders import (
+    binarize_targets,
+    build_classifier_pptr,
+    build_onoff_pptr,
+    build_svgp_pptr,
+)
+from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
+from .runners import (
+    _eval_classifier,
+    _eval_hurdle,
+    _eval_onoff,
+    _eval_svgp,
+    _log_hyperparams,
+    run_zero_inflated,
+)
+
+
+def _agg(values: List[float]) -> Dict[str, float]:
+    a = np.asarray(values, dtype=np.float64)
+    return {"mean": float(a.mean()), "std": float(a.std()), "folds": [float(v) for v in a]}
+
+
+def _train_stack(
+    kind: str,
+    models: list,
+    datas: list,
+    cfg,
+    lr: float,
+    *,
+    workdir: Optional[str],
+    log_fn,
+    loss_fn=None,
+    aux=None,
+    resume: bool = False,
+):
+    """fit_batched_scanned with the same optimizer/cadence/checkpoint policy
+    as the sequential runners' _fit_auto."""
+    from ..io.checkpoint import CheckpointManager
+    from ..training.optim import cosine_adam, make_optimizer
+    from ..utils.logging import MetricLogger
+
+    if getattr(cfg, "optimizer", "adam") == "natgrad":
+        raise ValueError(
+            "batched CV supports optimizer='adam' only; run natgrad folds "
+            "through the sequential driver (run_cv)"
+        )
+    if getattr(cfg, "lr_schedule", "") == "cosine":
+        optimizer = make_optimizer(
+            models[0], default_lr=lr, opt_factory=cosine_adam(cfg.num_iter)
+        )
+    else:
+        optimizer = make_optimizer(models[0], default_lr=lr)
+
+    ckpt = metric = None
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+        if getattr(cfg, "ckpt_every", 0):
+            # the checkpoint holds the STACK (all folds); resume restores it
+            ckpt = CheckpointManager(
+                os.path.join(workdir, f"ckpt_{kind}_stack"), every=cfg.ckpt_every
+            )
+        metric = MetricLogger(os.path.join(workdir, f"metrics_{kind}_stack.jsonl"))
+
+    num_inner = getattr(cfg, "scan_inner", 50) or 50
+    results = fit_batched_scanned(
+        models,
+        datas,
+        num_iter=cfg.num_iter,
+        batch_size=cfg.batch_size,
+        num_inner=num_inner,
+        optimizer=optimizer,
+        loss_fn=loss_fn,
+        aux=aux,
+        # mirror the sequential protocol: every fold uses sampler_seed=cfg.seed
+        seeds=[getattr(cfg, "seed", 0)] * len(models),
+        log_every_blocks=(
+            max(1, cfg.log_every // num_inner) if getattr(cfg, "log_every", 0) else 0
+        ),
+        log_fn=lambda m: log_fn(f"[{kind} x{len(models)}] {m}"),
+        ckpt_manager=ckpt,
+        metric_logger=metric,
+        resume=resume,
+    )
+    return results
+
+
+def run_cv_batched(
+    models: List[str],
+    *,
+    splits: Optional[List[Split]] = None,
+    onoff_cfg: Optional[OnOffPptrConfig] = None,
+    svgp_cfg: Optional[SvgpPptrConfig] = None,
+    clf_cfg: Optional[ClassifierPptrConfig] = None,
+    workdir: Optional[str] = None,
+    log_fn: Callable[[str], None] = print,
+    resume: bool = False,
+) -> dict:
+    """run_cv with all folds of each variant trained in one batched run.
+
+    models ⊆ {"onoff", "svgp", "classifier", "hurdle", "zi"}; hurdle/zi pull
+    in the classifier (and zi the svgp) exactly as the sequential driver does.
+    Returns the same aggregate dict shape as run_cv and writes the same
+    ``cv_summary.json`` (per-fold prediction pickles are not written — use the
+    sequential driver to produce those artifacts).
+    """
+    splits = splits or make_cv_splits(load_pptr())
+    F = len(splits)
+    need_clf = bool({"classifier", "hurdle", "zi"} & set(models))
+    need_svgp = bool({"svgp", "zi"} & set(models))
+
+    summary: Dict[str, Dict[str, List[float]]] = {}
+
+    def record(model: str, metric: str, value: float):
+        summary.setdefault(model, {}).setdefault(metric, []).append(float(value))
+
+    clf_res: List[Optional[dict]] = [None] * F
+    svgp_res: List[Optional[dict]] = [None] * F
+
+    if need_clf:
+        cfg = clf_cfg or ClassifierPptrConfig()
+        res = _train_stack(
+            "classifier",
+            [build_classifier_pptr(cfg, s) for s in splits],
+            [(s.Xtrain, binarize_targets(s.Ytrain)) for s in splits],
+            cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
+        )
+        for f, (r, split) in enumerate(zip(res, splits)):
+            log_fn(f"--- classifier fold {f + 1}/{F} ---")
+            _log_hyperparams(r.model, log_fn)
+            clf_res[f] = _eval_classifier(r.model, split, log_fn)
+            for m in ("accuracy", "precision", "recall", "auc"):
+                record("classifier", f"test_{m}", clf_res[f][f"test_{m}"])
+
+    if need_svgp:
+        cfg = svgp_cfg or SvgpPptrConfig()
+        res = _train_stack(
+            "svgp",
+            [build_svgp_pptr(cfg, s) for s in splits],
+            [(s.Xtrain, s.Ytrain) for s in splits],
+            cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
+        )
+        for f, (r, split) in enumerate(zip(res, splits)):
+            log_fn(f"--- svgp fold {f + 1}/{F} ---")
+            _log_hyperparams(r.model, log_fn)
+            svgp_res[f] = _eval_svgp(r.model, split, log_fn)
+            record("svgp", "test_rmse", svgp_res[f]["test_rmse"])
+            record("svgp", "test_mae", svgp_res[f]["test_mae"])
+
+    if "onoff" in models:
+        cfg = onoff_cfg or OnOffPptrConfig()
+        res = _train_stack(
+            "onoff",
+            [build_onoff_pptr(cfg, s) for s in splits],
+            [(s.Xtrain, s.Ytrain) for s in splits],
+            cfg, cfg.indp_lr, workdir=workdir, log_fn=log_fn, resume=resume,
+        )
+        for f, (r, split) in enumerate(zip(res, splits)):
+            log_fn(f"--- onoff fold {f + 1}/{F} ---")
+            _log_hyperparams(r.model, log_fn)
+            out = _eval_onoff(r.model, split, log_fn)
+            record("onoff", "test_rmse", out["test_rmse"])
+            record("onoff", "test_mae", out["test_mae"])
+            record("onoff", "steps_per_sec", r.steps_per_sec)
+
+    if "hurdle" in models:
+        import jax.numpy as jnp
+
+        cfg = svgp_cfg or SvgpPptrConfig()
+        # per-fold classifier-'on' subsets: ragged — the padded/num_rows path
+        subs, on_idx = [], []
+        for f, split in enumerate(splits):
+            tr = hurdle_on_indices(clf_res[f]["pred_train"]["pfmean"])
+            te = hurdle_on_indices(clf_res[f]["pred_test"]["pfmean"])
+            on_idx.append((tr, te))
+            subs.append(
+                Split(split.Xtrain[tr], split.Ytrain[tr],
+                      split.Xtest[te], split.Ytest[te])
+            )
+        sizes = [s.Xtrain.shape[0] for s in subs]
+        # shared static num_data placeholder so the stacked treedefs match;
+        # the true per-fold ELBO scale rides in as the traced aux override
+        hmodels = [
+            build_svgp_pptr(cfg, splits[f], subset_idx=on_idx[f][0]).replace(num_data=1)
+            for f in range(F)
+        ]
+        res = _train_stack(
+            "hurdle", hmodels, [(s.Xtrain, s.Ytrain) for s in subs],
+            cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
+            loss_fn=lambda m, X, Y, n: m.loss(X, Y, num_data=n),
+            aux=jnp.asarray(np.asarray(sizes, dtype=np.int32)),
+        )
+        for f, (r, split) in enumerate(zip(res, splits)):
+            log_fn(f"--- hurdle fold {f + 1}/{F} ---")
+            sub, (tr, te) = subs[f], on_idx[f]
+            reg = _eval_svgp(
+                r.model, sub, lambda m: log_fn(f"[hurdle on-subset] {m}")
+            )
+            out = _eval_hurdle(split, clf_res[f], reg, sub, tr, te, log_fn)
+            record("hurdle", "test_rmse", out["test_hurdle_comb_rmse"])
+            record("hurdle", "test_mae", out["test_hurdle_comb_mae"])
+
+    if "zi" in models:
+        for f, split in enumerate(splits):
+            log_fn(f"--- zi fold {f + 1}/{F} ---")
+            out = run_zero_inflated(split, clf_res[f], svgp_res[f], log_fn=log_fn)
+            record("zi", "test_rmse_prob", out["test_zi_prob_reg_rmse"])
+            record("zi", "test_mae_prob", out["test_zi_prob_reg_mae"])
+            record("zi", "test_rmse_indc", out["test_zi_indc_reg_rmse"])
+            record("zi", "test_mae_indc", out["test_zi_indc_reg_mae"])
+
+    aggregates = {
+        model: {metric: _agg(vals) for metric, vals in metrics.items()}
+        for model, metrics in summary.items()
+    }
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+        with open(os.path.join(workdir, "cv_summary.json"), "w") as f:
+            json.dump(aggregates, f, indent=2)
+    for model, metrics in aggregates.items():
+        for metric, agg in metrics.items():
+            log_fn(f"{model}.{metric}: {agg['mean']:.4f} ± {agg['std']:.4f}")
+    return aggregates

@@ -476,6 +476,22 @@ def run_hurdle(
     # positives-only subset and read much larger than the combined metric
     reg = run_svgp(sub, cfg, log_fn=lambda m: log_fn(f"[hurdle on-subset] {m}"))
 
+    results = _eval_hurdle(
+        split, clf_results, reg, sub, train_on_idx, test_on_idx, log_fn
+    )
+    results["interrupted"] = bool(reg.get("interrupted", False))
+    _maybe_pickle(results, workdir, "results_hurdle.pickle")
+    results["model"] = reg["model"]
+    return results
+
+
+def _eval_hurdle(
+    split: Split, clf_results: dict, reg: dict, sub: Split,
+    train_on_idx, test_on_idx, log_fn,
+) -> dict:
+    """Hurdle recombination + metric block (scripts/hurdle.py:60-96) — shared
+    between run_hurdle and the batched CV driver, which trains the inner
+    regression itself (cv_batched)."""
     train_comb = hurdle_combine(
         clf_results["pred_train"]["pfmean"], reg["pred_train"]["fmean"], train_on_idx
     )
@@ -496,11 +512,8 @@ def run_hurdle(
         "test_hurdle_comb_rmse": metrics.rmse(test_comb, split.Ytest),
         "train_hurdle_comb_mae": metrics.mae(train_comb, split.Ytrain),
         "test_hurdle_comb_mae": metrics.mae(test_comb, split.Ytest),
-        "interrupted": bool(reg.get("interrupted", False)),
     }
     log_fn(f"hurdle test rmse: {results['test_hurdle_comb_rmse']}")
-    _maybe_pickle(results, workdir, "results_hurdle.pickle")
-    results["model"] = reg["model"]
     return results
 
 

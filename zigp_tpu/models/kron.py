@@ -212,18 +212,22 @@ class KronSVGP:
         p = self.likelihood.predict_prob(fmean, fvar)
         return p, p - jnp.square(p)
 
-    def elbo(self, X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+    def elbo(self, X: jnp.ndarray, Y: jnp.ndarray, *, num_data=None) -> jnp.ndarray:
+        """``num_data`` optionally overrides the (static) dataset size with a
+        traced value — the hook that lets ragged batched-fold training
+        (training.batched) stack models whose true N differs per fold."""
         st = self.gp.factor_state()  # one factorization for KL + conditional
         kl = self.gp.prior_kl(st)
         fmean, fvar = self.gp.predict_f(X, st)
         if self.mean_const is not None:
             fmean = fmean + self.mean_const.value
         var_exp = self.likelihood.variational_expectations(fmean, fvar, Y)
-        scale = jnp.asarray(self.num_data, dtype=X.dtype) / X.shape[0]
+        n = self.num_data if num_data is None else num_data
+        scale = jnp.asarray(n, dtype=X.dtype) / X.shape[0]
         return jnp.sum(var_exp) * scale - kl
 
-    def loss(self, X, Y):
-        return -self.elbo(X, Y)
+    def loss(self, X, Y, *, num_data=None):
+        return -self.elbo(X, Y, num_data=num_data)
 
 
 @struct.dataclass
@@ -334,7 +338,9 @@ class KronOnOffSVGP:
         gfmeanu = var_phi * jnp.square(fmean)
         return OnOffPrediction(gfmean, gfvar, gfmeanu, fmean, fvar, gmean, gvar, e_phi, var_phi)
 
-    def elbo(self, X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+    def elbo(self, X: jnp.ndarray, Y: jnp.ndarray, *, num_data=None) -> jnp.ndarray:
+        """``num_data`` optionally overrides the static dataset size with a
+        traced value (see KronSVGP.elbo)."""
         import jax
 
         # One pass per GP: factorize the Kronecker grams once (chol_inv) and
@@ -367,8 +373,9 @@ class KronOnOffSVGP:
         var_exp = self.likelihood.variational_expectations(
             pred_gfmean, pred_gfvar, pred_gfmeanu, Y
         )
-        scale = jnp.asarray(self.num_data, dtype=X.dtype) / X.shape[0]
+        n = self.num_data if num_data is None else num_data
+        scale = jnp.asarray(n, dtype=X.dtype) / X.shape[0]
         return jnp.sum(var_exp) * scale - kl
 
-    def loss(self, X, Y):
-        return -self.elbo(X, Y)
+    def loss(self, X, Y, *, num_data=None):
+        return -self.elbo(X, Y, num_data=num_data)

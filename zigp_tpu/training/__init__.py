@@ -1,3 +1,4 @@
+from .batched import fit_batched_scanned, predict_batched_stacked, stack_pytrees, unstack_pytree
 from .data import DataSet
 from .loop import FitResult, fit, make_train_step
 from .natgrad import NaturalGradientTrainer, natgrad_update_diag
@@ -19,4 +20,8 @@ __all__ = [
     "scipy_optimize",
     "NaturalGradientTrainer",
     "natgrad_update_diag",
+    "fit_batched_scanned",
+    "predict_batched_stacked",
+    "stack_pytrees",
+    "unstack_pytree",
 ]

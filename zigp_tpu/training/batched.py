@@ -1,0 +1,320 @@
+"""Batched training over a stacked leading axis: all CV folds (or all seeds
+of an ensemble) trained simultaneously on one chip.
+
+The reference runs its 5-fold protocol strictly sequentially — one TF1 graph
+build + session per fold (scripts/onoff.py:22, driven fold-by-fold per
+README.md:17-26). This framework's sequential CV driver already collapses the
+per-fold graph rebuild into a cached jit, but each fold still pays its own
+compile (~40 s through this machine's TPU tunnel) and its own dispatch stream,
+and at the flagship shapes the per-step device program is *latency*-bound,
+not FLOPs-bound (RESULTS.md: 111 µs/step against ~121 µs of leaf work at
+B=1000) — the MXU is mostly idle.
+
+TPU-native fix: stack the F per-fold models into ONE pytree (leading axis F
+on every leaf, statics shared), keep every fold's training set in HBM, and
+``jax.vmap`` the device-sampling scanned train step over the fold axis. One
+compile, one dispatch stream, and every small op becomes a batch-F op — the
+same latency now buys F folds of progress. The pptr protocol is the ideal
+case: 113,015 = 5 × 22,603 points, so all five folds have *identical* shapes
+and ELBO scale constants.
+
+Per-fold math is unchanged: fold f samples minibatches with the same threefry
+key stream a sequential ``fit_scanned(sampler="device", sampler_seed=seed_f)``
+run would use, so trajectories match the sequential ones (equivalence-tested
+in tests/test_batched.py).
+
+Ragged stacks (e.g. the hurdle's per-fold "on" subsets, whose sizes differ):
+pad each fold's data to the max length and pass ``num_rows`` — minibatch
+indices are drawn in [0, num_rows[f]), so padding rows are never sampled —
+plus ``aux`` per-fold ELBO scales via ``loss_fn(model, X, Y, aux)`` for
+models whose ``num_data`` differs (the static field can't be stacked).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def stack_pytrees(trees: Sequence[Any]):
+    """Stack equal-structure pytrees along a new leading axis.
+
+    Every tree must have the same treedef — including static (non-pytree)
+    fields like ``num_data``: models that differ there cannot be stacked
+    (build them with a shared placeholder and pass the true value via
+    ``aux``/``loss_fn`` instead).
+    """
+    treedefs = [jax.tree_util.tree_structure(t) for t in trees]
+    if any(td != treedefs[0] for td in treedefs[1:]):
+        raise ValueError(
+            "cannot stack: pytree structures differ (check static fields such "
+            f"as num_data/whiten/jitter): {[str(td) for td in treedefs]}"
+        )
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def unstack_pytree(stacked, index: int):
+    """Slice member ``index`` out of a stacked pytree."""
+    return jax.tree_util.tree_map(lambda x: x[index], stacked)
+
+
+def make_batched_device_sampling_scan_step(
+    optimizer: optax.GradientTransformation,
+    Xs: jnp.ndarray,
+    Ys: jnp.ndarray,
+    batch_size: int,
+    loss_fn: Optional[Callable] = None,
+    *,
+    num_rows: Optional[jnp.ndarray] = None,
+    aux=None,
+    unroll: int = 8,
+):
+    """Scanned+vmapped train step over stacked members with HBM-resident data.
+
+    Xs: (F, N, D), Ys: (F, N, L) — the F members' training sets (pad ragged
+    folds to a common N and set ``num_rows`` (F,) to each fold's true row
+    count; padded rows are never sampled).
+
+    aux: optional per-member pytree (leading axis F on every leaf) forwarded
+    to ``loss_fn(model, X, Y, aux_f)`` — the hook for per-fold ELBO scales
+    when ``num_data`` can't live in the (static) model field.
+
+    Returns jitted (models, opt_states, block_keys (F, 2), num_inner) ->
+    (models, opt_states, losses (F, K)). models/opt_states are stacked
+    pytrees and are DONATED.
+    """
+    Xs = jnp.asarray(Xs)
+    Ys = jnp.asarray(Ys)
+    if Xs.ndim != 3:
+        raise ValueError(f"Xs must be (F, N, D), got {Xs.shape}")
+    N = Xs.shape[1]
+    rows = jnp.full((Xs.shape[0],), N, dtype=jnp.int32) if num_rows is None else jnp.asarray(num_rows, jnp.int32)
+
+    if loss_fn is None:
+        _loss = lambda model, X, Y, a: model.loss(X, Y)  # noqa: E731
+    else:
+        _loss = loss_fn
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
+    def step(models, opt_states, block_keys, num_inner):
+        def one_member(model, opt_state, Xf, Yf, block_key, nf, aux_f):
+            # same per-member key stream as fit_scanned's device sampler:
+            # all inner keys derive from the one block key inside the jit
+            keys = jax.random.split(block_key, num_inner)
+
+            def body(carry, key):
+                model, opt_state = carry
+                idx = jax.random.randint(key, (batch_size,), 0, nf)
+                X, Y = Xf[idx], Yf[idx]
+                loss, grads = jax.value_and_grad(_loss)(model, X, Y, aux_f)
+                updates, opt_state = optimizer.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), loss
+
+            (model, opt_state), losses = jax.lax.scan(
+                body, (model, opt_state), keys, unroll=unroll
+            )
+            return model, opt_state, losses
+
+        return jax.vmap(one_member)(models, opt_states, Xs, Ys, block_keys, rows, aux)
+
+    return step
+
+
+def fit_batched_scanned(
+    models: Sequence[Any],
+    datas: Sequence[Any],
+    *,
+    num_iter: int,
+    batch_size: int,
+    num_inner: int = 50,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    learning_rate: float = 1e-3,
+    loss_fn: Optional[Callable] = None,
+    aux=None,
+    seeds: Optional[Sequence[int]] = None,
+    log_every_blocks: int = 1,
+    log_fn: Callable[[str], None] = print,
+    ckpt_manager=None,
+    recover_on_nan: bool = True,
+    metric_logger=None,
+    resume: bool = False,
+):
+    """Train F stacked members simultaneously; returns a list of F FitResults.
+
+    models: F equal-structure model pytrees (different leaf values are fine —
+    per-fold kernel inits, kmeans centres, q_mu draws).
+    datas: F datasets exposing ``.arrays`` (DataSet / NativeDataSet), or raw
+    (X, Y) tuples. Ragged lengths are padded internally; minibatches are
+    drawn from each fold's true rows only.
+    seeds: per-member sampler seeds (default 0..F−1) — member f's minibatch
+    stream is identical to a sequential ``fit_scanned(sampler="device",
+    sampler_seed=seeds[f])`` run.
+    loss_fn(model, X, Y, aux_f): optional override (default ``model.loss``);
+    ``aux`` is a per-member stacked pytree (e.g. true num_data for ragged
+    folds).
+
+    Checkpoint/NaN semantics mirror fit_scanned, applied to the whole stack:
+    the checkpoint stores the stacked pytrees; a non-finite loss in ANY member
+    restores the entire stack from the last good checkpoint. The final
+    finiteness gate raises if any member finishes non-finite.
+    """
+    import time
+
+    from .loop import FitResult
+    from .optim import make_optimizer
+
+    F = len(models)
+    if F == 0:
+        raise ValueError("no models to train")
+    if seeds is None:
+        seeds = list(range(F))
+    if len(seeds) != F or len(datas) != F:
+        raise ValueError("models, datas and seeds must have equal length")
+
+    def _arrays(d):
+        return d.arrays if hasattr(d, "arrays") else d
+
+    xys = [_arrays(d) for d in datas]
+    lens = [x.shape[0] for x, _ in xys]
+    N = max(lens)
+    ragged = len(set(lens)) > 1
+
+    def _pad(a, n):
+        pad = n - a.shape[0]
+        return a if pad == 0 else np.concatenate([a, np.repeat(np.asarray(a)[-1:], pad, axis=0)], axis=0)
+
+    Xs = jnp.asarray(np.stack([_pad(np.asarray(x), N) for x, _ in xys]))
+    Ys = jnp.asarray(np.stack([_pad(np.asarray(y), N) for _, y in xys]))
+    num_rows = jnp.asarray(lens, jnp.int32) if ragged else None
+
+    stacked = stack_pytrees(models)
+    if optimizer is None:
+        optimizer = make_optimizer(models[0], default_lr=learning_rate)
+    # init per member (count scalars etc. get their F axis from the vmap)
+    opt_states = jax.vmap(optimizer.init)(stacked)
+
+    step = make_batched_device_sampling_scan_step(
+        optimizer, Xs, Ys, batch_size, loss_fn,
+        num_rows=num_rows, aux=aux,
+    )
+
+    start_step = 0
+    if resume and ckpt_manager is not None:
+        restored = ckpt_manager.restore_latest(stacked, opt_states)
+        if restored is not None:
+            stacked, opt_states, start_step = restored
+            log_fn(f"resumed the stacked run from step {start_step}")
+    if ckpt_manager is not None and ckpt_manager.latest_step() is None:
+        ckpt_manager.save_at(start_step, stacked, opt_states)
+
+    num_blocks = max(1, -(-(num_iter - start_step) // num_inner))
+    losses_log: list = []
+    t_start = time.time()
+    timed_steps = 0
+    steps_done = start_step
+    block_losses = None
+    restored_this_block = False
+    for b in range(num_blocks):
+        restored_this_block = False
+        block_index = steps_done // num_inner
+        block_keys = jnp.asarray(
+            np.array([[s, block_index] for s in seeds], dtype=np.uint32)
+        )
+        stacked, opt_states, block_losses = step(
+            stacked, opt_states, block_keys, num_inner
+        )
+        prev_steps = steps_done
+        steps_done += num_inner
+        if b == 0:
+            jax.block_until_ready(block_losses)
+            t_start = time.time()
+        else:
+            timed_steps += num_inner
+
+        is_log = log_every_blocks and b % log_every_blocks == 0
+        ckpt_due = ckpt_manager is not None and ckpt_manager.crossed(prev_steps, steps_done)
+        if is_log or ckpt_due:
+            last = np.asarray(block_losses[:, -1])
+            if not np.all(np.isfinite(last)):
+                bad = [f for f in range(F) if not np.isfinite(last[f])]
+                log_fn(f"step {steps_done:>8d}  NON-FINITE loss in members {bad}")
+                if ckpt_manager is not None and recover_on_nan:
+                    restored = ckpt_manager.restore_latest(stacked, opt_states)
+                    if restored is not None:
+                        stacked, opt_states, from_step = restored
+                        restored_this_block = True
+                        log_fn(f"restored the stack from checkpoint at step {from_step}")
+                continue
+            if ckpt_due:
+                ckpt_manager.save_at(steps_done, stacked, opt_states)
+            if is_log:
+                losses_log.append(last)
+                joined = " ".join(f"{v:.4f}" for v in last)
+                log_fn(f"step {steps_done:>8d}  losses [{joined}]")
+                if metric_logger is not None:
+                    metric_logger.log(
+                        steps_done,
+                        scalars={f"loss_{f}": float(last[f]) for f in range(F)},
+                    )
+    jax.block_until_ready(stacked)
+    final = np.asarray(block_losses[:, -1])
+    if not np.all(np.isfinite(final)) and not restored_this_block:
+        bad = [f for f in range(F) if not np.isfinite(final[f])]
+        raise FloatingPointError(
+            f"fit_batched_scanned finished at step {steps_done} with "
+            f"non-finite losses in members {bad}; the trained stack is "
+            "unusable. Enable checkpointing (ckpt_manager) for NaN recovery."
+        )
+    if ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
+        ckpt_manager.save_at(steps_done, stacked, opt_states)
+    elapsed = max(time.time() - t_start, 1e-12)
+    sps = timed_steps / elapsed if timed_steps else 0.0
+    results = []
+    for f in range(F):
+        results.append(
+            FitResult(
+                model=unstack_pytree(stacked, f),
+                opt_state=unstack_pytree(opt_states, f),
+                losses=[float(row[f]) for row in losses_log],
+                steps_per_sec=sps,  # shared dispatch stream: per-member rate ≡ stack rate
+            )
+        )
+    return results
+
+
+def predict_batched_stacked(
+    predict_fn: Callable,
+    stacked_model,
+    Xs: np.ndarray,
+    batch: int = 4096,
+):
+    """predict over F stacked members in fixed-shape vmapped chunks.
+
+    predict_fn(model_f, X_chunk_f) -> dict/NamedTuple of (B, k) arrays.
+    Xs: (F, N, D) — equal-length per-member inputs (pad ragged ones upstream).
+    Returns a list of F dicts of (N, k) arrays. One compile for all members.
+    """
+    F, N = Xs.shape[0], Xs.shape[1]
+    jitted = jax.jit(jax.vmap(predict_fn))
+    pending = []
+    for start in range(0, N, batch):
+        chunk = Xs[:, start : start + batch]
+        pad = batch - chunk.shape[1]
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[:, -1:], pad, axis=1)], axis=1)
+        res = jitted(stacked_model, jnp.asarray(chunk))
+        d = res._asdict() if hasattr(res, "_asdict") else dict(res)
+        pending.append((d, batch - pad if pad else batch))
+    fetched = jax.device_get([d for d, _ in pending])
+    outs: list = [{} for _ in range(F)]
+    for (_, valid), d in zip(pending, fetched):
+        for k, v in d.items():
+            for f in range(F):
+                outs[f].setdefault(k, []).append(v[f, :valid])
+    return [{k: np.concatenate(v, axis=0) for k, v in o.items()} for o in outs]
