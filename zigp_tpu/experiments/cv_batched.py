@@ -36,7 +36,11 @@ import numpy as np
 
 from ..io.datasets import Split, load_pptr, make_cv_splits
 from ..models import hurdle_on_indices
-from ..training.batched import fit_batched_scanned
+from ..training.batched import (
+    fit_batched_scanned,
+    predict_batched_stacked,
+    stack_pytrees,
+)
 from .builders import (
     binarize_targets,
     build_classifier_pptr,
@@ -45,13 +49,33 @@ from .builders import (
 )
 from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
 from .runners import (
-    _eval_classifier,
+    _classifier_metrics,
     _eval_hurdle,
-    _eval_onoff,
-    _eval_svgp,
     _log_hyperparams,
+    _onoff_metrics,
+    _svgp_metrics,
     run_zero_inflated,
 )
+
+
+def _stacked_predict(models: list, predict_fn, Xs_list: list) -> List[dict]:
+    """One vmapped prediction pass over F per-fold models and inputs.
+
+    Xs_list entries may be ragged — they are padded to the common max length
+    for the single compiled shape and sliced back per fold.
+    """
+    lens = [np.asarray(x).shape[0] for x in Xs_list]
+    N = max(lens)
+
+    def _pad(a):
+        pad = N - a.shape[0]
+        return a if pad == 0 else np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+
+    Xs = np.stack([_pad(np.asarray(x)) for x in Xs_list])
+    preds = predict_batched_stacked(predict_fn, stack_pytrees(models), Xs)
+    return [
+        {k: v[: lens[f]] for k, v in p.items()} for f, p in enumerate(preds)
+    ]
 
 
 def _agg(values: List[float]) -> Dict[str, float]:
@@ -123,6 +147,11 @@ def _train_stack(
     return results
 
 
+def _svgp_predict(m, X):
+    fmean, fvar = m.predict_f(X)
+    return {"fmean": fmean, "fvar": fvar}
+
+
 def run_cv_batched(
     models: List[str],
     *,
@@ -163,10 +192,18 @@ def run_cv_batched(
             [(s.Xtrain, binarize_targets(s.Ytrain)) for s in splits],
             cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
         )
-        for f, (r, split) in enumerate(zip(res, splits)):
+        trained = [r.model for r in res]
+
+        def _clf_predict(m, X):
+            pfmean, pfvar = m.predict_prob(X)
+            return {"pfmean": pfmean, "pfvar": pfvar}
+
+        ptr = _stacked_predict(trained, _clf_predict, [s.Xtrain for s in splits])
+        pte = _stacked_predict(trained, _clf_predict, [s.Xtest for s in splits])
+        for f, split in enumerate(splits):
             log_fn(f"--- classifier fold {f + 1}/{F} ---")
-            _log_hyperparams(r.model, log_fn)
-            clf_res[f] = _eval_classifier(r.model, split, log_fn)
+            _log_hyperparams(trained[f], log_fn)
+            clf_res[f] = _classifier_metrics(ptr[f], pte[f], split, log_fn)
             for m in ("accuracy", "precision", "recall", "auc"):
                 record("classifier", f"test_{m}", clf_res[f][f"test_{m}"])
 
@@ -178,10 +215,13 @@ def run_cv_batched(
             [(s.Xtrain, s.Ytrain) for s in splits],
             cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
         )
-        for f, (r, split) in enumerate(zip(res, splits)):
+        trained = [r.model for r in res]
+        ptr = _stacked_predict(trained, _svgp_predict, [s.Xtrain for s in splits])
+        pte = _stacked_predict(trained, _svgp_predict, [s.Xtest for s in splits])
+        for f, split in enumerate(splits):
             log_fn(f"--- svgp fold {f + 1}/{F} ---")
-            _log_hyperparams(r.model, log_fn)
-            svgp_res[f] = _eval_svgp(r.model, split, log_fn)
+            _log_hyperparams(trained[f], log_fn)
+            svgp_res[f] = _svgp_metrics(trained[f], ptr[f], pte[f], split, log_fn)
             record("svgp", "test_rmse", svgp_res[f]["test_rmse"])
             record("svgp", "test_mae", svgp_res[f]["test_mae"])
 
@@ -193,10 +233,14 @@ def run_cv_batched(
             [(s.Xtrain, s.Ytrain) for s in splits],
             cfg, cfg.indp_lr, workdir=workdir, log_fn=log_fn, resume=resume,
         )
+        trained = [r.model for r in res]
+        pte = _stacked_predict(
+            trained, lambda m, X: m.predict(X), [s.Xtest for s in splits]
+        )
         for f, (r, split) in enumerate(zip(res, splits)):
             log_fn(f"--- onoff fold {f + 1}/{F} ---")
-            _log_hyperparams(r.model, log_fn)
-            out = _eval_onoff(r.model, split, log_fn)
+            _log_hyperparams(trained[f], log_fn)
+            out = _onoff_metrics(trained[f], pte[f], split, log_fn)
             record("onoff", "test_rmse", out["test_rmse"])
             record("onoff", "test_mae", out["test_mae"])
             record("onoff", "steps_per_sec", r.steps_per_sec)
@@ -228,11 +272,15 @@ def run_cv_batched(
             loss_fn=lambda m, X, Y, n: m.loss(X, Y, num_data=n),
             aux=jnp.asarray(np.asarray(sizes, dtype=np.int32)),
         )
-        for f, (r, split) in enumerate(zip(res, splits)):
+        trained = [r.model for r in res]
+        ptr = _stacked_predict(trained, _svgp_predict, [s.Xtrain for s in subs])
+        pte = _stacked_predict(trained, _svgp_predict, [s.Xtest for s in subs])
+        for f, split in enumerate(splits):
             log_fn(f"--- hurdle fold {f + 1}/{F} ---")
             sub, (tr, te) = subs[f], on_idx[f]
-            reg = _eval_svgp(
-                r.model, sub, lambda m: log_fn(f"[hurdle on-subset] {m}")
+            reg = _svgp_metrics(
+                trained[f], ptr[f], pte[f], sub,
+                lambda m: log_fn(f"[hurdle on-subset] {m}"),
             )
             out = _eval_hurdle(split, clf_res[f], reg, sub, tr, te, log_fn)
             record("hurdle", "test_rmse", out["test_hurdle_comb_rmse"])

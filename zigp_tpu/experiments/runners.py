@@ -299,11 +299,13 @@ def run_onoff(
 
 def _eval_onoff(model, split: Split, log_fn) -> dict:
     """Predict + metric block of the onoff runner (shared with run_predict)."""
+    pred_test = predict_batched(lambda X: model.predict(X), split.Xtest)
+    return _onoff_metrics(model, pred_test, split, log_fn)
 
-    def predict(X):
-        return model.predict(X)
 
-    pred_test = predict_batched(predict, split.Xtest)
+def _onoff_metrics(model, pred_test: dict, split: Split, log_fn) -> dict:
+    """Metric block of the onoff runner, split from prediction so the batched
+    CV driver can feed it stacked-model predictions (cv_batched)."""
     pred_test_clip = np.maximum(pred_test["gfmean"], 0)
     test_rmse = metrics.rmse(pred_test_clip, split.Ytest, clip_at_zero=False)
     test_mae = metrics.mae(pred_test_clip, split.Ytest, clip_at_zero=False)
@@ -376,6 +378,12 @@ def _eval_svgp(model, split: Split, log_fn) -> dict:
 
     pred_train = predict_batched(predict, split.Xtrain)
     pred_test = predict_batched(predict, split.Xtest)
+    return _svgp_metrics(model, pred_train, pred_test, split, log_fn)
+
+
+def _svgp_metrics(model, pred_train: dict, pred_test: dict, split: Split, log_fn) -> dict:
+    """Metric block of the svgp runner, split from prediction so the batched
+    CV driver can feed it stacked-model predictions (cv_batched)."""
     test_rmse = metrics.rmse(pred_test["fmean"], split.Ytest)
     test_mae = metrics.mae(pred_test["fmean"], split.Ytest)
     test_nlpd = metrics.gaussian_nlpd(
@@ -427,8 +435,6 @@ def run_classifier(
 def _eval_classifier(model, split: Split, log_fn) -> dict:
     """Predict + metric block of the classifier runner (shared with
     run_predict). Binarizes the targets itself (scripts/classifier.py:44-47)."""
-    Ytrain_b = binarize_targets(split.Ytrain)
-    Ytest_b = binarize_targets(split.Ytest)
 
     def predict(X):
         pfmean, pfvar = model.predict_prob(X)
@@ -436,6 +442,14 @@ def _eval_classifier(model, split: Split, log_fn) -> dict:
 
     pred_train = predict_batched(predict, split.Xtrain)
     pred_test = predict_batched(predict, split.Xtest)
+    return _classifier_metrics(pred_train, pred_test, split, log_fn)
+
+
+def _classifier_metrics(pred_train: dict, pred_test: dict, split: Split, log_fn) -> dict:
+    """Metric block of the classifier runner, split from prediction so the
+    batched CV driver can feed it stacked-model predictions (cv_batched)."""
+    Ytrain_b = binarize_targets(split.Ytrain)
+    Ytest_b = binarize_targets(split.Ytest)
 
     results = {"pred_train": pred_train, "pred_test": pred_test}
     for name, pred, actual in (
