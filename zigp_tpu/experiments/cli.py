@@ -157,6 +157,17 @@ def main(argv=None):
                         help="which trained model to restore; config flags "
                              "(--preset/--kernel-*/...) must match training")
 
+    p_ens = sub.add_parser(
+        "ensemble",
+        help="train a seed ensemble of one model on one fold in a single "
+             "batched run and evaluate the uniform-mixture predictive",
+    )
+    _common(p_ens)
+    p_ens.add_argument("--model", type=str, default="onoff",
+                       choices=("onoff", "svgp", "classifier"))
+    p_ens.add_argument("--size", type=int, default=5,
+                       help="ensemble members (seeds seed..seed+size-1)")
+
     p_cv = sub.add_parser("cv", help="run model variants over all 5 CV folds")
     p_cv.add_argument("--models", type=str, default="onoff",
                       help="comma-separated: onoff,svgp,classifier,hurdle,zi")
@@ -295,6 +306,27 @@ def main(argv=None):
         return dataclasses.replace(cfg, **kw)
 
     best = getattr(args, "preset", "reference") == "best"
+    if args.cmd == "ensemble":
+        from .configs import (
+            ClassifierPptrConfig,
+            OnOffPptrConfig,
+            SvgpPptrConfig,
+            best_onoff_config,
+            tuned_classifier_config,
+            tuned_svgp_config,
+        )
+        from .ensemble import run_ensemble
+
+        cfg = {
+            "onoff": best_onoff_config() if best else OnOffPptrConfig(),
+            "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
+            "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
+        }[args.model]
+        run_ensemble(
+            split, args.model, _cfgkw(cfg), size=args.size,
+            workdir=workdir, log_fn=log,
+        )
+        return 0
     if args.cmd == "predict":
         from .configs import (
             ClassifierPptrConfig,
