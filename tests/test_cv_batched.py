@@ -103,6 +103,37 @@ def test_batched_cv_all_variants_smoke(variants, tmp_path):
     assert (tmp_path / "cv_summary.json").exists()
 
 
+def test_batched_cv_ensemble_all_variants(tmp_path):
+    """ensemble=2: F×E members in one stack per variant, per-fold mixture
+    metrics; summary has one row per fold (not per member)."""
+    splits = _splits(seed=3)
+    variants = ["classifier", "svgp", "hurdle", "zi", "onoff"]
+    onoff_cfg = OnOffPptrConfig(
+        **_TINY, monitor_every=0,
+        fk_spatial=_SP, fk_temporal=_TM, gk_spatial=_SP, gk_temporal=_TM,
+    )
+    svgp_cfg = SvgpPptrConfig(**_TINY, k_spatial=_SP, k_temporal=_TM)
+    clf_cfg = dataclasses.replace(
+        ClassifierPptrConfig(**_TINY, k_spatial=_SP, k_temporal=_TM),
+        num_iter=200, batch_size=24, lr=5e-2,
+    )
+    res = run_cv_batched(
+        variants,
+        splits=splits,
+        onoff_cfg=onoff_cfg,
+        svgp_cfg=svgp_cfg,
+        clf_cfg=clf_cfg,
+        workdir=str(tmp_path),
+        log_fn=lambda s: None,
+        ensemble=2,
+    )
+    for v in variants:
+        assert v in res
+        for metric, agg in res[v].items():
+            assert np.isfinite(agg["mean"]), f"{v}.{metric} non-finite"
+            assert len(agg["folds"]) == len(splits)
+
+
 def test_batched_cv_rejects_natgrad():
     splits = _splits()
     cfg = dataclasses.replace(SvgpPptrConfig(**_TINY), optimizer="natgrad")

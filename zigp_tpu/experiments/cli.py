@@ -182,6 +182,10 @@ def main(argv=None):
     p_cv.add_argument("--resume", action="store_true",
                       help="with --batched: restore the latest stack "
                            "checkpoint in --workdir and continue")
+    p_cv.add_argument("--ensemble", type=int, default=1,
+                      help="with --batched: train this many seed-ensemble "
+                           "members per fold in the same stack and evaluate "
+                           "each fold's uniform-mixture predictive")
 
     args = parser.parse_args(argv)
 
@@ -240,8 +244,12 @@ def main(argv=None):
         if args.batched:
             from .cv_batched import run_cv_batched
 
-            run_cv_batched(variants, resume=args.resume, **kwargs)
+            run_cv_batched(
+                variants, resume=args.resume, ensemble=args.ensemble, **kwargs
+            )
         else:
+            if args.ensemble > 1:
+                raise SystemExit("error: --ensemble requires --batched")
             run_cv(variants, **kwargs)
         return 0
 

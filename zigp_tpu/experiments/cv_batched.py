@@ -95,6 +95,7 @@ def _train_stack(
     loss_fn=None,
     aux=None,
     resume: bool = False,
+    seeds: Optional[list] = None,
 ):
     """fit_batched_scanned with the same optimizer/cadence/checkpoint policy
     as the sequential runners' _fit_auto."""
@@ -134,8 +135,9 @@ def _train_stack(
         optimizer=optimizer,
         loss_fn=loss_fn,
         aux=aux,
-        # mirror the sequential protocol: every fold uses sampler_seed=cfg.seed
-        seeds=[getattr(cfg, "seed", 0)] * len(models),
+        # default mirrors the sequential protocol: every fold uses
+        # sampler_seed=cfg.seed (ensemble members override per member)
+        seeds=seeds or [getattr(cfg, "seed", 0)] * len(models),
         log_every_blocks=(
             max(1, cfg.log_every // num_inner) if getattr(cfg, "log_every", 0) else 0
         ),
@@ -162,6 +164,7 @@ def run_cv_batched(
     workdir: Optional[str] = None,
     log_fn: Callable[[str], None] = print,
     resume: bool = False,
+    ensemble: int = 1,
 ) -> dict:
     """run_cv with all folds of each variant trained in one batched run.
 
@@ -170,9 +173,24 @@ def run_cv_batched(
     Returns the same aggregate dict shape as run_cv and writes the same
     ``cv_summary.json`` (per-fold prediction pickles are not written — use the
     sequential driver to produce those artifacts).
+
+    ``ensemble`` > 1 trains that many independently-seeded members PER FOLD
+    in the same stack (F×E members total) and evaluates each fold's
+    uniform-mixture predictive (experiments.ensemble combining rules) — the
+    full ensemble protocol in one compile + one dispatch stream per variant.
     """
+    import dataclasses
+
+    from .ensemble import (
+        _avg_noise_model,
+        mix_classifier_preds,
+        mix_gaussian_preds,
+        mix_onoff_preds,
+    )
+
     splits = splits or make_cv_splits(load_pptr())
     F = len(splits)
+    E = max(1, int(ensemble))
     need_clf = bool({"classifier", "hurdle", "zi"} & set(models))
     need_svgp = bool({"svgp", "zi"} & set(models))
 
@@ -181,16 +199,35 @@ def run_cv_batched(
     def record(model: str, metric: str, value: float):
         summary.setdefault(model, {}).setdefault(metric, []).append(float(value))
 
+    def expand(build, cfg):
+        """F×E member models + per-member sampler seeds (member f*E+e)."""
+        base = getattr(cfg, "seed", 0)
+        ms, seeds = [], []
+        for f in range(F):
+            for e in range(E):
+                c = dataclasses.replace(cfg, seed=base + e) if E > 1 else cfg
+                ms.append(build(c, splits[f]))
+                seeds.append(base + e)
+        return ms, seeds
+
+    def per_fold(items):
+        """Group a flat F×E member list back into F lists of E."""
+        return [items[f * E : (f + 1) * E] for f in range(F)]
+
+    def fold_inputs(xs_per_fold):
+        return [xs_per_fold[m // E] for m in range(F * E)]
+
     clf_res: List[Optional[dict]] = [None] * F
     svgp_res: List[Optional[dict]] = [None] * F
 
     if need_clf:
         cfg = clf_cfg or ClassifierPptrConfig()
+        members, seeds = expand(build_classifier_pptr, cfg)
         res = _train_stack(
-            "classifier",
-            [build_classifier_pptr(cfg, s) for s in splits],
-            [(s.Xtrain, binarize_targets(s.Ytrain)) for s in splits],
+            "classifier", members,
+            fold_inputs([(s.Xtrain, binarize_targets(s.Ytrain)) for s in splits]),
             cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
+            seeds=seeds,
         )
         trained = [r.model for r in res]
 
@@ -198,52 +235,78 @@ def run_cv_batched(
             pfmean, pfvar = m.predict_prob(X)
             return {"pfmean": pfmean, "pfvar": pfvar}
 
-        ptr = _stacked_predict(trained, _clf_predict, [s.Xtrain for s in splits])
-        pte = _stacked_predict(trained, _clf_predict, [s.Xtest for s in splits])
+        ptr = _stacked_predict(
+            trained, _clf_predict, fold_inputs([s.Xtrain for s in splits])
+        )
+        pte = _stacked_predict(
+            trained, _clf_predict, fold_inputs([s.Xtest for s in splits])
+        )
         for f, split in enumerate(splits):
             log_fn(f"--- classifier fold {f + 1}/{F} ---")
-            _log_hyperparams(trained[f], log_fn)
-            clf_res[f] = _classifier_metrics(ptr[f], pte[f], split, log_fn)
+            _log_hyperparams(per_fold(trained)[f][0], log_fn)
+            tr = mix_classifier_preds(per_fold(ptr)[f]) if E > 1 else per_fold(ptr)[f][0]
+            te = mix_classifier_preds(per_fold(pte)[f]) if E > 1 else per_fold(pte)[f][0]
+            clf_res[f] = _classifier_metrics(tr, te, split, log_fn)
             for m in ("accuracy", "precision", "recall", "auc"):
                 record("classifier", f"test_{m}", clf_res[f][f"test_{m}"])
 
     if need_svgp:
         cfg = svgp_cfg or SvgpPptrConfig()
+        members, seeds = expand(build_svgp_pptr, cfg)
         res = _train_stack(
-            "svgp",
-            [build_svgp_pptr(cfg, s) for s in splits],
-            [(s.Xtrain, s.Ytrain) for s in splits],
+            "svgp", members,
+            fold_inputs([(s.Xtrain, s.Ytrain) for s in splits]),
             cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
+            seeds=seeds,
         )
         trained = [r.model for r in res]
-        ptr = _stacked_predict(trained, _svgp_predict, [s.Xtrain for s in splits])
-        pte = _stacked_predict(trained, _svgp_predict, [s.Xtest for s in splits])
+        ptr = _stacked_predict(
+            trained, _svgp_predict, fold_inputs([s.Xtrain for s in splits])
+        )
+        pte = _stacked_predict(
+            trained, _svgp_predict, fold_inputs([s.Xtest for s in splits])
+        )
         for f, split in enumerate(splits):
             log_fn(f"--- svgp fold {f + 1}/{F} ---")
-            _log_hyperparams(trained[f], log_fn)
-            svgp_res[f] = _svgp_metrics(trained[f], ptr[f], pte[f], split, log_fn)
+            fold_models = per_fold(trained)[f]
+            _log_hyperparams(fold_models[0], log_fn)
+            if E > 1:
+                model = _avg_noise_model(fold_models)
+                tr = mix_gaussian_preds(per_fold(ptr)[f])
+                te = mix_gaussian_preds(per_fold(pte)[f])
+            else:
+                model, tr, te = fold_models[0], per_fold(ptr)[f][0], per_fold(pte)[f][0]
+            svgp_res[f] = _svgp_metrics(model, tr, te, split, log_fn)
             record("svgp", "test_rmse", svgp_res[f]["test_rmse"])
             record("svgp", "test_mae", svgp_res[f]["test_mae"])
 
     if "onoff" in models:
         cfg = onoff_cfg or OnOffPptrConfig()
+        members, seeds = expand(build_onoff_pptr, cfg)
         res = _train_stack(
-            "onoff",
-            [build_onoff_pptr(cfg, s) for s in splits],
-            [(s.Xtrain, s.Ytrain) for s in splits],
+            "onoff", members,
+            fold_inputs([(s.Xtrain, s.Ytrain) for s in splits]),
             cfg, cfg.indp_lr, workdir=workdir, log_fn=log_fn, resume=resume,
+            seeds=seeds,
         )
         trained = [r.model for r in res]
         pte = _stacked_predict(
-            trained, lambda m, X: m.predict(X), [s.Xtest for s in splits]
+            trained, lambda m, X: m.predict(X),
+            fold_inputs([s.Xtest for s in splits]),
         )
-        for f, (r, split) in enumerate(zip(res, splits)):
+        for f, split in enumerate(splits):
             log_fn(f"--- onoff fold {f + 1}/{F} ---")
-            _log_hyperparams(trained[f], log_fn)
-            out = _onoff_metrics(trained[f], pte[f], split, log_fn)
+            fold_models = per_fold(trained)[f]
+            _log_hyperparams(fold_models[0], log_fn)
+            if E > 1:
+                model = _avg_noise_model(fold_models)
+                te = mix_onoff_preds(per_fold(pte)[f])
+            else:
+                model, te = fold_models[0], per_fold(pte)[f][0]
+            out = _onoff_metrics(model, te, split, log_fn)
             record("onoff", "test_rmse", out["test_rmse"])
             record("onoff", "test_mae", out["test_mae"])
-            record("onoff", "steps_per_sec", r.steps_per_sec)
+            record("onoff", "steps_per_sec", res[f * E].steps_per_sec)
 
     if "hurdle" in models:
         import jax.numpy as jnp
@@ -262,24 +325,42 @@ def run_cv_batched(
         sizes = [s.Xtrain.shape[0] for s in subs]
         # shared static num_data placeholder so the stacked treedefs match;
         # the true per-fold ELBO scale rides in as the traced aux override
-        hmodels = [
-            build_svgp_pptr(cfg, splits[f], subset_idx=on_idx[f][0]).replace(num_data=1)
-            for f in range(F)
-        ]
+        base = getattr(cfg, "seed", 0)
+        hmodels, hseeds = [], []
+        for f in range(F):
+            for e in range(E):
+                c = dataclasses.replace(cfg, seed=base + e) if E > 1 else cfg
+                hmodels.append(
+                    build_svgp_pptr(c, splits[f], subset_idx=on_idx[f][0]).replace(num_data=1)
+                )
+                hseeds.append(base + e)
         res = _train_stack(
-            "hurdle", hmodels, [(s.Xtrain, s.Ytrain) for s in subs],
+            "hurdle", hmodels,
+            fold_inputs([(s.Xtrain, s.Ytrain) for s in subs]),
             cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
             loss_fn=lambda m, X, Y, n: m.loss(X, Y, num_data=n),
-            aux=jnp.asarray(np.asarray(sizes, dtype=np.int32)),
+            aux=jnp.asarray(np.asarray(fold_inputs(sizes), dtype=np.int32)),
+            seeds=hseeds,
         )
         trained = [r.model for r in res]
-        ptr = _stacked_predict(trained, _svgp_predict, [s.Xtrain for s in subs])
-        pte = _stacked_predict(trained, _svgp_predict, [s.Xtest for s in subs])
+        ptr = _stacked_predict(
+            trained, _svgp_predict, fold_inputs([s.Xtrain for s in subs])
+        )
+        pte = _stacked_predict(
+            trained, _svgp_predict, fold_inputs([s.Xtest for s in subs])
+        )
         for f, split in enumerate(splits):
             log_fn(f"--- hurdle fold {f + 1}/{F} ---")
             sub, (tr, te) = subs[f], on_idx[f]
+            fold_models = per_fold(trained)[f]
+            if E > 1:
+                model = _avg_noise_model(fold_models)
+                rtr = mix_gaussian_preds(per_fold(ptr)[f])
+                rte = mix_gaussian_preds(per_fold(pte)[f])
+            else:
+                model, rtr, rte = fold_models[0], per_fold(ptr)[f][0], per_fold(pte)[f][0]
             reg = _svgp_metrics(
-                trained[f], ptr[f], pte[f], sub,
+                model, rtr, rte, sub,
                 lambda m: log_fn(f"[hurdle on-subset] {m}"),
             )
             out = _eval_hurdle(split, clf_res[f], reg, sub, tr, te, log_fn)

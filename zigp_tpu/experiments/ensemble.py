@@ -59,6 +59,54 @@ _BUILDERS = {
 }
 
 
+def _avg_noise_model(models: list):
+    """Member 0's model with the likelihood noise replaced by the members'
+    average — the scalar the shared metric blocks read for NLPD."""
+    noise = float(np.mean([
+        np.asarray(m.likelihood.variance.value) for m in models
+    ]))
+    return models[0].replace(
+        likelihood=models[0].likelihood.replace(
+            variance=models[0].likelihood.variance.replace_value(noise)
+        )
+    )
+
+
+def mix_gaussian_preds(preds: list) -> dict:
+    """Uniform-mixture {fmean, fvar} over member prediction dicts."""
+    mu, var = mixture_moments(
+        np.stack([p["fmean"] for p in preds]),
+        np.stack([p["fvar"] for p in preds]),
+    )
+    return {"fmean": mu, "fvar": var}
+
+
+def mix_classifier_preds(preds: list) -> dict:
+    mu, var = mixture_moments(
+        np.stack([p["pfmean"] for p in preds]),
+        np.stack([p["pfvar"] for p in preds]),
+    )
+    return {"pfmean": mu, "pfvar": var}
+
+
+def mix_onoff_preds(preds: list) -> dict:
+    """Uniform mixture of the gated predictive Φ(g)f: the total second moment
+    is gfvar + gfmeanu + gfmean², so the total-variance identity applies to
+    (gfvar + gfmeanu); the mixture's split between the two terms is not
+    identified, so everything lands in gfvar and gfmeanu is zeroed."""
+    gfmean, gfvar_tot = mixture_moments(
+        np.stack([p["gfmean"] for p in preds]),
+        np.stack([p["gfvar"] + p["gfmeanu"] for p in preds]),
+    )
+    mix = dict(preds[0])
+    mix["gfmean"] = gfmean
+    mix["gfvar"] = gfvar_tot
+    mix["gfmeanu"] = np.zeros_like(gfvar_tot)
+    mix["fmean"] = np.stack([p["fmean"] for p in preds]).mean(axis=0)
+    mix["pgmean"] = np.stack([p["pgmean"] for p in preds]).mean(axis=0)
+    return mix
+
+
 def run_ensemble(
     split: Split,
     kind: str,

@@ -78,6 +78,16 @@ def kron_inducing_init(
 
     np.random.seed(seed)
     Z_s = kmeans(Xtrain[:, 0:2], num_spatial)[0]
+    if Z_s.shape[0] < num_spatial:
+        # scipy kmeans drops empty clusters, so some seeds return fewer than
+        # k centres — a shape hazard for anything that stacks models across
+        # seeds (training.batched). Top up with random training points
+        # (deterministic under the same seed); a no-op when kmeans returns k.
+        extra = Xtrain[
+            np.random.choice(Xtrain.shape[0], num_spatial - Z_s.shape[0], replace=False),
+            0:2,
+        ]
+        Z_s = np.concatenate([Z_s, extra], axis=0)
     Z_t = np.linspace(Xtrain[:, 2].min(), Xtrain[:, 2].max(), num_temporal)[:, None]
     return [Z_s, Z_t]
 

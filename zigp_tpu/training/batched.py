@@ -55,6 +55,15 @@ def stack_pytrees(trees: Sequence[Any]):
             "cannot stack: pytree structures differ (check static fields such "
             f"as num_data/whiten/jitter): {[str(td) for td in treedefs]}"
         )
+    leaves = [jax.tree_util.tree_leaves(t) for t in trees]
+    for i, group in enumerate(zip(*leaves)):
+        shapes = {getattr(x, "shape", ()) for x in group}
+        if len(shapes) > 1:
+            path = jax.tree_util.tree_flatten_with_path(trees[0])[0][i][0]
+            raise ValueError(
+                f"cannot stack: leaf {jax.tree_util.keystr(path)} has "
+                f"mismatched shapes across members: {sorted(shapes)}"
+            )
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
 
