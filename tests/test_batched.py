@@ -147,6 +147,40 @@ def test_predict_batched_stacked_matches_individual():
             np.testing.assert_allclose(v, np.asarray(ref[k]), rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("kron_joint", [False, True])
+def test_natgrad_batched_matches_sequential(kron_joint):
+    """Each member of the natgrad stack reproduces its own sequential
+    fit_natgrad_scanned(sampler='device') run — Adam warm-start, γ schedule,
+    and the diag / joint-kron natural steps all included."""
+    from zigp_tpu.training.batched import fit_natgrad_batched
+    from zigp_tpu.training.natgrad import fit_natgrad_scanned
+
+    q_cov = "kron" if kron_joint else "diag"
+    kw = dict(
+        num_iter=16, batch_size=12, num_inner=4,
+        gamma=0.05, gamma_warmup=8, adam_warmup=4, adam_lr=1e-2,
+        kron_joint=kron_joint,
+        log_every_blocks=0, log_fn=lambda s: None,
+    )
+    folds = [(_svgp(seed=f, q_cov=q_cov, whiten=True), _data(500 + f)) for f in range(2)]
+
+    seq_models = []
+    for f, (model, (X, Y)) in enumerate(folds):
+        r = fit_natgrad_scanned(
+            model, DataSet(X, Y), sampler="device", sampler_seed=f, **kw
+        )
+        seq_models.append(r.model)
+
+    results = fit_natgrad_batched(
+        [_svgp(seed=f, q_cov=q_cov, whiten=True) for f in range(2)],
+        [d for _, d in folds],
+        seeds=[0, 1], **kw,
+    )
+    for seq, r in zip(seq_models, results):
+        _assert_trees_close(seq, r.model)
+        assert np.isfinite(r.final_loss)
+
+
 def test_batched_final_nan_gate():
     """A member that goes non-finite must raise at completion (no silent
     poisoned member in the returned stack)."""

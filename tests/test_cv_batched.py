@@ -134,8 +134,31 @@ def test_batched_cv_ensemble_all_variants(tmp_path):
             assert len(agg["folds"]) == len(splits)
 
 
-def test_batched_cv_rejects_natgrad():
+def test_batched_cv_natgrad():
+    """optimizer='natgrad' routes to the vmapped natural-gradient stack
+    trainer; metrics finite, summary shaped per fold."""
     splits = _splits()
-    cfg = dataclasses.replace(SvgpPptrConfig(**_TINY), optimizer="natgrad")
-    with pytest.raises(ValueError, match="natgrad"):
-        run_cv_batched(["svgp"], splits=splits, svgp_cfg=cfg, log_fn=lambda s: None)
+    cfg = dataclasses.replace(
+        SvgpPptrConfig(**_TINY, k_spatial=_SP, k_temporal=_TM),
+        optimizer="natgrad", num_iter=16, natgrad_warmup=8,
+        natgrad_adam_warmup=4, natgrad_gamma=0.05,
+    )
+    res = run_cv_batched(["svgp"], splits=splits, svgp_cfg=cfg, log_fn=lambda s: None)
+    assert len(res["svgp"]["test_rmse"]["folds"]) == len(splits)
+    assert np.isfinite(res["svgp"]["test_rmse"]["mean"])
+
+
+def test_batched_cv_natgrad_rejects_ragged_hurdle():
+    splits = _splits(seed=3)
+    cfg = dataclasses.replace(
+        SvgpPptrConfig(**_TINY, k_spatial=_SP, k_temporal=_TM), optimizer="natgrad"
+    )
+    clf_cfg = dataclasses.replace(
+        ClassifierPptrConfig(**_TINY, k_spatial=_SP, k_temporal=_TM),
+        num_iter=200, batch_size=24, lr=5e-2,
+    )
+    with pytest.raises(ValueError, match="equal-shape"):
+        run_cv_batched(
+            ["hurdle"], splits=splits, svgp_cfg=cfg, clf_cfg=clf_cfg,
+            log_fn=lambda s: None,
+        )

@@ -98,3 +98,18 @@ def test_ensemble_rejects_natgrad():
     )
     with pytest.raises(ValueError, match="adam"):
         run_ensemble(_split(), "svgp", cfg, size=2, log_fn=lambda s: None)
+
+
+def test_healthy_member_mask():
+    from zigp_tpu.experiments.ensemble import healthy_member_mask
+
+    # healthy seed variation: everyone kept
+    assert healthy_member_mask([2.1e5, 1.9e5, 2.3e5, 2.0e5]).all()
+    # a mid-spike endpoint (3 orders of magnitude) is excluded
+    mask = healthy_member_mask([2.1e5, 1.9e5, 4.1e8, 2.0e5])
+    assert list(mask) == [True, True, False, True]
+    # unknown losses: keep everyone (no information, no exclusion)
+    assert healthy_member_mask([float("nan")] * 3).all()
+    # all bad: the least-bad member survives
+    mask = healthy_member_mask([1e9, 5e8, 7e9])
+    assert mask.sum() >= 1 and mask[1]

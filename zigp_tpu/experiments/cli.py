@@ -186,6 +186,21 @@ def main(argv=None):
                       help="with --batched: train this many seed-ensemble "
                            "members per fold in the same stack and evaluate "
                            "each fold's uniform-mixture predictive")
+    p_cv.add_argument("--optimizer", type=str, default=None,
+                      choices=("adam", "natgrad"),
+                      help="optimizer for every trained variant (natgrad in "
+                           "batched mode trains the whole stack with the "
+                           "vmapped natural-gradient recipe; the hurdle inner "
+                           "regression requires adam)")
+    p_cv.add_argument("--q-cov", type=str, default=None, dest="q_cov",
+                      choices=("diag", "kron"),
+                      help="variational covariance family for every variant")
+    p_cv.add_argument("--natgrad-joint", action="store_true", default=None,
+                      dest="natgrad_kron_joint",
+                      help="with --optimizer natgrad and --q-cov kron: joint "
+                           "natural step on (mean, one covariance factor)")
+    p_cv.add_argument("--whiten", action="store_true", default=None,
+                      help="whitened variational parameterization")
 
     args = parser.parse_args(argv)
 
@@ -226,6 +241,14 @@ def main(argv=None):
                 kw["num_iter"] = args.iters
             if args.batch is not None:
                 kw["batch_size"] = args.batch
+            if args.optimizer is not None:
+                kw["optimizer"] = args.optimizer
+            if args.q_cov is not None:
+                kw["q_cov"] = args.q_cov
+            if args.natgrad_kron_joint:
+                kw["natgrad_kron_joint"] = True
+            if args.whiten:
+                kw["whiten"] = True
             return dataclasses.replace(cfg, **kw)
 
         from ..io.datasets import load_pptr, make_cv_splits

@@ -21,9 +21,11 @@ Semantics: fold f's trajectory is exactly the sequential
 ``fit_scanned(sampler="device", sampler_seed=cfg.seed)`` trajectory
 (equivalence-tested in tests/test_batched.py; integration-tested vs run_cv in
 tests/test_cv_batched.py) — batched CV always uses the device-resident
-uniform sampler, not the host epoch pipeline. Not supported in batched mode:
-optimizer="natgrad", mesh sharding, monitor/histogram callbacks (use the
-sequential driver for those).
+uniform sampler, not the host epoch pipeline. optimizer="natgrad" routes to
+the vmapped natural-gradient stack trainer (training.batched.
+fit_natgrad_batched; equal-shape stacks only, so the hurdle inner regression
+still needs adam). Not supported in batched mode: mesh sharding and
+monitor/histogram callbacks (use the sequential driver for those).
 """
 
 from __future__ import annotations
@@ -103,17 +105,11 @@ def _train_stack(
     from ..training.optim import cosine_adam, make_optimizer
     from ..utils.logging import MetricLogger
 
-    if getattr(cfg, "optimizer", "adam") == "natgrad":
-        raise ValueError(
-            "batched CV supports optimizer='adam' only; run natgrad folds "
-            "through the sequential driver (run_cv)"
-        )
-    if getattr(cfg, "lr_schedule", "") == "cosine":
-        optimizer = make_optimizer(
-            models[0], default_lr=lr, opt_factory=cosine_adam(cfg.num_iter)
-        )
-    else:
-        optimizer = make_optimizer(models[0], default_lr=lr)
+    num_inner = getattr(cfg, "scan_inner", 50) or 50
+    log_blocks = (
+        max(1, cfg.log_every // num_inner) if getattr(cfg, "log_every", 0) else 0
+    )
+    wrapped_log = lambda m: log_fn(f"[{kind} x{len(models)}] {m}")  # noqa: E731
 
     ckpt = metric = None
     if workdir:
@@ -125,7 +121,44 @@ def _train_stack(
             )
         metric = MetricLogger(os.path.join(workdir, f"metrics_{kind}_stack.jsonl"))
 
-    num_inner = getattr(cfg, "scan_inner", 50) or 50
+    if getattr(cfg, "optimizer", "adam") == "natgrad":
+        from ..training.batched import fit_natgrad_batched
+
+        if loss_fn is not None or aux is not None:
+            raise ValueError(
+                "batched natgrad supports equal-shape stacks only (no "
+                "ragged/aux path) — train the hurdle inner regression with "
+                "optimizer='adam' or the sequential driver"
+            )
+        if getattr(cfg, "natgrad_kron_joint", False) and getattr(cfg, "q_cov", "diag") != "kron":
+            log_fn("warning: --natgrad-joint requires q_cov='kron'; taking the diagonal-family natural step instead")
+        return fit_natgrad_batched(
+            models,
+            datas,
+            num_iter=cfg.num_iter,
+            batch_size=cfg.batch_size,
+            num_inner=num_inner,
+            gamma=cfg.natgrad_gamma,
+            gamma_warmup=cfg.natgrad_warmup,
+            adam_warmup=cfg.natgrad_adam_warmup,
+            kron_joint=getattr(cfg, "natgrad_kron_joint", False),
+            kl_cap=getattr(cfg, "natgrad_kl_cap", 10.0),
+            adam_lr=lr,
+            seeds=seeds or [getattr(cfg, "seed", 0)] * len(models),
+            log_every_blocks=log_blocks,
+            log_fn=wrapped_log,
+            ckpt_manager=ckpt,
+            metric_logger=metric,
+            resume=resume,
+        )
+
+    if getattr(cfg, "lr_schedule", "") == "cosine":
+        optimizer = make_optimizer(
+            models[0], default_lr=lr, opt_factory=cosine_adam(cfg.num_iter)
+        )
+    else:
+        optimizer = make_optimizer(models[0], default_lr=lr)
+
     results = fit_batched_scanned(
         models,
         datas,
@@ -138,10 +171,8 @@ def _train_stack(
         # default mirrors the sequential protocol: every fold uses
         # sampler_seed=cfg.seed (ensemble members override per member)
         seeds=seeds or [getattr(cfg, "seed", 0)] * len(models),
-        log_every_blocks=(
-            max(1, cfg.log_every // num_inner) if getattr(cfg, "log_every", 0) else 0
-        ),
-        log_fn=lambda m: log_fn(f"[{kind} x{len(models)}] {m}"),
+        log_every_blocks=log_blocks,
+        log_fn=wrapped_log,
         ckpt_manager=ckpt,
         metric_logger=metric,
         resume=resume,
@@ -183,6 +214,7 @@ def run_cv_batched(
 
     from .ensemble import (
         _avg_noise_model,
+        _healthy,
         mix_classifier_preds,
         mix_gaussian_preds,
         mix_onoff_preds,
@@ -244,8 +276,14 @@ def run_cv_batched(
         for f, split in enumerate(splits):
             log_fn(f"--- classifier fold {f + 1}/{F} ---")
             _log_hyperparams(per_fold(trained)[f][0], log_fn)
-            tr = mix_classifier_preds(per_fold(ptr)[f]) if E > 1 else per_fold(ptr)[f][0]
-            te = mix_classifier_preds(per_fold(pte)[f]) if E > 1 else per_fold(pte)[f][0]
+            if E > 1:
+                _, (ktr, kte) = _healthy(
+                    per_fold(trained)[f], [per_fold(ptr)[f], per_fold(pte)[f]],
+                    per_fold(res)[f], log_fn, f"classifier fold {f + 1}",
+                )
+                tr, te = mix_classifier_preds(ktr), mix_classifier_preds(kte)
+            else:
+                tr, te = per_fold(ptr)[f][0], per_fold(pte)[f][0]
             clf_res[f] = _classifier_metrics(tr, te, split, log_fn)
             for m in ("accuracy", "precision", "recall", "auc"):
                 record("classifier", f"test_{m}", clf_res[f][f"test_{m}"])
@@ -271,9 +309,12 @@ def run_cv_batched(
             fold_models = per_fold(trained)[f]
             _log_hyperparams(fold_models[0], log_fn)
             if E > 1:
-                model = _avg_noise_model(fold_models)
-                tr = mix_gaussian_preds(per_fold(ptr)[f])
-                te = mix_gaussian_preds(per_fold(pte)[f])
+                keep, (ktr, kte) = _healthy(
+                    fold_models, [per_fold(ptr)[f], per_fold(pte)[f]],
+                    per_fold(res)[f], log_fn, f"svgp fold {f + 1}",
+                )
+                model = _avg_noise_model(keep)
+                tr, te = mix_gaussian_preds(ktr), mix_gaussian_preds(kte)
             else:
                 model, tr, te = fold_models[0], per_fold(ptr)[f][0], per_fold(pte)[f][0]
             svgp_res[f] = _svgp_metrics(model, tr, te, split, log_fn)
@@ -299,8 +340,12 @@ def run_cv_batched(
             fold_models = per_fold(trained)[f]
             _log_hyperparams(fold_models[0], log_fn)
             if E > 1:
-                model = _avg_noise_model(fold_models)
-                te = mix_onoff_preds(per_fold(pte)[f])
+                keep, (kte,) = _healthy(
+                    fold_models, [per_fold(pte)[f]],
+                    per_fold(res)[f], log_fn, f"onoff fold {f + 1}",
+                )
+                model = _avg_noise_model(keep)
+                te = mix_onoff_preds(kte)
             else:
                 model, te = fold_models[0], per_fold(pte)[f][0]
             out = _onoff_metrics(model, te, split, log_fn)
@@ -354,9 +399,13 @@ def run_cv_batched(
             sub, (tr, te) = subs[f], on_idx[f]
             fold_models = per_fold(trained)[f]
             if E > 1:
-                model = _avg_noise_model(fold_models)
-                rtr = mix_gaussian_preds(per_fold(ptr)[f])
-                rte = mix_gaussian_preds(per_fold(pte)[f])
+                keep, (kptr, kpte) = _healthy(
+                    fold_models, [per_fold(ptr)[f], per_fold(pte)[f]],
+                    per_fold(res)[f], log_fn, f"hurdle fold {f + 1}",
+                )
+                model = _avg_noise_model(keep)
+                rtr = mix_gaussian_preds(kptr)
+                rte = mix_gaussian_preds(kpte)
             else:
                 model, rtr, rte = fold_models[0], per_fold(ptr)[f][0], per_fold(pte)[f][0]
             reg = _svgp_metrics(

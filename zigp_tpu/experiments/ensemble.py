@@ -59,6 +59,52 @@ _BUILDERS = {
 }
 
 
+def healthy_member_mask(final_losses, *, max_ratio: float = 10.0) -> np.ndarray:
+    """Boolean keep-mask over ensemble members based on their final training
+    losses.
+
+    The unwhitened reference onoff config has documented late-run loss spikes
+    (RESULTS.md bench-loss footnote; fold logs show transient 1e8-magnitude
+    losses near 50k steps that recover within ~1k steps). A member whose LAST
+    step lands mid-spike has finite but pathological state, and a uniform
+    mixture mean is not robust to it — one such member dragged a 25-member CV
+    fold from ~0.60 to 0.93 RMSE (measured). Exclude members whose final loss
+    exceeds the member median by ``max_ratio`` × the median scale; a spike is
+    ~3 orders of magnitude, so the rule has a wide safety margin against
+    excluding healthy seed variation. All-NaN/unknown losses keep everyone;
+    at least the lowest-loss member is always kept.
+    """
+    fl = np.asarray(final_losses, dtype=np.float64).reshape(-1)
+    mask = np.isfinite(fl)
+    if not mask.any():
+        return np.ones(fl.shape[0], dtype=bool)
+    med = np.median(fl[mask])
+    scale = max(abs(med), 1.0)
+    mask &= (fl - med) <= max_ratio * scale
+    if not mask.any():
+        mask[int(np.nanargmin(fl))] = True
+    return mask
+
+
+def _healthy(trained: list, preds_list, results: list, log_fn, label: str):
+    """Filter (models, *prediction lists) by the health mask; log exclusions."""
+    mask = healthy_member_mask([r.final_loss for r in results])
+    if mask.all():
+        return trained, preds_list
+    dropped = [e for e in range(len(trained)) if not mask[e]]
+    log_fn(
+        f"{label}: excluding members {dropped} from the mixture "
+        f"(final losses {[f'{results[e].final_loss:.3g}' for e in dropped]} "
+        f"vs member median "
+        f"{np.median([r.final_loss for r in results]):.3g} — ended mid-spike)"
+    )
+    keep = [e for e in range(len(trained)) if mask[e]]
+    return (
+        [trained[e] for e in keep],
+        [[p[e] for e in keep] for p in preds_list],
+    )
+
+
 def _avg_noise_model(models: list):
     """Member 0's model with the likelihood noise replaced by the members'
     average — the scalar the shared metric blocks read for NLPD."""
@@ -168,26 +214,11 @@ def run_ensemble(
             _svgp_metrics(trained[e], ptr[e], pte[e], split, lambda s: None)
             for e in range(size)
         ]
-        mix_tr, mix_te = (
-            dict(zip(
-                ("fmean", "fvar"),
-                mixture_moments(
-                    np.stack([p["fmean"] for p in preds]),
-                    np.stack([p["fvar"] for p in preds]),
-                ),
-            ))
-            for preds in (ptr, pte)
+        keep, (kptr, kpte) = _healthy(trained, [ptr, pte], res, log_fn, "ensemble")
+        results = _svgp_metrics(
+            _avg_noise_model(keep), mix_gaussian_preds(kptr),
+            mix_gaussian_preds(kpte), split, log_fn,
         )
-        # mixture NLPD needs a noise scalar: average the members' learned noises
-        noise = float(np.mean([
-            np.asarray(m.likelihood.variance.value) for m in trained
-        ]))
-        mix_model = trained[0].replace(
-            likelihood=trained[0].likelihood.replace(
-                variance=trained[0].likelihood.variance.replace_value(noise)
-            )
-        )
-        results = _svgp_metrics(mix_model, mix_tr, mix_te, split, log_fn)
     elif kind == "classifier":
         predict = lambda m, X: dict(  # noqa: E731
             zip(("pfmean", "pfvar"), m.predict_prob(X))
@@ -198,17 +229,10 @@ def run_ensemble(
             _classifier_metrics(ptr[e], pte[e], split, lambda s: None)
             for e in range(size)
         ]
-        mix_tr, mix_te = (
-            dict(zip(
-                ("pfmean", "pfvar"),
-                mixture_moments(
-                    np.stack([p["pfmean"] for p in preds]),
-                    np.stack([p["pfvar"] for p in preds]),
-                ),
-            ))
-            for preds in (ptr, pte)
+        _, (kptr, kpte) = _healthy(trained, [ptr, pte], res, log_fn, "ensemble")
+        results = _classifier_metrics(
+            mix_classifier_preds(kptr), mix_classifier_preds(kpte), split, log_fn
         )
-        results = _classifier_metrics(mix_tr, mix_te, split, log_fn)
     else:  # onoff
         pte = _stacked_predict(
             trained, lambda m, X: m.predict(X), [split.Xtest] * size
@@ -217,28 +241,10 @@ def run_ensemble(
             _onoff_metrics(trained[e], pte[e], split, lambda s: None)
             for e in range(size)
         ]
-        # mixture over the gated predictive: total second moment of Φ(g)f is
-        # gfvar + gfmeanu + gfmean², so the mixture's (gfvar + gfmeanu) is the
-        # total-variance identity applied to that sum
-        gfmean, gfvar_tot = mixture_moments(
-            np.stack([p["gfmean"] for p in pte]),
-            np.stack([p["gfvar"] + p["gfmeanu"] for p in pte]),
+        keep, (kpte,) = _healthy(trained, [pte], res, log_fn, "ensemble")
+        results = _onoff_metrics(
+            _avg_noise_model(keep), mix_onoff_preds(kpte), split, log_fn
         )
-        mix_te = dict(pte[0])
-        mix_te["gfmean"] = gfmean
-        mix_te["gfvar"] = gfvar_tot
-        mix_te["gfmeanu"] = np.zeros_like(gfvar_tot)
-        mix_te["fmean"] = np.stack([p["fmean"] for p in pte]).mean(axis=0)
-        mix_te["pgmean"] = np.stack([p["pgmean"] for p in pte]).mean(axis=0)
-        noise = float(np.mean([
-            np.asarray(m.likelihood.variance.value) for m in trained
-        ]))
-        mix_model = trained[0].replace(
-            likelihood=trained[0].likelihood.replace(
-                variance=trained[0].likelihood.variance.replace_value(noise)
-            )
-        )
-        results = _onoff_metrics(mix_model, mix_te, split, log_fn)
 
     results["ensemble_size"] = size
     results["train_time_sec"] = train_time

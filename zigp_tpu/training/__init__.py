@@ -1,4 +1,10 @@
-from .batched import fit_batched_scanned, predict_batched_stacked, stack_pytrees, unstack_pytree
+from .batched import (
+    fit_batched_scanned,
+    fit_natgrad_batched,
+    predict_batched_stacked,
+    stack_pytrees,
+    unstack_pytree,
+)
 from .data import DataSet
 from .loop import FitResult, fit, make_train_step
 from .natgrad import NaturalGradientTrainer, natgrad_update_diag
@@ -21,6 +27,7 @@ __all__ = [
     "NaturalGradientTrainer",
     "natgrad_update_diag",
     "fit_batched_scanned",
+    "fit_natgrad_batched",
     "predict_batched_stacked",
     "stack_pytrees",
     "unstack_pytree",

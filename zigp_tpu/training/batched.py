@@ -292,9 +292,219 @@ def fit_batched_scanned(
                 opt_state=unstack_pytree(opt_states, f),
                 losses=[float(row[f]) for row in losses_log],
                 steps_per_sec=sps,  # shared dispatch stream: per-member rate ≡ stack rate
+                final_loss=float(final[f]),
             )
         )
     return results
+
+
+def fit_natgrad_batched(
+    models: Sequence[Any],
+    datas: Sequence[Any],
+    *,
+    num_iter: int,
+    batch_size: int,
+    num_inner: int = 50,
+    gamma: float = 0.1,
+    gamma_warmup: int = 2000,
+    gamma_init: float = 1e-4,
+    adam_lr: float = 1e-3,
+    adam_warmup: int = 0,
+    max_mean_step: float = 10.0,
+    kron_joint: bool = False,
+    kl_cap=10.0,
+    seeds: Optional[Sequence[int]] = None,
+    log_every_blocks: int = 4,
+    log_fn: Callable[[str], None] = print,
+    ckpt_manager=None,
+    recover_on_nan: bool = True,
+    metric_logger=None,
+    resume: bool = False,
+    unroll: int = 4,
+):
+    """Natural-gradient training of F stacked members simultaneously — the
+    batched counterpart of training.natgrad.fit_natgrad_scanned.
+
+    Same recipe per member (Adam warm-start, γ-warmup schedule as traced
+    per-step scalars, the diag/kron/kron_joint natural steps), vmapped over
+    the member axis with device-resident data: member f reproduces a
+    sequential ``fit_natgrad_scanned(sampler="device",
+    sampler_seed=seeds[f])`` run exactly (equivalence-tested in
+    tests/test_batched.py). Equal-length members only (no ragged/aux path:
+    the natural-step algebra reads the models' static num_data).
+
+    Returns a list of F FitResults. Checkpoint/NaN semantics as in
+    fit_batched_scanned, applied to the whole stack.
+    """
+    import time
+
+    from .loop import FitResult
+    from .natgrad import NaturalGradientTrainer
+
+    F = len(models)
+    if F == 0:
+        raise ValueError("no models to train")
+    if seeds is None:
+        seeds = list(range(F))
+    if len(seeds) != F or len(datas) != F:
+        raise ValueError("models, datas and seeds must have equal length")
+
+    def _arrays(d):
+        return d.arrays if hasattr(d, "arrays") else d
+
+    xys = [_arrays(d) for d in datas]
+    if len({x.shape for x, _ in xys}) > 1:
+        raise ValueError(
+            "fit_natgrad_batched requires equal-shaped member datasets "
+            f"(got {[x.shape for x, _ in xys]})"
+        )
+    Xs = jnp.asarray(np.stack([np.asarray(x) for x, _ in xys]))
+    Ys = jnp.asarray(np.stack([np.asarray(y) for _, y in xys]))
+    N = Xs.shape[1]
+
+    # budget guards, mirroring fit_natgrad_scanned
+    num_iter = int(num_iter)
+    adam_warmup = min(int(adam_warmup), num_iter // 2)
+    num_inner = max(1, min(int(num_inner), num_iter - adam_warmup))
+
+    trainer = NaturalGradientTrainer(
+        models[0], gamma=gamma, adam_lr=adam_lr,
+        gamma_warmup=gamma_warmup, gamma_init=gamma_init,
+        max_mean_step=max_mean_step, kron_joint=kron_joint, kl_cap=kl_cap,
+    )
+
+    stacked = opt_states = None
+    start_step = None
+    if resume and ckpt_manager is not None:
+        probe = stack_pytrees(models)
+        restored = ckpt_manager.restore_latest(
+            probe, jax.vmap(trainer.init)(probe)
+        )
+        if restored is not None:
+            stacked, opt_states, start_step = restored
+            log_fn(f"resumed the natgrad stack from step {start_step}")
+
+    if start_step is None:
+        if adam_warmup:
+            warm = fit_batched_scanned(
+                models, datas,
+                num_iter=adam_warmup, batch_size=batch_size,
+                num_inner=min(num_inner, adam_warmup),
+                learning_rate=adam_lr, seeds=seeds,
+                log_every_blocks=0, log_fn=log_fn,
+            )
+            models = [r.model for r in warm]
+        stacked = stack_pytrees(models)
+        opt_states = jax.vmap(trainer.init)(stacked)
+        start_step = adam_warmup
+
+    num_iter = max(num_iter, start_step + num_inner)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(stacked, opt_states, block_keys, gammas, local_steps):
+        def one_member(model, opt_state, Xf, Yf, block_key):
+            keys = jax.random.split(block_key, gammas.shape[0])
+
+            def body(carry, inp):
+                model, opt_state = carry
+                key, g, i = inp
+                idx = jax.random.randint(key, (batch_size,), 0, N)
+                model, opt_state, loss = trainer._step_body(
+                    model, opt_state, Xf[idx], Yf[idx], g, i
+                )
+                return (model, opt_state), loss
+
+            (model, opt_state), losses = jax.lax.scan(
+                body, (model, opt_state), (keys, gammas, local_steps),
+                unroll=unroll,
+            )
+            return model, opt_state, losses
+
+        return jax.vmap(
+            one_member, in_axes=(0, 0, 0, 0, 0)
+        )(stacked, opt_states, Xs, Ys, block_keys)
+
+    if ckpt_manager is not None and ckpt_manager.latest_step() is None:
+        ckpt_manager.save_at(start_step, stacked, opt_states)
+
+    losses_log: list = []
+    num_blocks = max(1, -(-(num_iter - start_step) // num_inner))
+    t_start = time.time()
+    timed_steps = 0
+    steps_done = start_step
+    block_losses = None
+    restored_this_block = False
+    for b in range(num_blocks):
+        restored_this_block = False
+        # γ schedule keyed to the natgrad-phase-local step (shared by all
+        # members); block keys use the same [seed, block_index] threefry
+        # construction as the sequential device sampler
+        local = steps_done - adam_warmup
+        local_steps = jnp.arange(local, local + num_inner, dtype=jnp.int32)
+        gammas = trainer.gamma_at(local_steps)
+        block_keys = jnp.asarray(
+            np.array(
+                [[s, steps_done // num_inner] for s in seeds], dtype=np.uint32
+            )
+        )
+        stacked, opt_states, block_losses = step(
+            stacked, opt_states, block_keys, gammas, local_steps
+        )
+        prev_steps = steps_done
+        steps_done += num_inner
+        if b == 0:
+            jax.block_until_ready(block_losses)
+            t_start = time.time()
+        else:
+            timed_steps += num_inner
+
+        is_log = log_every_blocks and b % log_every_blocks == 0
+        ckpt_due = ckpt_manager is not None and ckpt_manager.crossed(prev_steps, steps_done)
+        if is_log or ckpt_due:
+            last = np.asarray(block_losses[:, -1])
+            if not np.all(np.isfinite(last)):
+                bad = [f for f in range(F) if not np.isfinite(last[f])]
+                log_fn(f"step {steps_done:>8d}  NON-FINITE loss in members {bad}")
+                if ckpt_manager is not None and recover_on_nan:
+                    restored = ckpt_manager.restore_latest(stacked, opt_states)
+                    if restored is not None:
+                        stacked, opt_states, from_step = restored
+                        restored_this_block = True
+                        log_fn(f"restored the stack from checkpoint at step {from_step}")
+                continue
+            if ckpt_due:
+                ckpt_manager.save_at(steps_done, stacked, opt_states)
+            if is_log:
+                losses_log.append(last)
+                joined = " ".join(f"{v:.4f}" for v in last)
+                log_fn(f"step {steps_done:>8d}  losses [{joined}]")
+                if metric_logger is not None:
+                    scalars = {f"loss_{f}": float(last[f]) for f in range(F)}
+                    scalars["gamma"] = float(gammas[-1])
+                    metric_logger.log(steps_done, scalars=scalars)
+    jax.block_until_ready(stacked)
+    final = np.asarray(block_losses[:, -1])
+    if not np.all(np.isfinite(final)) and not restored_this_block:
+        bad = [f for f in range(F) if not np.isfinite(final[f])]
+        raise FloatingPointError(
+            f"fit_natgrad_batched finished at step {steps_done} with "
+            f"non-finite losses in members {bad}; the trained stack is "
+            "unusable. Enable checkpointing (ckpt_manager) for NaN recovery."
+        )
+    if ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
+        ckpt_manager.save_at(steps_done, stacked, opt_states)
+    elapsed = max(time.time() - t_start, 1e-12)
+    sps = timed_steps / elapsed if timed_steps else 0.0
+    return [
+        FitResult(
+            model=unstack_pytree(stacked, f),
+            opt_state=unstack_pytree(opt_states, f),
+            losses=[float(row[f]) for row in losses_log],
+            steps_per_sec=sps,
+            final_loss=float(final[f]),
+        )
+        for f in range(F)
+    ]
 
 
 def predict_batched_stacked(

@@ -54,6 +54,10 @@ class FitResult:
     # resume). Callers that run multiple fits (the CV driver) must check this
     # and abort instead of treating the partial run as fully trained.
     interrupted: bool = False
+    # Loss of the last trained step (always populated by the batched
+    # trainers, regardless of log cadence) — the health signal ensemble
+    # combining uses to exclude members that ended mid-spike. NaN = unknown.
+    final_loss: float = float("nan")
 
 
 def fit(
