@@ -181,6 +181,59 @@ def test_natgrad_batched_matches_sequential(kron_joint):
         assert np.isfinite(r.final_loss)
 
 
+def test_member_sharded_stack_matches_unsharded():
+    """Member-axis sharding over the mesh 'data' axis (F/D members per
+    device, zero collectives) reproduces the unsharded stack exactly."""
+    from zigp_tpu.parallel import make_mesh
+    from zigp_tpu.training.batched import fit_batched_scanned as fit
+
+    mesh = make_mesh(n_data=2, n_model=1)
+    kw = dict(
+        num_iter=8, batch_size=12, num_inner=4, learning_rate=1e-2,
+        seeds=[0, 1, 2, 3], log_every_blocks=0, log_fn=lambda s: None,
+    )
+    datas = [_data(700 + f) for f in range(4)]
+    plain = fit([_svgp(seed=f) for f in range(4)], datas, **kw)
+    sharded = fit([_svgp(seed=f) for f in range(4)], datas, mesh=mesh, **kw)
+    for a, b in zip(plain, sharded):
+        _assert_trees_close(a.model, b.model)
+
+
+def test_member_sharded_natgrad_matches_unsharded():
+    from zigp_tpu.parallel import make_mesh
+    from zigp_tpu.training.batched import fit_natgrad_batched
+
+    mesh = make_mesh(n_data=2, n_model=1)
+    kw = dict(
+        num_iter=12, batch_size=12, num_inner=4,
+        gamma=0.05, gamma_warmup=8, adam_warmup=4, adam_lr=1e-2,
+        seeds=[0, 1], log_every_blocks=0, log_fn=lambda s: None,
+    )
+    datas = [_data(800 + f) for f in range(2)]
+    plain = fit_natgrad_batched(
+        [_svgp(seed=f, whiten=True) for f in range(2)], datas, **kw
+    )
+    sharded = fit_natgrad_batched(
+        [_svgp(seed=f, whiten=True) for f in range(2)], datas, mesh=mesh, **kw
+    )
+    for a, b in zip(plain, sharded):
+        _assert_trees_close(a.model, b.model)
+
+
+def test_member_sharding_divisibility_error():
+    from zigp_tpu.parallel import make_mesh
+    from zigp_tpu.training.batched import fit_batched_scanned as fit
+
+    mesh = make_mesh(n_data=2, n_model=1)
+    with pytest.raises(ValueError, match="divide"):
+        fit(
+            [_svgp(seed=f) for f in range(3)],
+            [_data(900 + f) for f in range(3)],
+            num_iter=4, batch_size=8, num_inner=2, mesh=mesh,
+            log_every_blocks=0, log_fn=lambda s: None,
+        )
+
+
 def test_batched_final_nan_gate():
     """A member that goes non-finite must raise at completion (no silent
     poisoned member in the returned stack)."""

@@ -72,6 +72,37 @@ def unstack_pytree(stacked, index: int):
     return jax.tree_util.tree_map(lambda x: x[index], stacked)
 
 
+def member_place(mesh, tree):
+    """Shard a stacked pytree's leading member axis over the mesh ``data``
+    axis (device_put; every other axis replicated).
+
+    This is the natural multi-chip mapping for CV folds and seed ensembles:
+    the member axis is embarrassingly parallel, so a member-sharded stack
+    trains with ZERO per-step collectives — each device runs its F/D members'
+    full math locally and the only communication is the final unstack fetch.
+    Contrast dp (gradient psum per step) and tp (gathers in the conditional):
+    member sharding is the reference protocol's ideal scaling axis.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def sh(x):
+        x = jnp.asarray(x)
+        return jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
+
+    return jax.tree_util.tree_map(sh, tree)
+
+
+def _check_member_mesh(mesh, F: int):
+    n = mesh.shape["data"]
+    if F % n != 0:
+        raise ValueError(
+            f"member count {F} must divide by the mesh data axis ({n}) for "
+            "member-axis sharding — pad the stack or change the mesh"
+        )
+
+
 def make_batched_device_sampling_scan_step(
     optimizer: optax.GradientTransformation,
     Xs: jnp.ndarray,
@@ -82,6 +113,7 @@ def make_batched_device_sampling_scan_step(
     num_rows: Optional[jnp.ndarray] = None,
     aux=None,
     unroll: int = 8,
+    mesh=None,
 ):
     """Scanned+vmapped train step over stacked members with HBM-resident data.
 
@@ -103,6 +135,11 @@ def make_batched_device_sampling_scan_step(
         raise ValueError(f"Xs must be (F, N, D), got {Xs.shape}")
     N = Xs.shape[1]
     rows = jnp.full((Xs.shape[0],), N, dtype=jnp.int32) if num_rows is None else jnp.asarray(num_rows, jnp.int32)
+    if mesh is not None:
+        _check_member_mesh(mesh, Xs.shape[0])
+        Xs, Ys, rows = member_place(mesh, (Xs, Ys, rows))
+        if aux is not None:
+            aux = member_place(mesh, aux)
 
     if loss_fn is None:
         _loss = lambda model, X, Y, a: model.loss(X, Y)  # noqa: E731
@@ -153,8 +190,14 @@ def fit_batched_scanned(
     recover_on_nan: bool = True,
     metric_logger=None,
     resume: bool = False,
+    mesh=None,
 ):
     """Train F stacked members simultaneously; returns a list of F FitResults.
+
+    ``mesh`` (parallel.make_mesh): shard the MEMBER axis over the mesh
+    ``data`` axis — F/D members per device, zero per-step collectives (the
+    member axis is embarrassingly parallel; see member_place). F must divide
+    by the axis size. Trajectories are identical to the unsharded stack.
 
     models: F equal-structure model pytrees (different leaf values are fine —
     per-fold kernel inits, kmeans centres, q_mu draws).
@@ -207,10 +250,14 @@ def fit_batched_scanned(
         optimizer = make_optimizer(models[0], default_lr=learning_rate)
     # init per member (count scalars etc. get their F axis from the vmap)
     opt_states = jax.vmap(optimizer.init)(stacked)
+    if mesh is not None:
+        _check_member_mesh(mesh, F)
+        stacked = member_place(mesh, stacked)
+        opt_states = member_place(mesh, opt_states)
 
     step = make_batched_device_sampling_scan_step(
         optimizer, Xs, Ys, batch_size, loss_fn,
-        num_rows=num_rows, aux=aux,
+        num_rows=num_rows, aux=aux, mesh=mesh,
     )
 
     start_step = 0
@@ -218,6 +265,9 @@ def fit_batched_scanned(
         restored = ckpt_manager.restore_latest(stacked, opt_states)
         if restored is not None:
             stacked, opt_states, start_step = restored
+            if mesh is not None:
+                stacked = member_place(mesh, stacked)
+                opt_states = member_place(mesh, opt_states)
             log_fn(f"resumed the stacked run from step {start_step}")
     if ckpt_manager is not None and ckpt_manager.latest_step() is None:
         ckpt_manager.save_at(start_step, stacked, opt_states)
@@ -235,6 +285,8 @@ def fit_batched_scanned(
         block_keys = jnp.asarray(
             np.array([[s, block_index] for s in seeds], dtype=np.uint32)
         )
+        if mesh is not None:
+            block_keys = member_place(mesh, block_keys)
         stacked, opt_states, block_losses = step(
             stacked, opt_states, block_keys, num_inner
         )
@@ -257,6 +309,9 @@ def fit_batched_scanned(
                     restored = ckpt_manager.restore_latest(stacked, opt_states)
                     if restored is not None:
                         stacked, opt_states, from_step = restored
+                        if mesh is not None:
+                            stacked = member_place(mesh, stacked)
+                            opt_states = member_place(mesh, opt_states)
                         restored_this_block = True
                         log_fn(f"restored the stack from checkpoint at step {from_step}")
                 continue
@@ -321,6 +376,7 @@ def fit_natgrad_batched(
     metric_logger=None,
     resume: bool = False,
     unroll: int = 4,
+    mesh=None,
 ):
     """Natural-gradient training of F stacked members simultaneously — the
     batched counterpart of training.natgrad.fit_natgrad_scanned.
@@ -361,6 +417,9 @@ def fit_natgrad_batched(
     Xs = jnp.asarray(np.stack([np.asarray(x) for x, _ in xys]))
     Ys = jnp.asarray(np.stack([np.asarray(y) for _, y in xys]))
     N = Xs.shape[1]
+    if mesh is not None:
+        _check_member_mesh(mesh, F)
+        Xs, Ys = member_place(mesh, (Xs, Ys))
 
     # budget guards, mirroring fit_natgrad_scanned
     num_iter = int(num_iter)
@@ -391,12 +450,15 @@ def fit_natgrad_batched(
                 num_iter=adam_warmup, batch_size=batch_size,
                 num_inner=min(num_inner, adam_warmup),
                 learning_rate=adam_lr, seeds=seeds,
-                log_every_blocks=0, log_fn=log_fn,
+                log_every_blocks=0, log_fn=log_fn, mesh=mesh,
             )
             models = [r.model for r in warm]
         stacked = stack_pytrees(models)
         opt_states = jax.vmap(trainer.init)(stacked)
         start_step = adam_warmup
+    if mesh is not None:
+        stacked = member_place(mesh, stacked)
+        opt_states = member_place(mesh, opt_states)
 
     num_iter = max(num_iter, start_step + num_inner)
 
@@ -447,6 +509,8 @@ def fit_natgrad_batched(
                 [[s, steps_done // num_inner] for s in seeds], dtype=np.uint32
             )
         )
+        if mesh is not None:
+            block_keys = member_place(mesh, block_keys)
         stacked, opt_states, block_losses = step(
             stacked, opt_states, block_keys, gammas, local_steps
         )
@@ -469,6 +533,9 @@ def fit_natgrad_batched(
                     restored = ckpt_manager.restore_latest(stacked, opt_states)
                     if restored is not None:
                         stacked, opt_states, from_step = restored
+                        if mesh is not None:
+                            stacked = member_place(mesh, stacked)
+                            opt_states = member_place(mesh, opt_states)
                         restored_this_block = True
                         log_fn(f"restored the stack from checkpoint at step {from_step}")
                 continue
