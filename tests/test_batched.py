@@ -220,18 +220,23 @@ def test_member_sharded_natgrad_matches_unsharded():
         _assert_trees_close(a.model, b.model)
 
 
-def test_member_sharding_divisibility_error():
+def test_member_sharding_pads_nondividing():
+    """3 members over a 2-device data axis: padded to 4 internally, pads
+    discarded — results ≡ the unsharded 3-member stack."""
     from zigp_tpu.parallel import make_mesh
     from zigp_tpu.training.batched import fit_batched_scanned as fit
 
     mesh = make_mesh(n_data=2, n_model=1)
-    with pytest.raises(ValueError, match="divide"):
-        fit(
-            [_svgp(seed=f) for f in range(3)],
-            [_data(900 + f) for f in range(3)],
-            num_iter=4, batch_size=8, num_inner=2, mesh=mesh,
-            log_every_blocks=0, log_fn=lambda s: None,
-        )
+    kw = dict(
+        num_iter=8, batch_size=8, num_inner=4,
+        log_every_blocks=0, log_fn=lambda s: None,
+    )
+    datas = [_data(900 + f) for f in range(3)]
+    plain = fit([_svgp(seed=f) for f in range(3)], datas, **kw)
+    sharded = fit([_svgp(seed=f) for f in range(3)], datas, mesh=mesh, **kw)
+    assert len(sharded) == 3
+    for a, b in zip(plain, sharded):
+        _assert_trees_close(a.model, b.model)
 
 
 def test_batched_final_nan_gate():

@@ -134,6 +134,39 @@ def test_batched_cv_ensemble_all_variants(tmp_path):
             assert len(agg["folds"]) == len(splits)
 
 
+def test_batched_cv_member_sharded_matches_unsharded():
+    """mesh_members=2: fold stack sharded over 2 CPU devices ≡ unsharded."""
+    splits = _splits()
+    cfg = SvgpPptrConfig(**_TINY, k_spatial=_SP, k_temporal=_TM)
+    silent = lambda s: None  # noqa: E731
+    plain = run_cv_batched(["svgp"], splits=splits, svgp_cfg=cfg, log_fn=silent)
+    sharded = run_cv_batched(
+        ["svgp"], splits=splits, svgp_cfg=cfg, log_fn=silent, mesh_members=2
+    )
+    np.testing.assert_allclose(
+        sharded["svgp"]["test_rmse"]["folds"], plain["svgp"]["test_rmse"]["folds"],
+        rtol=1e-9,
+    )
+
+
+def test_batched_cv_member_sharded_pads_nondividing():
+    """mesh_members=2 with 3 folds: the stack is padded 3 -> 4 with
+    discarded duplicates; real-fold metrics ≡ the unsharded run (this is
+    the real 5-folds-over-8-chips shape, scaled down)."""
+    splits = _splits(F=3)
+    cfg = SvgpPptrConfig(**_TINY, k_spatial=_SP, k_temporal=_TM)
+    silent = lambda s: None  # noqa: E731
+    plain = run_cv_batched(["svgp"], splits=splits, svgp_cfg=cfg, log_fn=silent)
+    sharded = run_cv_batched(
+        ["svgp"], splits=splits, svgp_cfg=cfg, log_fn=silent, mesh_members=2
+    )
+    assert len(sharded["svgp"]["test_rmse"]["folds"]) == 3
+    np.testing.assert_allclose(
+        sharded["svgp"]["test_rmse"]["folds"], plain["svgp"]["test_rmse"]["folds"],
+        rtol=1e-9,
+    )
+
+
 def test_batched_cv_natgrad():
     """optimizer='natgrad' routes to the vmapped natural-gradient stack
     trainer; metrics finite, summary shaped per fold."""

@@ -201,6 +201,11 @@ def main(argv=None):
                            "natural step on (mean, one covariance factor)")
     p_cv.add_argument("--whiten", action="store_true", default=None,
                       help="whitened variational parameterization")
+    p_cv.add_argument("--mesh-members", type=int, default=0, dest="mesh_members",
+                      help="with --batched: shard the stacked member axis "
+                           "(folds x ensemble seeds) over this many devices "
+                           "— zero per-step collectives; non-dividing member "
+                           "counts are padded with discarded duplicates")
 
     args = parser.parse_args(argv)
 
@@ -268,7 +273,8 @@ def main(argv=None):
             from .cv_batched import run_cv_batched
 
             run_cv_batched(
-                variants, resume=args.resume, ensemble=args.ensemble, **kwargs
+                variants, resume=args.resume, ensemble=args.ensemble,
+                mesh_members=args.mesh_members, **kwargs
             )
         else:
             if args.ensemble > 1:

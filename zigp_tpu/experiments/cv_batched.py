@@ -24,7 +24,10 @@ tests/test_cv_batched.py) — batched CV always uses the device-resident
 uniform sampler, not the host epoch pipeline. optimizer="natgrad" routes to
 the vmapped natural-gradient stack trainer (training.batched.
 fit_natgrad_batched; equal-shape stacks only, so the hurdle inner regression
-still needs adam). Not supported in batched mode: mesh sharding and
+still needs adam). ``mesh_members=D`` shards the member axis over a D-device
+mesh (zero per-step collectives — training.batched.member_place; member
+counts that don't divide D are padded with discarded duplicates). Not
+supported in batched mode: dp/tp sharding of a single member and
 monitor/histogram callbacks (use the sequential driver for those).
 """
 
@@ -98,9 +101,11 @@ def _train_stack(
     aux=None,
     resume: bool = False,
     seeds: Optional[list] = None,
+    mesh=None,
 ):
     """fit_batched_scanned with the same optimizer/cadence/checkpoint policy
-    as the sequential runners' _fit_auto."""
+    as the sequential runners' _fit_auto. ``mesh`` shards the member axis
+    over the mesh data axis (training.batched.member_place)."""
     from ..io.checkpoint import CheckpointManager
     from ..training.optim import cosine_adam, make_optimizer
     from ..utils.logging import MetricLogger
@@ -150,6 +155,7 @@ def _train_stack(
             ckpt_manager=ckpt,
             metric_logger=metric,
             resume=resume,
+            mesh=mesh,
         )
 
     if getattr(cfg, "lr_schedule", "") == "cosine":
@@ -176,6 +182,7 @@ def _train_stack(
         ckpt_manager=ckpt,
         metric_logger=metric,
         resume=resume,
+        mesh=mesh,
     )
     return results
 
@@ -196,6 +203,7 @@ def run_cv_batched(
     log_fn: Callable[[str], None] = print,
     resume: bool = False,
     ensemble: int = 1,
+    mesh_members: int = 0,
 ) -> dict:
     """run_cv with all folds of each variant trained in one batched run.
 
@@ -223,6 +231,15 @@ def run_cv_batched(
     splits = splits or make_cv_splits(load_pptr())
     F = len(splits)
     E = max(1, int(ensemble))
+    mesh = None
+    if mesh_members:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=mesh_members, n_model=1)
+        log_fn(
+            f"member-axis sharding: {F * E} members over "
+            f"{mesh.shape['data']} devices (zero per-step collectives)"
+        )
     need_clf = bool({"classifier", "hurdle", "zi"} & set(models))
     need_svgp = bool({"svgp", "zi"} & set(models))
 
@@ -259,7 +276,7 @@ def run_cv_batched(
             "classifier", members,
             fold_inputs([(s.Xtrain, binarize_targets(s.Ytrain)) for s in splits]),
             cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
-            seeds=seeds,
+            seeds=seeds, mesh=mesh,
         )
         trained = [r.model for r in res]
 
@@ -295,7 +312,7 @@ def run_cv_batched(
             "svgp", members,
             fold_inputs([(s.Xtrain, s.Ytrain) for s in splits]),
             cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
-            seeds=seeds,
+            seeds=seeds, mesh=mesh,
         )
         trained = [r.model for r in res]
         ptr = _stacked_predict(
@@ -328,7 +345,7 @@ def run_cv_batched(
             "onoff", members,
             fold_inputs([(s.Xtrain, s.Ytrain) for s in splits]),
             cfg, cfg.indp_lr, workdir=workdir, log_fn=log_fn, resume=resume,
-            seeds=seeds,
+            seeds=seeds, mesh=mesh,
         )
         trained = [r.model for r in res]
         pte = _stacked_predict(
@@ -385,7 +402,7 @@ def run_cv_batched(
             cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
             loss_fn=lambda m, X, Y, n: m.loss(X, Y, num_data=n),
             aux=jnp.asarray(np.asarray(fold_inputs(sizes), dtype=np.int32)),
-            seeds=hseeds,
+            seeds=hseeds, mesh=mesh,
         )
         trained = [r.model for r in res]
         ptr = _stacked_predict(

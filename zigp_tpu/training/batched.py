@@ -103,6 +103,20 @@ def _check_member_mesh(mesh, F: int):
         )
 
 
+def _member_pad_ids(mesh, F: int):
+    """Member indices padded cyclically to a multiple of the mesh data axis.
+
+    The fit_* drivers use this so any member count runs on any device count
+    (5 CV folds over 8 chips, etc.): pad members duplicate a real member AND
+    its sampler seed, so their trajectories are bit-identical to the member
+    they copy — no new NaN risk, no behavioral change — and they are dropped
+    from the returned results.
+    """
+    D = mesh.shape["data"]
+    P = -(-F // D) * D
+    return list(range(F)) + [i % F for i in range(P - F)]
+
+
 def make_batched_device_sampling_scan_step(
     optimizer: optax.GradientTransformation,
     Xs: jnp.ndarray,
@@ -196,8 +210,11 @@ def fit_batched_scanned(
 
     ``mesh`` (parallel.make_mesh): shard the MEMBER axis over the mesh
     ``data`` axis — F/D members per device, zero per-step collectives (the
-    member axis is embarrassingly parallel; see member_place). F must divide
-    by the axis size. Trajectories are identical to the unsharded stack.
+    member axis is embarrassingly parallel; see member_place). A member count
+    that does not divide the axis is padded cyclically with duplicates of the
+    real members (same data, same seed — identical trajectories), dropped
+    from the returned results. Trajectories are identical to the unsharded
+    stack.
 
     models: F equal-structure model pytrees (different leaf values are fine —
     per-fold kernel inits, kmeans centres, q_mu draws).
@@ -228,6 +245,21 @@ def fit_batched_scanned(
         seeds = list(range(F))
     if len(seeds) != F or len(datas) != F:
         raise ValueError("models, datas and seeds must have equal length")
+
+    real_F = F
+    if mesh is not None and F % mesh.shape["data"]:
+        ids = _member_pad_ids(mesh, F)
+        models = [models[i] for i in ids]
+        datas = [datas[i] for i in ids]
+        seeds = [seeds[i] for i in ids]
+        if aux is not None:
+            sel = jnp.asarray(ids)
+            aux = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[sel], aux)
+        F = len(ids)
+        log_fn(
+            f"member padding: {real_F} -> {F} members to fill the "
+            f"{mesh.shape['data']}-device data axis (pads discarded)"
+        )
 
     def _arrays(d):
         return d.arrays if hasattr(d, "arrays") else d
@@ -319,12 +351,12 @@ def fit_batched_scanned(
                 ckpt_manager.save_at(steps_done, stacked, opt_states)
             if is_log:
                 losses_log.append(last)
-                joined = " ".join(f"{v:.4f}" for v in last)
+                joined = " ".join(f"{v:.4f}" for v in last[:real_F])
                 log_fn(f"step {steps_done:>8d}  losses [{joined}]")
                 if metric_logger is not None:
                     metric_logger.log(
                         steps_done,
-                        scalars={f"loss_{f}": float(last[f]) for f in range(F)},
+                        scalars={f"loss_{f}": float(last[f]) for f in range(real_F)},
                     )
     jax.block_until_ready(stacked)
     final = np.asarray(block_losses[:, -1])
@@ -340,7 +372,7 @@ def fit_batched_scanned(
     elapsed = max(time.time() - t_start, 1e-12)
     sps = timed_steps / elapsed if timed_steps else 0.0
     results = []
-    for f in range(F):
+    for f in range(real_F):
         results.append(
             FitResult(
                 model=unstack_pytree(stacked, f),
@@ -404,6 +436,18 @@ def fit_natgrad_batched(
         seeds = list(range(F))
     if len(seeds) != F or len(datas) != F:
         raise ValueError("models, datas and seeds must have equal length")
+
+    real_F = F
+    if mesh is not None and F % mesh.shape["data"]:
+        ids = _member_pad_ids(mesh, F)
+        models = [models[i] for i in ids]
+        datas = [datas[i] for i in ids]
+        seeds = [seeds[i] for i in ids]
+        F = len(ids)
+        log_fn(
+            f"member padding: {real_F} -> {F} members to fill the "
+            f"{mesh.shape['data']}-device data axis (pads discarded)"
+        )
 
     def _arrays(d):
         return d.arrays if hasattr(d, "arrays") else d
@@ -543,10 +587,10 @@ def fit_natgrad_batched(
                 ckpt_manager.save_at(steps_done, stacked, opt_states)
             if is_log:
                 losses_log.append(last)
-                joined = " ".join(f"{v:.4f}" for v in last)
+                joined = " ".join(f"{v:.4f}" for v in last[:real_F])
                 log_fn(f"step {steps_done:>8d}  losses [{joined}]")
                 if metric_logger is not None:
-                    scalars = {f"loss_{f}": float(last[f]) for f in range(F)}
+                    scalars = {f"loss_{f}": float(last[f]) for f in range(real_F)}
                     scalars["gamma"] = float(gammas[-1])
                     metric_logger.log(steps_done, scalars=scalars)
     jax.block_until_ready(stacked)
@@ -570,7 +614,7 @@ def fit_natgrad_batched(
             steps_per_sec=sps,
             final_loss=float(final[f]),
         )
-        for f in range(F)
+        for f in range(real_F)
     ]
 
 
