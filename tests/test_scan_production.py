@@ -285,6 +285,26 @@ def test_fit_scanned_completed_run_not_marked_interrupted(rng):
     assert res.interrupted is False
 
 
+def test_trainers_populate_final_loss(rng):
+    """FitResult.final_loss is the ensemble health signal — every trainer
+    must populate it regardless of log cadence, not just the batched ones."""
+    from zigp_tpu.training import fit
+    from zigp_tpu.training.natgrad import fit_natgrad_scanned
+
+    N = 30
+    X, Y = rng.rand(N, 3), rng.rand(N, 1)
+    kw = dict(batch_size=16, log_fn=lambda s: None)
+
+    res = fit_scanned(_model(rng, N), DataSet(X, Y), num_iter=10,
+                      num_inner=5, log_every_blocks=0, **kw)
+    assert np.isfinite(res.final_loss)
+    res = fit(_model(rng, N), DataSet(X, Y), num_iter=3, log_every=0, **kw)
+    assert np.isfinite(res.final_loss)
+    res = fit_natgrad_scanned(_model(rng, N), DataSet(X, Y), num_iter=8,
+                              num_inner=4, log_every_blocks=0, **kw)
+    assert np.isfinite(res.final_loss)
+
+
 def test_fit_scanned_raises_on_silent_nan(rng):
     """VERDICT r2 weak #4: with log_every=0 and no checkpoint manager there
     is no mid-run finiteness sync at all — a poisoned run must still fail

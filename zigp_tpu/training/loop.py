@@ -54,9 +54,10 @@ class FitResult:
     # resume). Callers that run multiple fits (the CV driver) must check this
     # and abort instead of treating the partial run as fully trained.
     interrupted: bool = False
-    # Loss of the last trained step (always populated by the batched
-    # trainers, regardless of log cadence) — the health signal ensemble
-    # combining uses to exclude members that ended mid-spike. NaN = unknown.
+    # Loss of the last trained step/block, populated by every trainer
+    # regardless of log cadence — the health signal ensemble combining uses
+    # to exclude members that ended mid-spike. NaN = unknown (e.g. a
+    # zero-step run, or an interrupted one).
     final_loss: float = float("nan")
 
 
@@ -147,4 +148,5 @@ def fit(
         opt_state=opt_state,
         losses=losses,
         steps_per_sec=timed_steps / elapsed,
+        final_loss=float(loss) if num_iter > 0 else float("nan"),
     )

@@ -923,4 +923,5 @@ def fit_natgrad_scanned(
         opt_state=opt_state,
         losses=losses,
         steps_per_sec=timed_steps / elapsed if timed_steps else 0.0,
+        final_loss=final_loss if num_blocks else float("nan"),
     )
