@@ -250,3 +250,31 @@ def test_batched_final_nan_gate():
             log_every_blocks=0, log_fn=lambda s: None,
             loss_fn=lambda m, X, Y, a: m.loss(X, Y) * np.nan,
         )
+
+
+def test_batched_resume_completed_run_is_noop(tmp_path):
+    """resume=True with the stack checkpoint already at num_iter: no further
+    training, no checkpoint advance, members returned from the checkpoint."""
+    from zigp_tpu.io.checkpoint import CheckpointManager
+
+    folds = [(_svgp(seed=f), _data(300 + f)) for f in range(3)]
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=8)
+    first = fit_batched_scanned(
+        [m for m, _ in folds], [d for _, d in folds],
+        num_iter=8, batch_size=16, num_inner=4, learning_rate=1e-2,
+        seeds=[0, 1, 2], log_every_blocks=0, log_fn=lambda s: None,
+        ckpt_manager=mgr,
+    )
+    assert mgr.latest_step() == 8
+
+    logs = []
+    again = fit_batched_scanned(
+        [_svgp(seed=f) for f in range(3)], [d for _, d in folds],
+        num_iter=8, batch_size=16, num_inner=4, learning_rate=1e-2,
+        seeds=[0, 1, 2], log_every_blocks=0, log_fn=logs.append,
+        ckpt_manager=mgr, resume=True,
+    )
+    assert any("nothing to train" in l for l in logs)
+    assert mgr.latest_step() == 8
+    for a, b in zip(first, again):
+        _assert_trees_close(a.model, b.model, rtol=0, atol=0)

@@ -113,3 +113,12 @@ def test_healthy_member_mask():
     # all bad: the least-bad member survives
     mask = healthy_member_mask([1e9, 5e8, 7e9])
     assert mask.sum() >= 1 and mask[1]
+    # negative member losses (loss = -ELBO can be negative): the |median|
+    # scale is blind there, the spread criterion must still catch the spike
+    mask = healthy_member_mask([-5000.0, -5010.0, -4990.0, 40000.0])
+    assert list(mask) == [True, True, True, False]
+    # near-zero losses with a spike
+    mask = healthy_member_mask([0.5, -0.3, 0.1, 2e4])
+    assert list(mask) == [True, True, True, False]
+    # near-identical members with f32-level jitter: no false positives
+    assert healthy_member_mask([1e6, 1e6 + 27.0, 1e6 + 3.0, 1e6 + 11.0]).all()

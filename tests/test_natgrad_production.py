@@ -202,3 +202,26 @@ def test_runner_natgrad_threads_machinery(rng, tmp_path):
     assert os.path.exists(os.path.join(wd, "metrics_onoff.jsonl"))
     mgr = CheckpointManager(os.path.join(wd, "ckpt_onoff"), every=10)
     assert mgr.latest_step() == 20
+
+
+def test_natgrad_resume_completed_run_is_noop(rng, tmp_path):
+    """--resume on a run whose checkpoint already sits at num_iter must not
+    train further (the budget is a target, not an increment): training past
+    it would advance the checkpoint and make --resume non-idempotent."""
+    N = 40
+    X, Y = rng.rand(N, 3), rng.rand(N, 1)
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=10)
+    model = _model(rng, N)
+    first = fit_natgrad_scanned(
+        model, DataSet(X, Y), num_iter=20, ckpt_manager=mgr, **KW,
+    )
+    assert mgr.latest_step() == 20
+
+    logs = []
+    again = fit_natgrad_scanned(
+        _model(np.random.RandomState(0), N), DataSet(X, Y), num_iter=20,
+        ckpt_manager=mgr, resume=True, **{**KW, "log_fn": logs.append},
+    )
+    assert any("nothing to train" in l for l in logs)
+    assert mgr.latest_step() == 20  # checkpoint not advanced
+    assert _leaves_close(first.model, again.model)

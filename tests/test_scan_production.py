@@ -343,3 +343,45 @@ def test_cv_driver_aborts_on_interrupted_fold(rng, tmp_path, monkeypatch):
     with pytest.raises(KeyboardInterrupt):
         cv_mod.run_cv(["onoff"], splits=splits, log_fn=lambda s: None)
     assert calls["n"] == 2  # folds 3-4 never ran
+
+
+def test_last_block_nan_restore_not_restamped(rng, tmp_path):
+    """A NaN in the FINAL block restores from the last good checkpoint, and
+    completion must not re-stamp that older state at steps_done — doing so
+    would present a half-trained model as fully trained to restore-and-predict.
+    The final_loss also cannot describe the restored model, so it reads NaN."""
+    N = 30
+    X, Y = rng.rand(N, 3), rng.rand(N, 1)
+    mgr = CheckpointManager(str(tmp_path / "ck"), every=5)
+    model = _model(rng, N)
+
+    class PoisonLast(DataSet):
+        def __init__(self, x, y):
+            super().__init__(x, y, seed=0)
+            self.calls = 0
+
+        def next_batch(self, b, shuffle=True):
+            self.calls += 1
+            bx, by = super().next_batch(b, shuffle)
+            if self.calls == 15:  # final batch of the FINAL (3rd) block
+                by = by.copy()
+                by[0, 0] = np.nan
+            return bx, by
+
+    logs = []
+    res = fit_scanned(
+        model, PoisonLast(X, Y), num_iter=15, batch_size=N, num_inner=5,
+        log_fn=logs.append, ckpt_manager=mgr,
+    )
+    joined = "\n".join(logs)
+    assert "restored from checkpoint" in joined
+    assert "final checkpoint stays" in joined
+    # the restored (older) state is NOT re-stamped at step 15
+    assert mgr.latest_step() == 10
+    # the pre-restore block's loss does not describe the returned model
+    assert np.isnan(res.final_loss)
+    # and the run did not raise: the restored state is finite and usable
+    assert all(
+        np.all(np.isfinite(np.asarray(l)))
+        for l in jax.tree_util.tree_leaves(res.model)
+    )

@@ -71,8 +71,13 @@ def healthy_member_mask(final_losses, *, max_ratio: float = 10.0) -> np.ndarray:
     fold from ~0.60 to 0.93 RMSE (measured). Exclude members whose final loss
     exceeds the member median by ``max_ratio`` × the median scale; a spike is
     ~3 orders of magnitude, so the rule has a wide safety margin against
-    excluding healthy seed variation. All-NaN/unknown losses keep everyone;
-    at least the lowest-loss member is always kept.
+    excluding healthy seed variation. The |median| scale goes blind when the
+    member losses sit near zero or are negative (loss = −ELBO can be
+    negative), so a second criterion on the robust member spread (1000 × MAD,
+    floored at 1e-6·|median| against f32 noise between near-identical
+    members) catches spikes there; both thresholds are far above healthy
+    seed variation. All-NaN/unknown losses keep everyone; at least the
+    lowest-loss member is always kept.
     """
     fl = np.asarray(final_losses, dtype=np.float64).reshape(-1)
     mask = np.isfinite(fl)
@@ -80,7 +85,9 @@ def healthy_member_mask(final_losses, *, max_ratio: float = 10.0) -> np.ndarray:
         return np.ones(fl.shape[0], dtype=bool)
     med = np.median(fl[mask])
     scale = max(abs(med), 1.0)
-    mask &= (fl - med) <= max_ratio * scale
+    mad = np.median(np.abs(fl[mask] - med))
+    spread = max(mad, 1e-6 * scale)
+    mask &= ((fl - med) <= max_ratio * scale) & ((fl - med) <= 1000.0 * spread)
     if not mask.any():
         mask[int(np.nanargmin(fl))] = True
     return mask

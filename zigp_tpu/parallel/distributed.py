@@ -49,7 +49,11 @@ def initialize(
     )
     if not explicit and not env:
         return False
-    if jax.process_count() > 1:  # already initialized
+    # Idempotence must be checked WITHOUT touching the backend:
+    # jax.process_count() initializes XLA, after which
+    # jax.distributed.initialize() unconditionally raises ("must be called
+    # before any JAX calls that might initialise the XLA backend").
+    if jax.distributed.is_initialized():
         return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -82,9 +86,21 @@ def make_multihost_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
             f"n_data={n_data} inconsistent with {nproc} processes × "
             f"{ici_data} per-host data shards = {total_data}"
         )
-    from jax.experimental import mesh_utils
+    n_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
+    if n_slices == nproc:
+        # real pod topology (one slice per process): let jax group by slice
+        from jax.experimental import mesh_utils
 
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(ici_data, n_model), dcn_mesh_shape=(nproc, 1)
-    )
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_data, n_model), dcn_mesh_shape=(nproc, 1)
+        )
+    else:
+        # CPU / backends without slice topology (the multi-process smoke
+        # test): group by process manually — host-major data axis, model
+        # axis contiguous within a host — the same layout the hybrid mesh
+        # produces on a pod.
+        import numpy as np
+
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        devices = np.array(devs).reshape(nproc * ici_data, n_model)
     return Mesh(devices, axis_names=("data", "model"))

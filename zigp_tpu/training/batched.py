@@ -301,6 +301,17 @@ def fit_batched_scanned(
                 stacked = member_place(mesh, stacked)
                 opt_states = member_place(mesh, opt_states)
             log_fn(f"resumed the stacked run from step {start_step}")
+    if start_step >= num_iter > 0:
+        # resumed a completed run: don't overshoot the budget (see
+        # fit_natgrad_scanned)
+        log_fn("checkpoint is already at or past num_iter; nothing to train")
+        return [
+            FitResult(
+                model=unstack_pytree(stacked, f),
+                opt_state=unstack_pytree(opt_states, f),
+            )
+            for f in range(real_F)
+        ]
     if ckpt_manager is not None and ckpt_manager.latest_step() is None:
         ckpt_manager.save_at(start_step, stacked, opt_states)
 
@@ -367,7 +378,16 @@ def fit_batched_scanned(
             f"non-finite losses in members {bad}; the trained stack is "
             "unusable. Enable checkpointing (ckpt_manager) for NaN recovery."
         )
-    if ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
+    # No final re-stamp after a last-block NaN restore (see fit_scanned) —
+    # and the pre-restore block's per-member losses don't describe the
+    # restored stack, so final_loss reads unknown for every member.
+    if restored_this_block:
+        log_fn(
+            f"run ended in a NaN-restored state — final checkpoint stays at "
+            f"step {ckpt_manager.latest_step() if ckpt_manager else '?'}, "
+            f"not {steps_done}"
+        )
+    elif ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
         ckpt_manager.save_at(steps_done, stacked, opt_states)
     elapsed = max(time.time() - t_start, 1e-12)
     sps = timed_steps / elapsed if timed_steps else 0.0
@@ -379,7 +399,7 @@ def fit_batched_scanned(
                 opt_state=unstack_pytree(opt_states, f),
                 losses=[float(row[f]) for row in losses_log],
                 steps_per_sec=sps,  # shared dispatch stream: per-member rate ≡ stack rate
-                final_loss=float(final[f]),
+                final_loss=float("nan") if restored_this_block else float(final[f]),
             )
         )
     return results
@@ -487,6 +507,18 @@ def fit_natgrad_batched(
             stacked, opt_states, start_step = restored
             log_fn(f"resumed the natgrad stack from step {start_step}")
 
+    if start_step is not None and start_step >= num_iter:
+        # resumed a completed run: don't overshoot the budget (see
+        # fit_natgrad_scanned)
+        log_fn("checkpoint is already at or past num_iter; nothing to train")
+        return [
+            FitResult(
+                model=unstack_pytree(stacked, f),
+                opt_state=unstack_pytree(opt_states, f),
+            )
+            for f in range(real_F)
+        ]
+
     if start_step is None:
         if adam_warmup:
             warm = fit_batched_scanned(
@@ -548,9 +580,12 @@ def fit_natgrad_batched(
         local = steps_done - adam_warmup
         local_steps = jnp.arange(local, local + num_inner, dtype=jnp.int32)
         gammas = trainer.gamma_at(local_steps)
+        # ceil, matching fit_natgrad_scanned: floor would reuse the Adam
+        # warmup's block-0 key when adam_warmup is not a multiple of
+        # num_inner (identical to floor in the divisible production case)
         block_keys = jnp.asarray(
             np.array(
-                [[s, steps_done // num_inner] for s in seeds], dtype=np.uint32
+                [[s, -(-steps_done // num_inner)] for s in seeds], dtype=np.uint32
             )
         )
         if mesh is not None:
@@ -602,7 +637,16 @@ def fit_natgrad_batched(
             f"non-finite losses in members {bad}; the trained stack is "
             "unusable. Enable checkpointing (ckpt_manager) for NaN recovery."
         )
-    if ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
+    # No final re-stamp after a last-block NaN restore (see fit_scanned) —
+    # and the pre-restore block's per-member losses don't describe the
+    # restored stack, so final_loss reads unknown for every member.
+    if restored_this_block:
+        log_fn(
+            f"run ended in a NaN-restored state — final checkpoint stays at "
+            f"step {ckpt_manager.latest_step() if ckpt_manager else '?'}, "
+            f"not {steps_done}"
+        )
+    elif ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
         ckpt_manager.save_at(steps_done, stacked, opt_states)
     elapsed = max(time.time() - t_start, 1e-12)
     sps = timed_steps / elapsed if timed_steps else 0.0
@@ -612,7 +656,7 @@ def fit_natgrad_batched(
             opt_state=unstack_pytree(opt_states, f),
             losses=[float(row[f]) for row in losses_log],
             steps_per_sec=sps,
-            final_loss=float(final[f]),
+            final_loss=float("nan") if restored_this_block else float(final[f]),
         )
         for f in range(real_F)
     ]

@@ -782,6 +782,13 @@ def fit_natgrad_scanned(
             if sampler != "device" and start_step and hasattr(data, "skip"):
                 data.skip(batch_size, start_step)
 
+    if start_step is not None and start_step >= num_iter:
+        # resumed a completed run: training past the requested budget (and
+        # advancing the checkpoint) would make --resume non-idempotent —
+        # mirror the Adam path's guard (runners._fit_auto)
+        log_fn("checkpoint is already at or past num_iter; nothing to train")
+        return FitResult(model=model, opt_state=opt_state)
+
     if start_step is None:
         if adam_warmup:
             warm = fit_scanned(
@@ -830,8 +837,16 @@ def fit_natgrad_scanned(
             local_steps = jnp.arange(local, local + num_inner, dtype=jnp.int32)
             gammas = trainer.gamma_at(local_steps)
             if device_mode:
+                # ceil, not floor: when adam_warmup is not a multiple of
+                # num_inner, floor(steps_done/num_inner) would reuse the
+                # warmup phase's block-0 key and replay its exact minibatch
+                # sequence; ceil always starts strictly past the warmup's
+                # block indices (identical to floor when the warmup length
+                # is a multiple of num_inner — the production case)
                 block_key = jnp.asarray(
-                    _np.array([sampler_seed, steps_done // num_inner], dtype=_np.uint32)
+                    _np.array(
+                        [sampler_seed, -(-steps_done // num_inner)], dtype=_np.uint32
+                    )
                 )
                 model, opt_state, block_losses = step(
                     model, opt_state, block_key, gammas, local_steps
@@ -886,8 +901,17 @@ def fit_natgrad_scanned(
                                 "gamma": float(trainer.gamma_at(steps_done - adam_warmup)),
                             },
                         )
-    except KeyboardInterrupt:
-        jax.block_until_ready(model)
+    except KeyboardInterrupt as ki:
+        try:
+            jax.block_until_ready(model)
+        except RuntimeError:
+            # interrupt landed mid-step with donated inputs already consumed
+            # (see fit_scanned) — no live state; resume from the last ckpt
+            log_fn(
+                "interrupted mid-step with donated buffers — no live state "
+                "to checkpoint; resume from the last periodic checkpoint"
+            )
+            raise ki from None
         log_fn(f"interrupted at step {steps_done} — checkpointing for resume")
         if ckpt_manager is not None:
             last = float(block_losses[-1]) if steps_done > start_step else 0.0
@@ -915,7 +939,15 @@ def fit_natgrad_scanned(
         )
     # Final save at completion (reference: scripts/onoff.py:429-430), matching
     # fit_scanned — restore-and-predict always sees the fully trained state.
-    if ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
+    # Not after a last-block NaN restore: that would re-stamp the restored
+    # (older) state at steps_done (see fit_scanned).
+    if restored_this_block:
+        log_fn(
+            f"run ended in a NaN-restored state — final checkpoint stays at "
+            f"step {ckpt_manager.latest_step() if ckpt_manager else '?'}, "
+            f"not {steps_done}"
+        )
+    elif ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
         ckpt_manager.save_at(steps_done, model, opt_state)
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
@@ -923,5 +955,7 @@ def fit_natgrad_scanned(
         opt_state=opt_state,
         losses=losses,
         steps_per_sec=timed_steps / elapsed if timed_steps else 0.0,
-        final_loss=final_loss if num_blocks else float("nan"),
+        final_loss=(
+            final_loss if num_blocks and not restored_this_block else float("nan")
+        ),
     )

@@ -340,12 +340,24 @@ def fit_scanned(
                 and (prev_steps // callback_every) != (steps_done // callback_every)
             ):
                 callback(steps_done, model)
-    except KeyboardInterrupt:
+    except KeyboardInterrupt as ki:
         # reference behaviour: Ctrl-C breaks the loop and saves, so a manual
         # stop is resumable (scripts/onoff.py:425-430). The interruption is
         # surfaced on the result so multi-run callers (the CV driver) abort
         # instead of recording the partial fold as fully trained.
-        jax.block_until_ready(model)
+        try:
+            jax.block_until_ready(model)
+        except RuntimeError:
+            # the interrupt landed inside the jitted step after its donated
+            # (deleted) inputs were consumed but before the outputs were
+            # bound — there is no live state to checkpoint; propagate the
+            # interrupt, and --resume picks up from the last periodic
+            # checkpoint
+            log_fn(
+                "interrupted mid-step with donated buffers — no live state "
+                "to checkpoint; resume from the last periodic checkpoint"
+            )
+            raise ki from None
         log_fn(f"interrupted at step {steps_done} — checkpointing for resume")
         if ckpt_manager is not None:
             # never checkpoint unverified state: same finiteness gate as
@@ -377,8 +389,17 @@ def fit_scanned(
         )
     # Final save at completion (reference: scripts/onoff.py:429-430 saves
     # after the loop regardless of cadence) so restore-and-predict always
-    # sees the fully trained state.
-    if ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
+    # sees the fully trained state. NOT when the last block NaN'd and was
+    # restored: re-stamping the restored (older) state at steps_done would
+    # present a half-trained model as fully trained — the restore target
+    # already exists at its true step.
+    if restored_this_block:
+        log_fn(
+            f"run ended in a NaN-restored state — final checkpoint stays at "
+            f"step {ckpt_manager.latest_step() if ckpt_manager else '?'}, "
+            f"not {steps_done}"
+        )
+    elif ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
         ckpt_manager.save_at(steps_done, model, opt_state)
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
@@ -386,5 +407,7 @@ def fit_scanned(
         opt_state=opt_state,
         losses=losses,
         steps_per_sec=timed_steps / elapsed if timed_steps else 0.0,
-        final_loss=final_loss if num_blocks else float("nan"),
+        final_loss=(
+            final_loss if num_blocks and not restored_this_block else float("nan")
+        ),
     )
