@@ -235,7 +235,7 @@ def fit_batched_scanned(
     """
     import time
 
-    from .loop import FitResult
+    from .loop import FitResult, save_final
     from .optim import make_optimizer
 
     F = len(models)
@@ -378,17 +378,9 @@ def fit_batched_scanned(
             f"non-finite losses in members {bad}; the trained stack is "
             "unusable. Enable checkpointing (ckpt_manager) for NaN recovery."
         )
-    # No final re-stamp after a last-block NaN restore (see fit_scanned) —
-    # and the pre-restore block's per-member losses don't describe the
-    # restored stack, so final_loss reads unknown for every member.
-    if restored_this_block:
-        log_fn(
-            f"run ended in a NaN-restored state — final checkpoint stays at "
-            f"step {ckpt_manager.latest_step() if ckpt_manager else '?'}, "
-            f"not {steps_done}"
-        )
-    elif ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
-        ckpt_manager.save_at(steps_done, stacked, opt_states)
+    # The pre-restore block's per-member losses don't describe a NaN-restored
+    # stack, so final_loss reads unknown for every member in that case.
+    save_final(ckpt_manager, steps_done, restored_this_block, stacked, opt_states, log_fn)
     elapsed = max(time.time() - t_start, 1e-12)
     sps = timed_steps / elapsed if timed_steps else 0.0
     results = []
@@ -446,7 +438,7 @@ def fit_natgrad_batched(
     """
     import time
 
-    from .loop import FitResult
+    from .loop import FitResult, save_final
     from .natgrad import NaturalGradientTrainer
 
     F = len(models)
@@ -637,17 +629,9 @@ def fit_natgrad_batched(
             f"non-finite losses in members {bad}; the trained stack is "
             "unusable. Enable checkpointing (ckpt_manager) for NaN recovery."
         )
-    # No final re-stamp after a last-block NaN restore (see fit_scanned) —
-    # and the pre-restore block's per-member losses don't describe the
-    # restored stack, so final_loss reads unknown for every member.
-    if restored_this_block:
-        log_fn(
-            f"run ended in a NaN-restored state — final checkpoint stays at "
-            f"step {ckpt_manager.latest_step() if ckpt_manager else '?'}, "
-            f"not {steps_done}"
-        )
-    elif ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
-        ckpt_manager.save_at(steps_done, stacked, opt_states)
+    # The pre-restore block's per-member losses don't describe a NaN-restored
+    # stack, so final_loss reads unknown for every member in that case.
+    save_final(ckpt_manager, steps_done, restored_this_block, stacked, opt_states, log_fn)
     elapsed = max(time.time() - t_start, 1e-12)
     sps = timed_steps / elapsed if timed_steps else 0.0
     return [

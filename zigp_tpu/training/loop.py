@@ -61,6 +61,44 @@ class FitResult:
     final_loss: float = float("nan")
 
 
+def block_for_interrupt(model, log_fn, interrupt: BaseException) -> None:
+    """After a KeyboardInterrupt in a scanned loop, wait for the in-flight
+    dispatch's outputs so the state is safe to checkpoint. If the interrupt
+    landed inside the jitted step after its donated inputs were consumed but
+    before the outputs were bound, there is no live state at all — re-raise
+    the interrupt; ``--resume`` picks up from the last periodic checkpoint.
+    """
+    try:
+        jax.block_until_ready(model)
+    except RuntimeError:
+        log_fn(
+            "interrupted mid-step with donated buffers — no live state "
+            "to checkpoint; resume from the last periodic checkpoint"
+        )
+        raise interrupt from None
+
+
+def save_final(
+    ckpt_manager, steps_done: int, restored_this_block: bool, model, opt_state, log_fn
+) -> None:
+    """Final save at completion, shared by every scanned trainer (reference:
+    scripts/onoff.py:429-430 saves after the loop regardless of cadence) so
+    restore-and-predict always sees the fully trained state.
+
+    NOT after a last-block NaN restore: re-stamping the restored (older)
+    state at ``steps_done`` would present a half-trained model as fully
+    trained — the restore target already exists at its true step.
+    """
+    if restored_this_block:
+        log_fn(
+            f"run ended in a NaN-restored state — final checkpoint stays at "
+            f"step {ckpt_manager.latest_step() if ckpt_manager else '?'}, "
+            f"not {steps_done}"
+        )
+    elif ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
+        ckpt_manager.save_at(steps_done, model, opt_state)
+
+
 def fit(
     model,
     data: DataSet,

@@ -754,7 +754,7 @@ def fit_natgrad_scanned(
 
     import numpy as _np
 
-    from .loop import FitResult
+    from .loop import FitResult, block_for_interrupt, save_final
     from .scan import fit_scanned, stage_batches
 
     # Honor small budgets: a --iters 500 probe must not silently train the
@@ -902,16 +902,7 @@ def fit_natgrad_scanned(
                             },
                         )
     except KeyboardInterrupt as ki:
-        try:
-            jax.block_until_ready(model)
-        except RuntimeError:
-            # interrupt landed mid-step with donated inputs already consumed
-            # (see fit_scanned) — no live state; resume from the last ckpt
-            log_fn(
-                "interrupted mid-step with donated buffers — no live state "
-                "to checkpoint; resume from the last periodic checkpoint"
-            )
-            raise ki from None
+        block_for_interrupt(model, log_fn, ki)
         log_fn(f"interrupted at step {steps_done} — checkpointing for resume")
         if ckpt_manager is not None:
             last = float(block_losses[-1]) if steps_done > start_step else 0.0
@@ -937,18 +928,7 @@ def fit_natgrad_scanned(
             f"non-finite loss ({final_loss}); the trained state is unusable. "
             "Enable checkpointing (ckpt_manager) to get NaN recovery mid-run."
         )
-    # Final save at completion (reference: scripts/onoff.py:429-430), matching
-    # fit_scanned — restore-and-predict always sees the fully trained state.
-    # Not after a last-block NaN restore: that would re-stamp the restored
-    # (older) state at steps_done (see fit_scanned).
-    if restored_this_block:
-        log_fn(
-            f"run ended in a NaN-restored state — final checkpoint stays at "
-            f"step {ckpt_manager.latest_step() if ckpt_manager else '?'}, "
-            f"not {steps_done}"
-        )
-    elif ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
-        ckpt_manager.save_at(steps_done, model, opt_state)
+    save_final(ckpt_manager, steps_done, restored_this_block, model, opt_state, log_fn)
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
         model=model,

@@ -201,7 +201,7 @@ def fit_scanned(
     """
     import time
 
-    from .loop import FitResult
+    from .loop import FitResult, block_for_interrupt, save_final
     from .optim import make_optimizer
 
     if optimizer is None:
@@ -345,19 +345,7 @@ def fit_scanned(
         # stop is resumable (scripts/onoff.py:425-430). The interruption is
         # surfaced on the result so multi-run callers (the CV driver) abort
         # instead of recording the partial fold as fully trained.
-        try:
-            jax.block_until_ready(model)
-        except RuntimeError:
-            # the interrupt landed inside the jitted step after its donated
-            # (deleted) inputs were consumed but before the outputs were
-            # bound — there is no live state to checkpoint; propagate the
-            # interrupt, and --resume picks up from the last periodic
-            # checkpoint
-            log_fn(
-                "interrupted mid-step with donated buffers — no live state "
-                "to checkpoint; resume from the last periodic checkpoint"
-            )
-            raise ki from None
+        block_for_interrupt(model, log_fn, ki)
         log_fn(f"interrupted at step {steps_done} — checkpointing for resume")
         if ckpt_manager is not None:
             # never checkpoint unverified state: same finiteness gate as
@@ -387,20 +375,7 @@ def fit_scanned(
             f"loss ({final_loss}); the trained state is unusable. Enable "
             "checkpointing (ckpt_manager) to get NaN recovery mid-run."
         )
-    # Final save at completion (reference: scripts/onoff.py:429-430 saves
-    # after the loop regardless of cadence) so restore-and-predict always
-    # sees the fully trained state. NOT when the last block NaN'd and was
-    # restored: re-stamping the restored (older) state at steps_done would
-    # present a half-trained model as fully trained — the restore target
-    # already exists at its true step.
-    if restored_this_block:
-        log_fn(
-            f"run ended in a NaN-restored state — final checkpoint stays at "
-            f"step {ckpt_manager.latest_step() if ckpt_manager else '?'}, "
-            f"not {steps_done}"
-        )
-    elif ckpt_manager is not None and ckpt_manager.latest_step() != steps_done:
-        ckpt_manager.save_at(steps_done, model, opt_state)
+    save_final(ckpt_manager, steps_done, restored_this_block, model, opt_state, log_fn)
     elapsed = max(time.time() - t_start, 1e-12)
     return FitResult(
         model=model,
