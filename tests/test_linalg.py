@@ -134,19 +134,26 @@ def test_set_solve_precision_switches_hdot_and_restores():
 
     a = jnp.ones((3, 3), jnp.float32)
 
-    def prec_of():
+    def prec_of(dot=None):
         # fresh callable per trace: jax caches traces on the function object,
         # so tracing linalg.hdot itself twice would replay the first jaxpr
-        jaxpr = jax.make_jaxpr(lambda x, y: linalg.hdot(x, y))(a, a)
+        dot = dot or linalg.hdot
+        jaxpr = jax.make_jaxpr(lambda x, y: dot(x, y))(a, a)
         (eqn,) = [e for e in jaxpr.eqns if e.primitive.name == "dot_general"]
         return eqn.params["precision"]
 
-    assert prec_of() == (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+    HI = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+    MID = (jax.lax.Precision.HIGH, jax.lax.Precision.HIGH)
+    assert prec_of() == HI and prec_of(linalg.bdot) == HI
     try:
         linalg.set_solve_precision("high")
-        assert prec_of() == (jax.lax.Precision.HIGH, jax.lax.Precision.HIGH)
+        assert prec_of() == MID and prec_of(linalg.bdot) == MID
+        # mixed: factor-space ops stay exact-f32, batch-scaled projections
+        # drop to 3-pass
+        linalg.set_solve_precision("mixed")
+        assert prec_of() == HI and prec_of(linalg.bdot) == MID
         with pytest.raises(KeyError):
             linalg.set_solve_precision("default")  # deliberately unsupported
     finally:
         linalg.set_solve_precision("highest")
-    assert prec_of() == (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+    assert prec_of() == HI and prec_of(linalg.bdot) == HI

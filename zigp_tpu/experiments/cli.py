@@ -114,14 +114,16 @@ def _common(p):
                         "the model's time units (pptr time is days/1000; "
                         "1 day = 0.001)")
     p.add_argument("--solve-precision", type=str, default=None,
-                   dest="solve_precision", choices=("highest", "high"),
+                   dest="solve_precision", choices=("highest", "high", "mixed"),
                    help="matmul precision on the solve-replacing contractions "
-                        "(ops.linalg.hdot): highest = exact-f32 6-pass bf16 "
-                        "(default, reproduces RESULTS.md); high = 3-pass "
+                        "(ops.linalg.hdot/bdot): highest = exact-f32 6-pass "
+                        "bf16 (default, reproduces RESULTS.md); high = 3-pass "
                         "(~1e-4 rel err on ill-conditioned factors) — measured "
                         "+60%% steps/s on the champion/classifier configs at a "
-                        "small champion-RMSE cost; see RESULTS.md precision "
-                        "study before using for headline numbers")
+                        "small champion-RMSE cost; mixed = 3-pass only on the "
+                        "batch-scaled projections, exact-f32 on factor-space "
+                        "ops and gradients; see RESULTS.md precision study "
+                        "before using for headline numbers")
     p.add_argument("--mesh-data", type=int, default=None, dest="mesh_data",
                    help="shard the minibatch over this many devices (data "
                         "parallelism; batch size must divide it)")

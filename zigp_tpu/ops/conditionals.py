@@ -170,7 +170,7 @@ def kron_conditional(
         # objectives — the GH-Bernoulli quality option plateaus at AUC 0.70
         # off bf16 products and recovers the solve path's trajectory at
         # full precision.
-        V_factors.append(linalg.hdot(Li, Kmn_p))
+        V_factors.append(linalg.bdot(Li, Kmn_p))
 
     if whiten:
         # mean: Kmnᵀ L⁻ᵀ v = (⊗V_p)ᵀ v; posterior-cov term uses V_p directly
@@ -180,7 +180,7 @@ def kron_conditional(
         # alpha = (⊗K_p⁻¹) q_mu, factored
         alpha = linalg.kron_linv_solve(Linvs, q_mu)  # (M, 1)
         proj = [
-            linalg.hdot(Li.T, V_p)  # A_p = K_p⁻¹ Kmn_p
+            linalg.bdot(Li.T, V_p)  # A_p = K_p⁻¹ Kmn_p
             for Li, V_p in zip(Linvs, V_factors)
         ]
         # mean: mu[b] = Σ_m (Π_p Kmn_p[i_p, b]) alpha[m]
@@ -192,15 +192,15 @@ def kron_conditional(
             # S = ⊗ C_p C_pᵀ: PᵀSP = ⊙_p (C_pᵀP_p)ᵀ(C_pᵀP_p)
             c2 = jnp.ones((B, B), dtype=dtype)
             for C, P_p in zip(q_sqrt_factors, proj):
-                CtP = linalg.hdot(jnp.tril(C).T, P_p)  # (M_p, B)
-                c2 = c2 * linalg.hdot(CtP.T, CtP)
+                CtP = linalg.bdot(jnp.tril(C).T, P_p)  # (M_p, B)
+                c2 = c2 * linalg.bdot(CtP.T, CtP)
         else:
             S = jnp.square(q_sqrt_diag[:, 0])
             c2 = _factored_contract_pair(S, sizes, proj)
         # data-fit term Kmnᵀ(⊗K⁻¹)Kmn = ⊙_p V_pᵀV_p
         c1 = jnp.ones((B, B), dtype=dtype)
         for V_p in V_factors:
-            c1 = c1 * linalg.hdot(V_p.T, V_p)
+            c1 = c1 * linalg.bdot(V_p.T, V_p)
         cov = Knn - c1 + c2
         return mu[:, None], cov[:, :, None]
 
@@ -209,7 +209,7 @@ def kron_conditional(
         # diag(PᵀSP)[b] = Π_p ‖C_pᵀ P_p[:, b]‖²  (P = A unwhitened, V whitened)
         c2 = jnp.ones((B,), dtype=dtype)
         for C, P_p in zip(q_sqrt_factors, proj):
-            CtP = linalg.hdot(jnp.tril(C).T, P_p)  # (M_p, B)
+            CtP = linalg.bdot(jnp.tril(C).T, P_p)  # (M_p, B)
             c2 = c2 * jnp.sum(jnp.square(CtP), axis=0)
     else:
         # diagonal S: c2[b] = Σ_m S[m] (Π_p P_p[i_p, b])²

@@ -53,23 +53,37 @@ def cholesky(K: jnp.ndarray) -> jnp.ndarray:
     return _cholesky(K, lower=True)
 
 
-# Precision of the solve-replacing matmuls (hdot + the chol_inv VJP).
+# Precision of the solve-replacing matmuls (hdot/bdot + the chol_inv VJP).
 # HIGHEST = 6-pass bf16 (exact f32 products); HIGH = 3-pass bf16 (drops the
 # lo×lo term, ~1e-5 relative — between exact f32 and the 4e-3 of DEFAULT).
 # Captured at trace time: switch it before building/jitting a train step.
+#
+# Two classes of solve-replacing contraction get independent settings:
+# factor-space ops (M_p×M_p grams, KL solves, the chol_inv VJP, natgrad
+# S-products) go through ``hdot``; batch-scaled projections (L⁻¹Kmn and the
+# C_pᵀP_p kron-cov projections, (M_p, M_p)@(M_p, B) — the contractions that
+# dominate MXU time at large B) go through ``bdot``. "mixed" keeps hdot
+# exact-f32 while dropping bdot to HIGH: the measured +60 % steps/s of the
+# HIGH study on MXU-bound configs comes from the bdot class, while the
+# gradient-side hdot class is where trajectory drift originates (precision
+# study, RESULTS.md).
 _SOLVE_PRECISION = jax.lax.Precision.HIGHEST
+_BULK_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def set_solve_precision(name: str) -> None:
     """Set the matmul precision used on every solve-replacing contraction
-    (``hdot`` and the chol_inv custom VJP): "highest" (default, exact-f32
-    6-pass) or "high" (3-pass, ~1e-5 relative). Affects functions traced
-    AFTER the call — already-jitted steps keep the precision they captured.
+    (``hdot``/``bdot`` and the chol_inv custom VJP): "highest" (default,
+    exact-f32 6-pass), "high" (3-pass, ~1e-5 relative), or "mixed"
+    (factor-space ops exact-f32, batch-scaled projections 3-pass). Affects
+    functions traced AFTER the call — already-jitted steps keep the
+    precision they captured.
     """
-    global _SOLVE_PRECISION
-    _SOLVE_PRECISION = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
+    global _SOLVE_PRECISION, _BULK_PRECISION
+    _SOLVE_PRECISION, _BULK_PRECISION = {
+        "highest": (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST),
+        "high": (jax.lax.Precision.HIGH, jax.lax.Precision.HIGH),
+        "mixed": (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH),
     }[name]
 
 
@@ -79,8 +93,16 @@ def hdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     contractions, catastrophic for the matmuls that REPLACE triangular
     solves (an exact-f32 custom call) in the chol_inv fast path: the
     variance-sensitive GH objective measurably fails to train off the bf16
-    products. Every solve-replacing matmul goes through here."""
+    products. Every factor-space solve-replacing matmul goes through here."""
     return jnp.dot(a, b, precision=_SOLVE_PRECISION)
+
+
+def bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve-replacing matmul of the batch-scaled class (the (M_p, M_p) @
+    (M_p, B) projections in the conditionals). Same default as ``hdot``;
+    under ``set_solve_precision("mixed")`` these drop to HIGH while the
+    gradient-critical factor-space ops stay exact-f32."""
+    return jnp.dot(a, b, precision=_BULK_PRECISION)
 
 
 # Above this factor size the single-program Pallas kernel's sequential column
