@@ -278,3 +278,5 @@ def test_batched_resume_completed_run_is_noop(tmp_path):
     assert mgr.latest_step() == 8
     for a, b in zip(first, again):
         _assert_trees_close(a.model, b.model, rtol=0, atol=0)
+        # no-op resume still populates the per-member health signal
+        assert np.isfinite(b.final_loss)

@@ -225,3 +225,6 @@ def test_natgrad_resume_completed_run_is_noop(rng, tmp_path):
     assert any("nothing to train" in l for l in logs)
     assert mgr.latest_step() == 20  # checkpoint not advanced
     assert _leaves_close(first.model, again.model)
+    # the no-op path still populates the health signal (evaluated on the
+    # restored state), so ensemble-style consumers don't see NaN-unknown
+    assert np.isfinite(again.final_loss)

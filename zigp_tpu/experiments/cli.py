@@ -121,9 +121,10 @@ def _common(p):
                         "(~1e-4 rel err on ill-conditioned factors) — measured "
                         "+60%% steps/s on the champion/classifier configs at a "
                         "small champion-RMSE cost; mixed = 3-pass only on the "
-                        "batch-scaled projections, exact-f32 on factor-space "
-                        "ops and gradients; see RESULTS.md precision study "
-                        "before using for headline numbers")
+                        "batch-scaled projections (and their AD cotangents), "
+                        "exact-f32 on factor-space ops incl. the chol_inv "
+                        "VJP; see RESULTS.md precision study before using "
+                        "for headline numbers")
     p.add_argument("--mesh-data", type=int, default=None, dest="mesh_data",
                    help="shard the minibatch over this many devices (data "
                         "parallelism; batch size must divide it)")

@@ -99,7 +99,7 @@ def run_precision_ab(
     from ..ops import linalg
 
     results = {c: {p: [] for p in policies} for c in configs}
-    losses = {c: {} for c in configs}
+    losses = {c: {p: [] for p in policies} for c in configs}  # every repeat kept
     try:
         for config in configs:
             log_fn(f"== {config} ==")
@@ -113,7 +113,7 @@ def run_precision_ab(
                         num_inner=num_inner, num_blocks=num_blocks,
                     )
                     results[config][policy].append(round(rate, 1))
-                    losses[config][policy] = last
+                    losses[config][policy].append(last)
                     log_fn(f"  {policy:>8s} pass {r}: {rate:8.1f} steps/s "
                            f"(loss {last:.1f})")
     finally:

@@ -164,12 +164,14 @@ def kron_conditional(
         Knn = Knn * (k.K(xp) if full_cov else k.Kdiag(xp))
         Kmn_p = k.K(Z, xp)  # (M_p, B)
         Kmn_factors.append(Kmn_p)
-        # hdot, not @: TPU default matmul precision is bf16, and a 4e-3
+        # bdot, not @: TPU default matmul precision is bf16, and a 4e-3
         # relative error in V (vs the exact-f32 triangular solve this matmul
         # replaces) measurably breaks training of variance-sensitive
         # objectives — the GH-Bernoulli quality option plateaus at AUC 0.70
         # off bf16 products and recovers the solve path's trajectory at
-        # full precision.
+        # full precision. bdot is the batch-scaled class: exact-f32 by
+        # default, 3-pass under set_solve_precision("high"/"mixed") — its
+        # AD cotangents inherit the same precision.
         V_factors.append(linalg.bdot(Li, Kmn_p))
 
     if whiten:

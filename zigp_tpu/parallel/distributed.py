@@ -87,18 +87,24 @@ def make_multihost_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
             f"{ici_data} per-host data shards = {total_data}"
         )
     n_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
-    if n_slices == nproc:
-        # real pod topology (one slice per process): let jax group by slice
+    try:
+        # Topology-aware layout in both pod shapes: multislice (one slice per
+        # DCN granule) or a single slice spanning hosts (process per granule).
+        # create_hybrid_device_mesh applies create_device_mesh's torus-aware
+        # ordering within each granule, which matters for ICI collective
+        # throughput on real TPU topologies.
         from jax.experimental import mesh_utils
 
         devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(ici_data, n_model), dcn_mesh_shape=(nproc, 1)
+            mesh_shape=(ici_data, n_model),
+            dcn_mesh_shape=(nproc, 1),
+            process_is_granule=(n_slices != nproc),
         )
-    else:
-        # CPU / backends without slice topology (the multi-process smoke
+    except (ValueError, AssertionError, NotImplementedError):
+        # Backends without usable topology info (the multi-process CPU smoke
         # test): group by process manually — host-major data axis, model
-        # axis contiguous within a host — the same layout the hybrid mesh
-        # produces on a pod.
+        # axis contiguous within a host — the same granule layout, without
+        # the in-granule torus ordering (meaningless on CPU).
         import numpy as np
 
         devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))

@@ -117,6 +117,20 @@ def _member_pad_ids(mesh, F: int):
     return list(range(F)) + [i % F for i in range(P - F)]
 
 
+def _stacked_first_rows_loss(stacked, xys, batch_size, *, loss_fn=None, aux=None):
+    """Per-member loss of a stacked pytree on each member's first
+    min(batch_size, shortest-member) rows — the deterministic health signal
+    populated on no-op resume paths, where no trained-block loss exists.
+    (For ragged stacks the slice is over real rows of every member since it
+    is capped at the shortest; for the loss_fn+aux convention see
+    make_batched_device_sampling_scan_step.)"""
+    b0 = min(batch_size, min(x.shape[0] for x, _ in xys))
+    Xb = jnp.asarray(np.stack([np.asarray(x)[:b0] for x, _ in xys]))
+    Yb = jnp.asarray(np.stack([np.asarray(y)[:b0] for _, y in xys]))
+    lf = loss_fn if loss_fn is not None else (lambda m, X, Y, a: m.loss(X, Y))
+    return np.asarray(jax.jit(jax.vmap(lf))(stacked, Xb, Yb, aux))
+
+
 def make_batched_device_sampling_scan_step(
     optimizer: optax.GradientTransformation,
     Xs: jnp.ndarray,
@@ -269,6 +283,45 @@ def fit_batched_scanned(
     N = max(lens)
     ragged = len(set(lens)) > 1
 
+    stacked = stack_pytrees(models)
+    if optimizer is None:
+        optimizer = make_optimizer(models[0], default_lr=learning_rate)
+    # init per member (count scalars etc. get their F axis from the vmap)
+    opt_states = jax.vmap(optimizer.init)(stacked)
+
+    # Resume BEFORE the heavy setup (full-dataset stacking/transfer, step
+    # build): a resume that turns out to be a completed-run no-op must not
+    # pay for machinery it never touches.
+    start_step = None
+    if resume and ckpt_manager is not None:
+        restored = ckpt_manager.restore_latest(stacked, opt_states)
+        if restored is not None:
+            stacked, opt_states, start_step = restored
+            log_fn(f"resumed the stacked run from step {start_step}")
+    if start_step is not None and start_step >= num_iter:
+        # resumed a completed run: don't overshoot the budget (see
+        # fit_natgrad_scanned). final_loss is evaluated on each member's
+        # first rows so health-signal consumers (ensemble mixing) see the
+        # restored state, not NaN-unknown.
+        log_fn("checkpoint is already at or past num_iter; nothing to train")
+        finals = _stacked_first_rows_loss(
+            stacked, xys, batch_size, loss_fn=loss_fn, aux=aux
+        )
+        return [
+            FitResult(
+                model=unstack_pytree(stacked, f),
+                opt_state=unstack_pytree(opt_states, f),
+                final_loss=float(finals[f]),
+            )
+            for f in range(real_F)
+        ]
+    start_step = start_step or 0
+
+    if mesh is not None:
+        _check_member_mesh(mesh, F)
+        stacked = member_place(mesh, stacked)
+        opt_states = member_place(mesh, opt_states)
+
     def _pad(a, n):
         pad = n - a.shape[0]
         return a if pad == 0 else np.concatenate([a, np.repeat(np.asarray(a)[-1:], pad, axis=0)], axis=0)
@@ -277,41 +330,11 @@ def fit_batched_scanned(
     Ys = jnp.asarray(np.stack([_pad(np.asarray(y), N) for _, y in xys]))
     num_rows = jnp.asarray(lens, jnp.int32) if ragged else None
 
-    stacked = stack_pytrees(models)
-    if optimizer is None:
-        optimizer = make_optimizer(models[0], default_lr=learning_rate)
-    # init per member (count scalars etc. get their F axis from the vmap)
-    opt_states = jax.vmap(optimizer.init)(stacked)
-    if mesh is not None:
-        _check_member_mesh(mesh, F)
-        stacked = member_place(mesh, stacked)
-        opt_states = member_place(mesh, opt_states)
-
     step = make_batched_device_sampling_scan_step(
         optimizer, Xs, Ys, batch_size, loss_fn,
         num_rows=num_rows, aux=aux, mesh=mesh,
     )
 
-    start_step = 0
-    if resume and ckpt_manager is not None:
-        restored = ckpt_manager.restore_latest(stacked, opt_states)
-        if restored is not None:
-            stacked, opt_states, start_step = restored
-            if mesh is not None:
-                stacked = member_place(mesh, stacked)
-                opt_states = member_place(mesh, opt_states)
-            log_fn(f"resumed the stacked run from step {start_step}")
-    if start_step >= num_iter > 0:
-        # resumed a completed run: don't overshoot the budget (see
-        # fit_natgrad_scanned)
-        log_fn("checkpoint is already at or past num_iter; nothing to train")
-        return [
-            FitResult(
-                model=unstack_pytree(stacked, f),
-                opt_state=unstack_pytree(opt_states, f),
-            )
-            for f in range(real_F)
-        ]
     if ckpt_manager is not None and ckpt_manager.latest_step() is None:
         ckpt_manager.save_at(start_step, stacked, opt_states)
 
@@ -470,12 +493,6 @@ def fit_natgrad_batched(
             "fit_natgrad_batched requires equal-shaped member datasets "
             f"(got {[x.shape for x, _ in xys]})"
         )
-    Xs = jnp.asarray(np.stack([np.asarray(x) for x, _ in xys]))
-    Ys = jnp.asarray(np.stack([np.asarray(y) for _, y in xys]))
-    N = Xs.shape[1]
-    if mesh is not None:
-        _check_member_mesh(mesh, F)
-        Xs, Ys = member_place(mesh, (Xs, Ys))
 
     # budget guards, mirroring fit_natgrad_scanned
     num_iter = int(num_iter)
@@ -488,6 +505,8 @@ def fit_natgrad_batched(
         max_mean_step=max_mean_step, kron_joint=kron_joint, kl_cap=kl_cap,
     )
 
+    # Resume BEFORE the heavy setup (full-dataset stacking/transfer): a
+    # completed-run no-op must not pay for machinery it never touches.
     stacked = opt_states = None
     start_step = None
     if resume and ckpt_manager is not None:
@@ -501,15 +520,25 @@ def fit_natgrad_batched(
 
     if start_step is not None and start_step >= num_iter:
         # resumed a completed run: don't overshoot the budget (see
-        # fit_natgrad_scanned)
+        # fit_natgrad_scanned); final_loss evaluated on first rows so
+        # health-signal consumers see the restored state, not NaN-unknown
         log_fn("checkpoint is already at or past num_iter; nothing to train")
+        finals = _stacked_first_rows_loss(stacked, xys, batch_size)
         return [
             FitResult(
                 model=unstack_pytree(stacked, f),
                 opt_state=unstack_pytree(opt_states, f),
+                final_loss=float(finals[f]),
             )
             for f in range(real_F)
         ]
+
+    Xs = jnp.asarray(np.stack([np.asarray(x) for x, _ in xys]))
+    Ys = jnp.asarray(np.stack([np.asarray(y) for _, y in xys]))
+    N = Xs.shape[1]
+    if mesh is not None:
+        _check_member_mesh(mesh, F)
+        Xs, Ys = member_place(mesh, (Xs, Ys))
 
     if start_step is None:
         if adam_warmup:

@@ -785,9 +785,20 @@ def fit_natgrad_scanned(
     if start_step is not None and start_step >= num_iter:
         # resumed a completed run: training past the requested budget (and
         # advancing the checkpoint) would make --resume non-idempotent —
-        # mirror the Adam path's guard (runners._fit_auto)
+        # mirror the Adam path's guard (runners._fit_auto). final_loss is
+        # evaluated on the first training rows when the dataset exposes them
+        # so health-signal consumers see the restored state, not NaN-unknown.
         log_fn("checkpoint is already at or past num_iter; nothing to train")
-        return FitResult(model=model, opt_state=opt_state)
+        final = float("nan")
+        if hasattr(data, "arrays"):
+            Xa, Ya = data.arrays
+            b0 = min(batch_size, Xa.shape[0])
+            final = float(
+                jax.jit(lambda m, X, Y: m.loss(X, Y))(
+                    model, jnp.asarray(Xa[:b0]), jnp.asarray(Ya[:b0])
+                )
+            )
+        return FitResult(model=model, opt_state=opt_state, final_loss=final)
 
     if start_step is None:
         if adam_warmup:
