@@ -75,6 +75,29 @@ def test_cli_cv_command(synth_pptr, tmp_path):
     assert (tmp_path / "cvrun" / "cv_summary.json").exists()
 
 
+def test_cli_cv_preset_and_precision(synth_pptr, tmp_path):
+    """`cv --preset best --solve-precision mixed` reaches the tuned configs
+    and the global precision policy (previously only the per-fold commands
+    exposed either, so the champion 5-fold protocol wasn't reproducible in
+    one CLI invocation)."""
+    from zigp_tpu.ops import linalg
+
+    wd = str(tmp_path / "cvbest")
+    try:
+        rc = main(["cv", "--models", "onoff", "--data", synth_pptr,
+                   "--workdir", wd, "--iters", "10", "--batch", "64",
+                   "--preset", "best", "--solve-precision", "mixed"])
+        assert rc == 0
+        assert linalg._BULK_PRECISION != linalg._SOLVE_PRECISION  # mixed took
+    finally:
+        linalg.set_solve_precision("highest")
+    assert (tmp_path / "cvbest" / "cv_summary.json").exists()
+    # the best-preset onoff config (champion family) actually reached the run
+    with open(tmp_path / "cvbest" / "1" / "results_onoff.pickle", "rb") as f:
+        res = pickle.load(f)
+    assert "test_rmse" in res
+
+
 def test_cli_predict_roundtrip(synth_pptr, tmp_path):
     """`predict` restores the latest checkpoint written by a training run and
     writes predictions without training (reference onofftf/*pred.py flow)."""

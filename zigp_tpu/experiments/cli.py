@@ -178,6 +178,18 @@ def main(argv=None):
     p_cv.add_argument("--workdir", type=str, default="runs/cv_full")
     p_cv.add_argument("--iters", type=int, default=None)
     p_cv.add_argument("--batch", type=int, default=None)
+    p_cv.add_argument("--preset", type=str, default="reference",
+                      choices=("reference", "best"),
+                      help="reference = the paper's per-variant configs; best "
+                           "= the RESULTS.md tuned/champion configs (onoff "
+                           "champion preset, tuned svgp/classifier)")
+    p_cv.add_argument("--solve-precision", type=str, default=None,
+                      dest="solve_precision",
+                      choices=("highest", "high", "mixed"),
+                      help="matmul precision on the solve-replacing "
+                           "contractions, applied to every variant/fold (see "
+                           "the per-fold commands and RESULTS.md precision "
+                           "study)")
     p_cv.add_argument("--batched", action="store_true",
                       help="train all folds of each variant simultaneously "
                            "(one compile + one dispatch stream per variant; "
@@ -240,7 +252,14 @@ def main(argv=None):
         return 0
 
     if args.cmd == "cv":
-        from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
+        from .configs import (
+            ClassifierPptrConfig,
+            OnOffPptrConfig,
+            SvgpPptrConfig,
+            best_onoff_config,
+            tuned_classifier_config,
+            tuned_svgp_config,
+        )
         from .cv import run_cv
 
         def _ckw(cfg):
@@ -263,12 +282,22 @@ def main(argv=None):
 
         os.makedirs(args.workdir, exist_ok=True)
         log = _setup_logging(args.workdir, "cv")
+        if args.solve_precision:
+            # Global trace-time policy; set before any step function is built.
+            from ..ops import linalg
+
+            linalg.set_solve_precision(args.solve_precision)
+            log(f"solve precision: {args.solve_precision}")
+        best = args.preset == "best"
+        base_onoff = best_onoff_config() if best else OnOffPptrConfig()
+        base_svgp = tuned_svgp_config() if best else SvgpPptrConfig()
+        base_clf = tuned_classifier_config() if best else ClassifierPptrConfig()
         variants = [m.strip() for m in args.models.split(",") if m.strip()]
         kwargs = dict(
             splits=make_cv_splits(load_pptr(args.data)),
-            onoff_cfg=_ckw(OnOffPptrConfig(log_every=0)),
-            svgp_cfg=_ckw(SvgpPptrConfig(log_every=0)),
-            clf_cfg=_ckw(ClassifierPptrConfig(log_every=0)),
+            onoff_cfg=_ckw(dataclasses.replace(base_onoff, log_every=0)),
+            svgp_cfg=_ckw(dataclasses.replace(base_svgp, log_every=0)),
+            clf_cfg=_ckw(dataclasses.replace(base_clf, log_every=0)),
             workdir=args.workdir,
             log_fn=log,
         )
