@@ -200,7 +200,9 @@ def test_chol_inv_blocked_matches_numpy(rng):
     matmuls — parity at the scale config's n=250 and friends."""
     from zigp_tpu.ops.pallas.chol_inv import chol_inv_blocked
 
-    for n in (130, 250, 256, 300):
+    # 200 = the champion grid's temporal factor (ragged adaptive 104+96);
+    # 250 = the scale config's (128+122); 256 divides evenly; 130/300 odd
+    for n in (130, 200, 250, 256, 300):
         K = _spd(rng, (2, n, n))
         L, Linv = chol_inv_blocked(jnp.asarray(K, jnp.float32), interpret=True)
         L0 = np.linalg.cholesky(K)

@@ -109,9 +109,9 @@ def bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # loop loses to alternatives (measured on v5e at the 105×250 scale config:
 # n=250 via the sequential kernel costs ~25 % of step throughput; n=100 wins
 # ~1.6×). For 128 < n ≤ _PALLAS_BLOCKED_MAX_N the two-level blocked variant
-# (sequential kernel on 128×128 diagonal blocks, exact-f32 MXU matmuls for
-# panels/updates) takes over; beyond that, XLA chol + solve. Either way
-# downstream stays solve-free (matmuls against L⁻¹).
+# (sequential kernel on ragged adaptive ≤128 diagonal blocks, exact-f32 MXU
+# matmuls for panels/updates) takes over; beyond that, XLA chol + solve.
+# Either way downstream stays solve-free (matmuls against L⁻¹).
 #
 # Measured (v5e, round 3): per standalone call the blocked kernel beats the
 # XLA chol+solve pair ~30 % at n=250-500 (1080 vs 1507 µs incl. dispatch)

@@ -384,11 +384,11 @@ def chol_inv_pallas(K, *, interpret: bool = False, rank: int = 4):
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
-def chol_inv_blocked(K, *, nb: int = 128, interpret: bool = False):
+def chol_inv_blocked(K, *, nb: int | None = None, interpret: bool = False):
     """Blocked (L, L⁻¹) for medium matrices (128 < n ≤ 512, float32).
 
-    Two-level scheme (VERDICT r2 #2): the exact sequential rank-2 Pallas
-    kernel factorizes the nb×nb *diagonal* blocks — where fp exactness is
+    Two-level scheme (VERDICT r2 #2): the exact sequential rank-4 Pallas
+    kernel factorizes the *diagonal* blocks — where fp exactness is
     load-bearing (pivots/divisions) — while panels, trailing Schur updates,
     and the L⁻¹ block back-substitution are MXU matmuls at Precision.HIGHEST
     (exact f32 via 6-pass; these matmuls REPLACE triangular solves, so bf16
@@ -396,22 +396,36 @@ def chol_inv_blocked(K, *, nb: int = 128, interpret: bool = False):
     failure of the uniformly-bf16 8×8 blocked variant). Sequential vector
     work drops from O(n³) to O(n·nb²); the O(n³) bulk rides the MXU.
 
+    Blocks are RAGGED with an adaptive size: ``nb=None`` picks
+    ceil(n/ceil(n/128)) rounded up to the 8-sublane granule, and the last
+    block is simply smaller — a fixed-128 grid instead pads n up to a
+    multiple of 128 and runs the sequential kernel over up to 127 columns of
+    identity padding (n=200 costs two full 128-blocks, 64 loop iterations on
+    16-sublane tiles; adaptive 104+96 costs 50 iterations on 13-sublane
+    tiles). Measured (v5e, interleaved 3×8×100-step blocks,
+    results/blocked_ragged_ab.json): a WASH — champion 32×200 config 2399 vs
+    2394 steps/s, scale 105×250 2846 vs 2870 — the sequential kernel's wall
+    time is not proportional to iterations × tile rows at these sizes (loop
+    overhead and the scalar pivot chain dominate). Ragged kept for the
+    cleaner semantics (never factorizes padding) at equal measured cost.
+
     Replaces the XLA fallback at the 105×250 scale config, where the 250-knot
     temporal factor's chol+solve custom calls dominate the step (RESULTS.md).
     Reference hot spot being replaced: /root/reference/onofftf/main.py:356.
     """
     batch_shape = K.shape[:-2]
     n = K.shape[-1]
-    nblk = -(-n // nb)
-    m = nblk * nb
+    if nb is None:
+        nblk = -(-n // 128)
+        even = -(-n // nblk)  # ceil(n/nblk): evenly split the blocks ...
+        nb = -(-even // 8) * 8  # ... rounded up to the 8-sublane granule
+    offs = list(range(0, n, nb)) + [n]
+    if offs[-2] == n:
+        offs = offs[:-1]  # n divisible by nb: no ragged tail
+    nblk = len(offs) - 1
+    sizes = [offs[i + 1] - offs[i] for i in range(nblk)]
     Kb = K.astype(jnp.float32).reshape((-1, n, n))
-    if m != n:
-        # identity tail: chol/inv of blockdiag(K, I) = blockdiag(chol K, I)
-        Kb = jnp.pad(Kb, ((0, 0), (0, m - n), (0, m - n)))
-        tail = (jnp.arange(m)[:, None] == jnp.arange(m)[None, :]) & (
-            jnp.arange(m)[None, :] >= n
-        )
-        Kb = Kb + tail.astype(Kb.dtype)[None]
+    G = Kb.shape[0]
 
     hi = jax.lax.Precision.HIGHEST
     mm = lambda a, b: jnp.matmul(a, b, precision=hi)
@@ -422,16 +436,16 @@ def chol_inv_blocked(K, *, nb: int = 128, interpret: bool = False):
     Lb = [[None] * nblk for _ in range(nblk)]
     Ld_inv = [None] * nblk
     for i in range(nblk):
-        d = slice(i * nb, (i + 1) * nb)
+        d = slice(offs[i], offs[i + 1])
         Lii, Linv_ii = chol_inv_pallas(A[:, d, d], interpret=interpret)
         Lb[i][i] = Lii
         Ld_inv[i] = Linv_ii
         if i + 1 < nblk:
-            t = slice((i + 1) * nb, m)
+            t = slice(offs[i + 1], n)
             # panel: L[t, i] = A[t, i] L_iiᵀ⁻¹  (matmul against the inverse)
             P = mm(A[:, t, d], mT(Linv_ii))
             for j in range(i + 1, nblk):
-                Lb[j][i] = P[:, (j - i - 1) * nb : (j - i) * nb, :]
+                Lb[j][i] = P[:, offs[j] - offs[i + 1] : offs[j + 1] - offs[i + 1], :]
             A = A.at[:, t, t].add(-mm(P, mT(P)))
 
     # L⁻¹ by block forward substitution: (L⁻¹)_ij = −L_ii⁻¹ Σ_k L_ik (L⁻¹)_kj
@@ -439,28 +453,32 @@ def chol_inv_blocked(K, *, nb: int = 128, interpret: bool = False):
     for i in range(nblk):
         Bi[i][i] = Ld_inv[i]
         for j in range(i - 1, -1, -1):
-            S = Bi[j][j] * 0.0  # (G, nb, nb) zeros of the right dtype
+            S = jnp.zeros((G, sizes[i], sizes[j]), dtype=Kb.dtype)
             for k in range(j, i):
                 S = S + mm(Lb[i][k], Bi[k][j])
             Bi[i][j] = -mm(Ld_inv[i], S)
 
-    zero = jnp.zeros_like(Ld_inv[0])
-    L = jnp.concatenate(
-        [
-            jnp.concatenate([Lb[i][j] if j <= i else zero for j in range(nblk)], axis=-1)
-            for i in range(nblk)
-        ],
-        axis=-2,
-    )
-    Linv = jnp.concatenate(
-        [
-            jnp.concatenate([Bi[i][j] if j <= i else zero for j in range(nblk)], axis=-1)
-            for i in range(nblk)
-        ],
-        axis=-2,
-    )
+    def _assemble(blocks):
+        return jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        blocks[i][j]
+                        if j <= i
+                        else jnp.zeros((G, sizes[i], sizes[j]), dtype=Kb.dtype)
+                        for j in range(nblk)
+                    ],
+                    axis=-1,
+                )
+                for i in range(nblk)
+            ],
+            axis=-2,
+        )
+
+    L = _assemble(Lb)
+    Linv = _assemble(Bi)
     return (
-        L[:, :n, :n].reshape(batch_shape + (n, n)),
-        Linv[:, :n, :n].reshape(batch_shape + (n, n)),
+        L.reshape(batch_shape + (n, n)),
+        Linv.reshape(batch_shape + (n, n)),
     )
 
