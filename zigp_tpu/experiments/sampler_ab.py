@@ -1,0 +1,164 @@
+"""Interleaved A/B of the device-sampler gather strategies on real hardware.
+
+Round 3's step trace (profile_step at the champion 32x200 B=4000 config)
+attributed ~60 us/step to async slice copies: the per-step
+`Xtrain[randint(key, (B,))]` gather re-stages rows of the HBM-resident
+training set into scoped memory on every scan iteration. The shipped
+device sampler (training/scan.make_device_sampling_scan_step) therefore
+draws the WHOLE dispatch's minibatches with one randint + one gather and
+scans over the staged (K, B, .) block.
+
+This harness keeps the superseded per-step-gather variant inline (it no
+longer exists in the library) and interleaves it with the shipped staged
+variant within one process, one round-robin pass per repeat, so tunnel
+variance hits both equally — the repo's measurement convention for small
+deltas.
+
+Note the two variants draw different (equally valid) iid-uniform index
+streams: staged uses randint(block_key, (K*B,)) where per-step splits
+block_key into K per-step keys. Loss columns are therefore not comparable
+bit-for-bit between variants, only within one.
+
+Usage: python -m zigp_tpu.experiments.sampler_ab
+           [--configs flagship,champion,scale] [--blocks 8] [--inner 100]
+           [--repeats 3] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+from .precision_ab import _build
+
+
+def _make_perstep_gather_step(optimizer, Xtrain, Ytrain, batch_size, *, unroll=8):
+    """The superseded round-2/3 device sampler: one gather per scan step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    Xtrain = jnp.asarray(Xtrain)
+    Ytrain = jnp.asarray(Ytrain)
+    N = Xtrain.shape[0]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
+    def step(model, opt_state, block_key, num_inner):
+        keys = jax.random.split(block_key, num_inner)
+
+        def body(carry, key):
+            model, opt_state = carry
+            idx = jax.random.randint(key, (batch_size,), 0, N)
+            X, Y = Xtrain[idx], Ytrain[idx]
+            loss, grads = jax.value_and_grad(lambda m: m.loss(X, Y))(model)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), loss
+
+        (model, opt_state), losses = jax.lax.scan(
+            body, (model, opt_state), keys, unroll=unroll
+        )
+        return model, opt_state, losses
+
+    return step
+
+
+def _measure_once(model, arrays, batch, cfg, variant, *, num_inner, num_blocks):
+    import jax
+    import jax.numpy as jnp
+
+    from ..training.optim import make_optimizer
+    from ..training.scan import make_device_sampling_scan_step
+
+    X, Y = (jnp.asarray(np.asarray(a)) for a in arrays)
+    model = jax.tree_util.tree_map(jnp.array, model)
+    optimizer = make_optimizer(model, default_lr=cfg.indp_lr)
+    opt_state = optimizer.init(model)
+    if variant == "staged":
+        step = make_device_sampling_scan_step(optimizer, X, Y, batch)
+    elif variant == "perstep":
+        step = _make_perstep_gather_step(optimizer, X, Y, batch)
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+    key = jnp.asarray(np.array([0, 0], dtype=np.uint32))
+    model, opt_state, losses = step(model, opt_state, key, num_inner)
+    jax.block_until_ready(losses)
+    t0 = time.time()
+    for b in range(1, num_blocks + 1):
+        key = jnp.asarray(np.array([0, b], dtype=np.uint32))
+        model, opt_state, losses = step(model, opt_state, key, num_inner)
+    jax.block_until_ready(losses)
+    rate = num_blocks * num_inner / (time.time() - t0)
+    return rate, float(losses[-1])
+
+
+def run_sampler_ab(
+    configs=("flagship", "champion"),
+    variants=("perstep", "staged"),
+    num_inner: int = 100,
+    num_blocks: int = 8,
+    repeats: int = 3,
+    out: str | None = None,
+    log_fn=print,
+):
+    results = {c: {v: [] for v in variants} for c in configs}
+    losses = {c: {v: [] for v in variants} for c in configs}
+    for config in configs:
+        log_fn(f"== {config} ==")
+        built = _build(config)
+        for r in range(repeats):
+            for variant in variants:  # interleaved round-robin
+                rate, last = _measure_once(
+                    built[0], built[1], built[2], built[3], variant,
+                    num_inner=num_inner, num_blocks=num_blocks,
+                )
+                results[config][variant].append(round(rate, 1))
+                losses[config][variant].append(last)
+                log_fn(f"  {variant:>8s} pass {r}: {rate:8.1f} steps/s "
+                       f"(loss {last:.1f})")
+
+    summary = {
+        "task": "interleaved device-sampler gather A/B "
+                "(staged block vs per-step gather)",
+        "num_inner": num_inner,
+        "num_blocks": num_blocks,
+        "steps_per_sec_median": {
+            c: {v: sorted(vals)[len(vals) // 2] for v, vals in d.items() if vals}
+            for c, d in results.items()
+        },
+        "steps_per_sec_all": results,
+        "final_block_loss": losses,
+    }
+    log_fn(json.dumps(summary["steps_per_sec_median"]))
+    if out:
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=1)
+        log_fn(f"wrote {out}")
+    return summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--configs", type=str, default="flagship,champion")
+    ap.add_argument("--variants", type=str, default="perstep,staged")
+    ap.add_argument("--inner", type=int, default=100)
+    ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args(argv)
+    run_sampler_ab(
+        configs=tuple(args.configs.split(",")),
+        variants=tuple(args.variants.split(",")),
+        num_inner=args.inner,
+        num_blocks=args.blocks,
+        repeats=args.repeats,
+        out=args.out,
+    )
+
+
+if __name__ == "__main__":
+    main()

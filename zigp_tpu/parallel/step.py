@@ -168,25 +168,35 @@ def make_device_sampling_sharded_scan_step(
 
     cache = {}
     body_step, ensure = _scan_body_fns(optimizer, loss_fn, mesh, tp, cache)
-    bsh = NamedSharding(mesh, P("data", None))
+    blk_sh = NamedSharding(mesh, P(None, "data", None))
     rep = NamedSharding(mesh, P())
     Xtrain = jax.device_put(Xtrain, rep)
     Ytrain = jax.device_put(Ytrain, rep)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
     def _step(model, opt_state, block_key, num_inner):
-        keys = jax.random.split(block_key, num_inner)
+        # ONE draw + ONE gather per dispatch, exactly like the single-device
+        # sampler (same randint call on the same key → identical index
+        # sequence); the staged block is row-sharded over ``data`` so each
+        # scan slice arrives already distributed. See
+        # training/scan.make_device_sampling_scan_step for the staging
+        # rationale (per-step gathers re-stage the training set every step).
+        idx = jax.random.randint(block_key, (num_inner * batch_size,), 0, N)
+        Xs = jax.lax.with_sharding_constraint(
+            Xtrain[idx].reshape(num_inner, batch_size, Xtrain.shape[1]), blk_sh
+        )
+        Ys = jax.lax.with_sharding_constraint(
+            Ytrain[idx].reshape(num_inner, batch_size, Ytrain.shape[1]), blk_sh
+        )
 
-        def body(carry, key):
+        def body(carry, xy):
             model, opt_state = carry
-            idx = jax.random.randint(key, (batch_size,), 0, N)
-            X = jax.lax.with_sharding_constraint(Xtrain[idx], bsh)
-            Y = jax.lax.with_sharding_constraint(Ytrain[idx], bsh)
+            X, Y = xy
             model, opt_state, loss = body_step(model, opt_state, X, Y)
             return (model, opt_state), loss
 
         (model, opt_state), losses = jax.lax.scan(
-            body, (model, opt_state), keys, unroll=unroll
+            body, (model, opt_state), (Xs, Ys), unroll=unroll
         )
         return model, opt_state, losses
 

@@ -178,20 +178,23 @@ def make_batched_device_sampling_scan_step(
     def step(models, opt_states, block_keys, num_inner):
         def one_member(model, opt_state, Xf, Yf, block_key, nf, aux_f):
             # same per-member key stream as fit_scanned's device sampler:
-            # all inner keys derive from the one block key inside the jit
-            keys = jax.random.split(block_key, num_inner)
+            # ONE index draw + ONE gather per dispatch (per-step gathers
+            # re-stage the member's training rows into scoped VMEM every
+            # step — see training/scan.make_device_sampling_scan_step)
+            idx = jax.random.randint(block_key, (num_inner * batch_size,), 0, nf)
+            Xg = Xf[idx].reshape(num_inner, batch_size, Xf.shape[1])
+            Yg = Yf[idx].reshape(num_inner, batch_size, Yf.shape[1])
 
-            def body(carry, key):
+            def body(carry, xy):
                 model, opt_state = carry
-                idx = jax.random.randint(key, (batch_size,), 0, nf)
-                X, Y = Xf[idx], Yf[idx]
+                X, Y = xy
                 loss, grads = jax.value_and_grad(_loss)(model, X, Y, aux_f)
                 updates, opt_state = optimizer.update(grads, opt_state, model)
                 model = optax.apply_updates(model, updates)
                 return (model, opt_state), loss
 
             (model, opt_state), losses = jax.lax.scan(
-                body, (model, opt_state), keys, unroll=unroll
+                body, (model, opt_state), (Xg, Yg), unroll=unroll
             )
             return model, opt_state, losses
 
@@ -562,19 +565,23 @@ def fit_natgrad_batched(
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(stacked, opt_states, block_keys, gammas, local_steps):
         def one_member(model, opt_state, Xf, Yf, block_key):
-            keys = jax.random.split(block_key, gammas.shape[0])
+            # ONE index draw + ONE gather per dispatch (same staging
+            # rationale as training/scan.make_device_sampling_scan_step)
+            K = gammas.shape[0]
+            idx = jax.random.randint(block_key, (K * batch_size,), 0, N)
+            Xg = Xf[idx].reshape(K, batch_size, Xf.shape[1])
+            Yg = Yf[idx].reshape(K, batch_size, Yf.shape[1])
 
             def body(carry, inp):
                 model, opt_state = carry
-                key, g, i = inp
-                idx = jax.random.randint(key, (batch_size,), 0, N)
+                X, Y, g, i = inp
                 model, opt_state, loss = trainer._step_body(
-                    model, opt_state, Xf[idx], Yf[idx], g, i
+                    model, opt_state, X, Y, g, i
                 )
                 return (model, opt_state), loss
 
             (model, opt_state), losses = jax.lax.scan(
-                body, (model, opt_state), (keys, gammas, local_steps),
+                body, (model, opt_state), (Xg, Yg, gammas, local_steps),
                 unroll=unroll,
             )
             return model, opt_state, losses

@@ -640,10 +640,10 @@ class NaturalGradientTrainer:
     ):
         """Device-sampling variant of make_scan_step (mirrors
         training/scan.make_device_sampling_scan_step): the training set lives
-        in HBM, each scan iteration draws a uniform minibatch inside the
-        jitted step, and the host ships one PRNG key + the (K,) γ/step
-        schedules per dispatch. (model, opt_state, block_key, gammas, steps)
-        -> (model, opt_state, losses).
+        in HBM, the whole dispatch's minibatches are drawn with one gather
+        inside the jitted step, and the host ships one PRNG key + the (K,)
+        γ/step schedules per dispatch. (model, opt_state, block_key, gammas,
+        steps) -> (model, opt_state, losses).
 
         With a ``mesh`` the training set lives replicated on every device and
         the drawn minibatch is constrained to the mesh ``data`` axis — same
@@ -653,7 +653,7 @@ class NaturalGradientTrainer:
         Ytrain = jnp.asarray(Ytrain)
         N = Xtrain.shape[0]
 
-        bsh = None
+        blk_sh = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -661,30 +661,34 @@ class NaturalGradientTrainer:
                 f"batch size {batch_size} not divisible by data axis "
                 f"{mesh.shape['data']}"
             )
-            bsh = NamedSharding(mesh, P("data", None))
+            blk_sh = NamedSharding(mesh, P(None, "data", None))
             rep = NamedSharding(mesh, P())
             Xtrain = jax.device_put(Xtrain, rep)
             Ytrain = jax.device_put(Ytrain, rep)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(model, opt_state, block_key, gammas, steps):
-            keys = jax.random.split(block_key, gammas.shape[0])
+            # ONE draw + ONE gather per dispatch (same staging rationale as
+            # training/scan.make_device_sampling_scan_step: a per-step gather
+            # re-stages the training set into scoped VMEM every step).
+            K = gammas.shape[0]
+            idx = jax.random.randint(block_key, (K * batch_size,), 0, N)
+            Xs = Xtrain[idx].reshape(K, batch_size, Xtrain.shape[1])
+            Ys = Ytrain[idx].reshape(K, batch_size, Ytrain.shape[1])
+            if blk_sh is not None:
+                Xs = jax.lax.with_sharding_constraint(Xs, blk_sh)
+                Ys = jax.lax.with_sharding_constraint(Ys, blk_sh)
 
             def body(carry, inp):
                 model, opt_state = carry
-                key, gamma, i = inp
-                idx = jax.random.randint(key, (batch_size,), 0, N)
-                X, Y = Xtrain[idx], Ytrain[idx]
-                if bsh is not None:
-                    X = jax.lax.with_sharding_constraint(X, bsh)
-                    Y = jax.lax.with_sharding_constraint(Y, bsh)
+                X, Y, gamma, i = inp
                 model, opt_state, loss = self._step_body(
                     model, opt_state, X, Y, gamma, i
                 )
                 return (model, opt_state), loss
 
             (model, opt_state), losses = jax.lax.scan(
-                body, (model, opt_state), (keys, gammas, steps), unroll=unroll
+                body, (model, opt_state), (Xs, Ys, gammas, steps), unroll=unroll
             )
             return model, opt_state, losses
 

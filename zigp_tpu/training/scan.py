@@ -74,8 +74,8 @@ def make_device_sampling_scan_step(
     dispatch; through this machine's TPU tunnel that transfer caps the 26k-
     inducing scale config at ~850 steps/s against a ~2,900 steps/s device
     rate (measured). Here the training set lives in HBM once (pptr: ~1.3 MB)
-    and each scan iteration draws a uniform minibatch with jax.random inside
-    the step, so the per-dispatch host traffic is K PRNG keys (~1 KB).
+    and the whole dispatch's minibatches are drawn with ONE jax.random gather
+    inside the step, so the per-dispatch host traffic is one PRNG key.
 
     Sampling is iid-uniform-with-replacement (the unbiased SVI estimator)
     rather than the host pipeline's shuffled epochs — statistically
@@ -91,22 +91,30 @@ def make_device_sampling_scan_step(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
     def step(model, opt_state, block_key, num_inner):
-        # All per-step keys derive from one block key INSIDE the jit: the
-        # host passes a single key per dispatch, so there are no extra tiny
-        # device round-trips between blocks to break dispatch pipelining.
-        keys = jax.random.split(block_key, num_inner)
+        # ONE index draw + ONE gather for the whole dispatch (the host still
+        # ships just the block key): the scan consumes pre-gathered (K, B, ·)
+        # slices instead of gathering per step. Interleaved TPU A/B
+        # (results/sampler_gather_ab.json): +5.6% steps/s at the latency-
+        # bound flagship config, neutral at the MXU-bound champion/scale
+        # configs (XLA overlaps the per-step gather's async copies there).
+        # Same iid-uniform-with-replacement estimator and determinism
+        # (indices are a pure function of the block key); HBM cost is the
+        # staged block itself (K·B·(D+1) f32 — 6.4 MB at the champion
+        # 100×4000).
+        idx = jax.random.randint(block_key, (num_inner * batch_size,), 0, N)
+        Xs = Xtrain[idx].reshape(num_inner, batch_size, Xtrain.shape[1])
+        Ys = Ytrain[idx].reshape(num_inner, batch_size, Ytrain.shape[1])
 
-        def body(carry, key):
+        def body(carry, xy):
             model, opt_state = carry
-            idx = jax.random.randint(key, (batch_size,), 0, N)
-            X, Y = Xtrain[idx], Ytrain[idx]
+            X, Y = xy
             loss, grads = jax.value_and_grad(_loss)(model, X, Y)
             updates, opt_state = optimizer.update(grads, opt_state, model)
             model = optax.apply_updates(model, updates)
             return (model, opt_state), loss
 
         (model, opt_state), losses = jax.lax.scan(
-            body, (model, opt_state), keys, unroll=unroll
+            body, (model, opt_state), (Xs, Ys), unroll=unroll
         )
         return model, opt_state, losses
 
