@@ -213,6 +213,33 @@ def test_device_sampler_trains_and_is_deterministic(tmp_path, rng):
     np.testing.assert_allclose(r1.losses, r2.losses, rtol=0, atol=0)
 
 
+def test_device_sampler_staged_gather_is_rank_agnostic(rng):
+    """The one-gather-per-dispatch staging must preserve arbitrary trailing
+    dims (library use: 1-D targets with a custom loss_fn), like the per-step
+    ``Ytrain[idx]`` gather it replaced."""
+    import jax.numpy as jnp
+    import optax
+
+    from zigp_tpu.training.scan import make_device_sampling_scan_step
+
+    N = 64
+    X = jnp.asarray(rng.rand(N, 3), jnp.float32)
+    y = jnp.asarray(rng.rand(N), jnp.float32)  # rank-1 targets
+
+    def loss_fn(params, Xb, Yb):
+        assert Yb.ndim == 1
+        return jnp.mean((Xb @ params["w"] - Yb) ** 2)
+
+    optimizer = optax.adam(1e-2)
+    params = {"w": jnp.zeros((3,), jnp.float32)}
+    step = make_device_sampling_scan_step(optimizer, X, y, 16, loss_fn)
+    key = jax.random.PRNGKey(0)
+    params, _, losses = step(params, optimizer.init(params), key, 20)
+    assert losses.shape == (20,)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert losses[-1] < losses[0]
+
+
 def test_device_sampler_resume_reproduces_uninterrupted_run(rng, tmp_path):
     """sampler='device': block keys derive from (sampler_seed, step//inner),
     so a kill-and-resume run must reproduce the uninterrupted trajectory

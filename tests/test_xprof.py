@@ -2,7 +2,7 @@
 
 Captures a real jax.profiler trace of a tiny jitted function on the test
 backend (CPU) and checks the wire-format decoder finds planes, op names, and
-nonzero durations — i.e. the `experiments profile` tool's parsing layer works
+nonzero durations — i.e. the `experiments.profile_step` tool's parsing layer works
 against whatever xplane schema this jax version writes."""
 
 import jax

@@ -420,8 +420,6 @@ def chol_inv_blocked(K, *, nb: int | None = None, interpret: bool = False):
         even = -(-n // nblk)  # ceil(n/nblk): evenly split the blocks ...
         nb = -(-even // 8) * 8  # ... rounded up to the 8-sublane granule
     offs = list(range(0, n, nb)) + [n]
-    if offs[-2] == n:
-        offs = offs[:-1]  # n divisible by nb: no ragged tail
     nblk = len(offs) - 1
     sizes = [offs[i + 1] - offs[i] for i in range(nblk)]
     Kb = K.astype(jnp.float32).reshape((-1, n, n))

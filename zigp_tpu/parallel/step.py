@@ -183,10 +183,10 @@ def make_device_sampling_sharded_scan_step(
         # rationale (per-step gathers re-stage the training set every step).
         idx = jax.random.randint(block_key, (num_inner * batch_size,), 0, N)
         Xs = jax.lax.with_sharding_constraint(
-            Xtrain[idx].reshape(num_inner, batch_size, Xtrain.shape[1]), blk_sh
+            Xtrain[idx].reshape(num_inner, batch_size, *Xtrain.shape[1:]), blk_sh
         )
         Ys = jax.lax.with_sharding_constraint(
-            Ytrain[idx].reshape(num_inner, batch_size, Ytrain.shape[1]), blk_sh
+            Ytrain[idx].reshape(num_inner, batch_size, *Ytrain.shape[1:]), blk_sh
         )
 
         def body(carry, xy):

@@ -182,8 +182,8 @@ def make_batched_device_sampling_scan_step(
             # re-stage the member's training rows into scoped VMEM every
             # step — see training/scan.make_device_sampling_scan_step)
             idx = jax.random.randint(block_key, (num_inner * batch_size,), 0, nf)
-            Xg = Xf[idx].reshape(num_inner, batch_size, Xf.shape[1])
-            Yg = Yf[idx].reshape(num_inner, batch_size, Yf.shape[1])
+            Xg = Xf[idx].reshape(num_inner, batch_size, *Xf.shape[1:])
+            Yg = Yf[idx].reshape(num_inner, batch_size, *Yf.shape[1:])
 
             def body(carry, xy):
                 model, opt_state = carry
@@ -569,8 +569,8 @@ def fit_natgrad_batched(
             # rationale as training/scan.make_device_sampling_scan_step)
             K = gammas.shape[0]
             idx = jax.random.randint(block_key, (K * batch_size,), 0, N)
-            Xg = Xf[idx].reshape(K, batch_size, Xf.shape[1])
-            Yg = Yf[idx].reshape(K, batch_size, Yf.shape[1])
+            Xg = Xf[idx].reshape(K, batch_size, *Xf.shape[1:])
+            Yg = Yf[idx].reshape(K, batch_size, *Yf.shape[1:])
 
             def body(carry, inp):
                 model, opt_state = carry

@@ -673,8 +673,8 @@ class NaturalGradientTrainer:
             # re-stages the training set into scoped VMEM every step).
             K = gammas.shape[0]
             idx = jax.random.randint(block_key, (K * batch_size,), 0, N)
-            Xs = Xtrain[idx].reshape(K, batch_size, Xtrain.shape[1])
-            Ys = Ytrain[idx].reshape(K, batch_size, Ytrain.shape[1])
+            Xs = Xtrain[idx].reshape(K, batch_size, *Xtrain.shape[1:])
+            Ys = Ytrain[idx].reshape(K, batch_size, *Ytrain.shape[1:])
             if blk_sh is not None:
                 Xs = jax.lax.with_sharding_constraint(Xs, blk_sh)
                 Ys = jax.lax.with_sharding_constraint(Ys, blk_sh)

@@ -102,8 +102,8 @@ def make_device_sampling_scan_step(
         # staged block itself (K·B·(D+1) f32 — 6.4 MB at the champion
         # 100×4000).
         idx = jax.random.randint(block_key, (num_inner * batch_size,), 0, N)
-        Xs = Xtrain[idx].reshape(num_inner, batch_size, Xtrain.shape[1])
-        Ys = Ytrain[idx].reshape(num_inner, batch_size, Ytrain.shape[1])
+        Xs = Xtrain[idx].reshape(num_inner, batch_size, *Xtrain.shape[1:])
+        Ys = Ytrain[idx].reshape(num_inner, batch_size, *Ytrain.shape[1:])
 
         def body(carry, xy):
             model, opt_state = carry

@@ -13,7 +13,7 @@ nested message, and we only need names and durations:
   XLine{ name=2, events=4 } XEvent{ metadata_id=1, duration_ps=3 }
   XEventMetadata(map entry){ key=1, value=2{ id=1, name=2 } }
 
-Used by ``python -m zigp_tpu.experiments profile`` (experiments/profile_step.py)
+Used by ``python -m zigp_tpu.experiments.profile_step``
 and ad-hoc: ``summarize_trace(logdir, steps=N)``.
 """
 
@@ -154,7 +154,10 @@ def find_xplane_files(logdir: str) -> List[str]:
 # Categories: collapse XLA's numbered op names ("fusion.123", "copy.5") into
 # the op family, and give the Pallas custom-calls their kernel name.
 def op_category(name: str) -> str:
-    base = name.split(".")[0]
+    # strip the HLO-text '%' sigil some XLA versions keep in event metadata,
+    # so '%fusion.1' and 'fusion.2' land in the same category (and agree
+    # with _is_overlapping's classification of the same name)
+    base = name.lstrip("%").split(".")[0]
     # jit_<fn>/... hierarchical names: keep the leaf
     if "/" in base:
         base = base.rsplit("/", 1)[-1]
@@ -190,11 +193,16 @@ def summarize_trace(logdir: str, steps: int = 1, device_hint: str = "TPU") -> di
     # module-level lines, in which case take the busiest line.
     totals = device.line_totals("XLA Ops")
     if not totals:
+        # pick the single busiest line — aggregate each line's own events
+        # (line_totals substring-matches names, which would merge lines
+        # whose names overlap or are empty)
         best: Dict[str, int] = {}
-        for lname, _ in device.lines:
-            cand = device.line_totals(lname)
+        for _, events in device.lines:
+            cand: Dict[str, int] = defaultdict(int)
+            for mid, dur in events:
+                cand[device.event_names.get(mid, f"#{mid}")] += dur
             if sum(cand.values()) > sum(best.values() or [0]):
-                best = cand
+                best = dict(cand)
         totals = best
     by_op = {k: v / 1e6 for k, v in totals.items()}  # ps → µs
     # Control/async events OVERLAP the compute they contain or prefetch
