@@ -1,7 +1,7 @@
 """Device-time breakdown of the production scanned train step.
 
 Captures a ``jax.profiler`` trace around N scanned dispatches of a named
-benchmark config (the same builders as experiments.precision_ab) and prints
+benchmark config (the shared experiments.measure scaffold) and prints
 where the device program spends its time — op categories (fusions, copies,
 dots, the Pallas custom calls) and the top individual ops — using the
 self-contained XSpace reader in ``utils/xprof.py``. This is the tool behind
@@ -34,26 +34,18 @@ def profile_step(
     log_fn=print,
 ) -> dict:
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from ..ops import linalg
-    from ..training.optim import make_optimizer
-    from ..training.scan import make_device_sampling_scan_step
     from ..utils import xprof
-    from .precision_ab import _build
+    from . import measure
 
     if solve_precision:
         linalg.set_solve_precision(solve_precision)
     try:
-        model, arrays, batch, cfg = _build(config)
-        X, Y = (jnp.asarray(np.asarray(a)) for a in arrays)
-        model = jax.tree_util.tree_map(jnp.array, model)
-        optimizer = make_optimizer(model, default_lr=cfg.indp_lr)
-        opt_state = optimizer.init(model)
-        step = make_device_sampling_scan_step(optimizer, X, Y, batch)
-        key = jnp.asarray(np.array([0, 0], dtype=np.uint32))
-        model, opt_state, losses = step(model, opt_state, key, num_inner)
+        step, model, opt_state = measure.prepare_step(*measure.build_config(config))
+        model, opt_state, losses = step(
+            model, opt_state, measure.block_key(0), num_inner
+        )
         jax.block_until_ready(losses)  # compile excluded from the trace
 
         logdir = keep_trace or tempfile.mkdtemp(prefix="zigp_trace_")
@@ -61,8 +53,9 @@ def profile_step(
         t0 = time.time()
         try:
             for b in range(1, num_blocks + 1):
-                key = jnp.asarray(np.array([0, b], dtype=np.uint32))
-                model, opt_state, losses = step(model, opt_state, key, num_inner)
+                model, opt_state, losses = step(
+                    model, opt_state, measure.block_key(b), num_inner
+                )
             jax.block_until_ready(losses)
         finally:
             wall = time.time() - t0

@@ -28,12 +28,8 @@ from __future__ import annotations
 
 import argparse
 import functools
-import json
-import time
 
-import numpy as np
-
-from .precision_ab import _build
+from . import measure
 
 
 def _make_perstep_gather_step(optimizer, Xtrain, Ytrain, batch_size, *, unroll=8):
@@ -112,35 +108,11 @@ def _make_fused_gather_step(optimizer, Xtrain, Ytrain, batch_size, *, unroll=8):
     return step
 
 
-def _measure_once(model, arrays, batch, cfg, variant, *, num_inner, num_blocks):
-    import jax
-    import jax.numpy as jnp
-
-    from ..training.optim import make_optimizer
-    from ..training.scan import make_device_sampling_scan_step
-
-    X, Y = (jnp.asarray(np.asarray(a)) for a in arrays)
-    model = jax.tree_util.tree_map(jnp.array, model)
-    optimizer = make_optimizer(model, default_lr=cfg.indp_lr)
-    opt_state = optimizer.init(model)
-    if variant == "staged":
-        step = make_device_sampling_scan_step(optimizer, X, Y, batch)
-    elif variant == "perstep":
-        step = _make_perstep_gather_step(optimizer, X, Y, batch)
-    elif variant == "fused":
-        step = _make_fused_gather_step(optimizer, X, Y, batch)
-    else:
-        raise ValueError(f"unknown variant {variant!r}")
-    key = jnp.asarray(np.array([0, 0], dtype=np.uint32))
-    model, opt_state, losses = step(model, opt_state, key, num_inner)
-    jax.block_until_ready(losses)
-    t0 = time.time()
-    for b in range(1, num_blocks + 1):
-        key = jnp.asarray(np.array([0, b], dtype=np.uint32))
-        model, opt_state, losses = step(model, opt_state, key, num_inner)
-    jax.block_until_ready(losses)
-    rate = num_blocks * num_inner / (time.time() - t0)
-    return rate, float(losses[-1])
+_FACTORIES = {
+    "staged": None,  # the shipped production sampler (measure.prepare_step default)
+    "perstep": _make_perstep_gather_step,
+    "fused": _make_fused_gather_step,
+}
 
 
 def run_sampler_ab(
@@ -152,40 +124,23 @@ def run_sampler_ab(
     out: str | None = None,
     log_fn=print,
 ):
-    results = {c: {v: [] for v in variants} for c in configs}
-    losses = {c: {v: [] for v in variants} for c in configs}
-    for config in configs:
-        log_fn(f"== {config} ==")
-        built = _build(config)
-        for r in range(repeats):
-            for variant in variants:  # interleaved round-robin
-                rate, last = _measure_once(
-                    built[0], built[1], built[2], built[3], variant,
-                    num_inner=num_inner, num_blocks=num_blocks,
-                )
-                results[config][variant].append(round(rate, 1))
-                losses[config][variant].append(last)
-                log_fn(f"  {variant:>8s} pass {r}: {rate:8.1f} steps/s "
-                       f"(loss {last:.1f})")
+    def measure_one(built, variant, *, num_inner, num_blocks):
+        if variant not in _FACTORIES:
+            raise ValueError(f"unknown variant {variant!r}")
+        step, model, opt_state = measure.prepare_step(
+            *built, step_factory=_FACTORIES[variant]
+        )
+        return measure.measure_rate(
+            step, model, opt_state, num_inner=num_inner, num_blocks=num_blocks
+        )
 
-    summary = {
-        "task": "interleaved device-sampler gather A/B "
-                "(staged block vs per-step gather)",
-        "num_inner": num_inner,
-        "num_blocks": num_blocks,
-        "steps_per_sec_median": {
-            c: {v: sorted(vals)[len(vals) // 2] for v, vals in d.items() if vals}
-            for c, d in results.items()
-        },
-        "steps_per_sec_all": results,
-        "final_block_loss": losses,
-    }
-    log_fn(json.dumps(summary["steps_per_sec_median"]))
-    if out:
-        with open(out, "w") as f:
-            json.dump(summary, f, indent=1)
-        log_fn(f"wrote {out}")
-    return summary
+    return measure.run_round_robin(
+        "interleaved device-sampler gather A/B "
+        "(staged block vs per-step gather vs fused [X|Y] gather)",
+        configs, variants, measure_one,
+        num_inner=num_inner, num_blocks=num_blocks, repeats=repeats,
+        out=out, log_fn=log_fn,
+    )
 
 
 def main(argv=None):
