@@ -47,6 +47,38 @@ def test_run_onoff_end_to_end(rng, tmp_path):
     assert res["test_rmse"] < float(np.abs(split.Ytest).max())
 
 
+def test_run_onoff_three_factor_grid(rng, tmp_path):
+    """spatial_factors=(n_lat, n_lon): the lat⊗lon⊗time decomposition the
+    reference's two-factor graph cannot express — full train/predict path."""
+    from zigp_tpu.experiments.builders import build_onoff_pptr
+
+    split = _synthetic_split(rng)
+    grid = KronGridConfig(spatial_factors=(3, 4), num_temporal=8)
+    cfg = OnOffPptrConfig(num_iter=30, batch_size=100, grid=grid, log_every=0)
+
+    model = build_onoff_pptr(cfg, split)
+    assert len(model.f.Zs) == 3 and len(model.f.kernels) == 3
+    assert model.f.input_masks == ((0,), (1,), (2,))  # lat, lon, time columns
+    assert model.f.factor_sizes == (3, 4, 8)
+
+    res = run_onoff(split, cfg, workdir=str(tmp_path), log_fn=lambda s: None)
+    assert np.isfinite(res["test_rmse"])
+    assert res["test_rmse"] < float(np.abs(split.Ytest).max())
+
+
+def test_cli_grid_spec_parses():
+    from zigp_tpu.experiments.cli import _parse_grid
+
+    g2 = _parse_grid("10x100")
+    assert (g2.num_spatial, g2.num_temporal, g2.spatial_factors) == (10, 100, None)
+    g3 = _parse_grid("6x6x100")
+    assert g3.spatial_factors == (6, 6) and g3.num_temporal == 100
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _parse_grid("banana")
+
+
 def test_classifier_svgp_hurdle_zi_pipeline(rng, tmp_path):
     split = _synthetic_split(rng)
     clf_cfg = ClassifierPptrConfig(num_iter=40, batch_size=100, grid=_tiny_grid(), log_every=0)

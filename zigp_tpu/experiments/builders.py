@@ -61,18 +61,69 @@ def make_kernel(init: KernelInit, *, lr=None):
     return k
 
 
+def _axis_spans(X):
+    """(lat span, lon span) of the training inputs — the clamp reference for
+    the three-factor axis lengthscale inits (see make_factor_kernels)."""
+    X = np.asarray(X)
+    return (
+        float(X[:, 0].max() - X[:, 0].min()),
+        float(X[:, 1].max() - X[:, 1].min()),
+    )
+
+
+def make_factor_kernels(
+    spatial_init, temporal_init, spatial_factors, *, lr=None, axis_spans=None
+):
+    """Per-factor kernel list for a grid config. Two-factor layout: one 2-D
+    spatial kernel + the temporal kernel. ``spatial_factors`` set: the 2-D
+    spatial ``KernelInit`` splits into one 1-D kernel per axis (lat, lon),
+    each taking its own axis's lengthscale/period init — three factors
+    total, matching ``kron_inducing_init(..., spatial_factors=...)``.
+
+    ``axis_spans`` (lat span, lon span of the training data) clamps each
+    axis lengthscale init to span/4: the reference's 2-D init (8.0) was
+    chosen for kmeans-centre distances, but on a 1-D axis of span ~10 it
+    makes the factor gram near-rank-1 — and Kron K_uu conditioning is the
+    PRODUCT over factors (measured: cond 4.8e5 per factor at ls=8 vs 1.5e2
+    at span/4; unclamped, the f32 training loss sits at ~1e19). The
+    lengthscale remains a learned parameter — only the init is clamped."""
+    import dataclasses
+
+    if spatial_factors is None:
+        return [make_kernel(spatial_init, lr=lr), make_kernel(temporal_init, lr=lr)]
+
+    def axis_init(d):
+        ls = spatial_init.lengthscales
+        ls_d = ls[min(d, len(ls) - 1)]
+        if axis_spans is not None:
+            ls_d = min(ls_d, float(axis_spans[d]) / 4.0)
+        repl = {"lengthscales": (ls_d,)}
+        if spatial_init.period:
+            pd = spatial_init.period
+            repl["period"] = (pd[min(d, len(pd) - 1)],)
+        return dataclasses.replace(spatial_init, **repl)
+
+    return [
+        make_kernel(axis_init(0), lr=lr),
+        make_kernel(axis_init(1), lr=lr),
+        make_kernel(temporal_init, lr=lr),
+    ]
+
+
 def build_onoff_pptr(cfg: OnOffPptrConfig, split: Split) -> KronOnOffSVGP:
     Zs = kron_inducing_init(
-        split.Xtrain, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed
+        split.Xtrain, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed,
+        spatial_factors=cfg.grid.spatial_factors,
     )
-    fkerns = [
-        make_kernel(cfg.fk_spatial, lr=cfg.kern_lr),
-        make_kernel(cfg.fk_temporal, lr=cfg.kern_lr),
-    ]
-    gkerns = [
-        make_kernel(cfg.gk_spatial, lr=cfg.kern_lr),
-        make_kernel(cfg.gk_temporal, lr=cfg.kern_lr),
-    ]
+    spans = _axis_spans(split.Xtrain)
+    fkerns = make_factor_kernels(
+        cfg.fk_spatial, cfg.fk_temporal, cfg.grid.spatial_factors,
+        lr=cfg.kern_lr, axis_spans=spans,
+    )
+    gkerns = make_factor_kernels(
+        cfg.gk_spatial, cfg.gk_temporal, cfg.grid.spatial_factors,
+        lr=cfg.kern_lr, axis_spans=spans,
+    )
     return KronOnOffSVGP.create(
         fkerns,
         Zs,
@@ -93,11 +144,14 @@ def build_onoff_pptr(cfg: OnOffPptrConfig, split: Split) -> KronOnOffSVGP:
 
 def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> KronSVGP:
     X = split.Xtrain if subset_idx is None else split.Xtrain[subset_idx]
-    Zs = kron_inducing_init(X, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed)
-    kerns = [
-        make_kernel(cfg.k_spatial, lr=cfg.lr),
-        make_kernel(cfg.k_temporal, lr=cfg.lr),
-    ]
+    Zs = kron_inducing_init(
+        X, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed,
+        spatial_factors=cfg.grid.spatial_factors,
+    )
+    kerns = make_factor_kernels(
+        cfg.k_spatial, cfg.k_temporal, cfg.grid.spatial_factors,
+        lr=cfg.lr, axis_spans=_axis_spans(X),
+    )
     return KronSVGP.create(
         kerns,
         Zs,
@@ -114,12 +168,13 @@ def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> Kr
 
 def build_classifier_pptr(cfg: ClassifierPptrConfig, split: Split) -> KronSVGP:
     Zs = kron_inducing_init(
-        split.Xtrain, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed
+        split.Xtrain, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed,
+        spatial_factors=cfg.grid.spatial_factors,
     )
-    kerns = [
-        make_kernel(cfg.k_spatial, lr=cfg.lr),
-        make_kernel(cfg.k_temporal, lr=cfg.lr),
-    ]
+    kerns = make_factor_kernels(
+        cfg.k_spatial, cfg.k_temporal, cfg.grid.spatial_factors,
+        lr=cfg.lr, axis_spans=_axis_spans(split.Xtrain),
+    )
     return KronSVGP.create(
         kerns,
         Zs,

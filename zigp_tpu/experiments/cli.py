@@ -52,12 +52,37 @@ def _load_results(workdir: str, name: str, producer: str) -> dict:
         return pickle.load(f)
 
 
+def _parse_grid(spec: str):
+    """'SxT' → two-factor grid (S kmeans spatial ⊗ T time knots, the
+    reference layout); 'LATxLONxT' → three-factor lat ⊗ lon ⊗ time."""
+    from .configs import KronGridConfig
+
+    try:
+        parts = [int(x) for x in spec.lower().split("x")]
+    except ValueError:
+        parts = []
+    if len(parts) == 2:
+        return KronGridConfig(num_spatial=parts[0], num_temporal=parts[1])
+    if len(parts) == 3:
+        return KronGridConfig(
+            spatial_factors=(parts[0], parts[1]), num_temporal=parts[2]
+        )
+    raise SystemExit(
+        f"error: --grid must be SxT (e.g. 10x100) or LATxLONxT (e.g. 6x6x100), got {spec!r}"
+    )
+
+
 def _common(p):
     p.add_argument("--fold", type=int, default=1, help="CV fold (1-5)")
     p.add_argument("--data", type=str, default=None, help="pptr.pickle path")
     p.add_argument("--workdir", type=str, default="runs/pptr")
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--grid", type=str, default=None,
+                   help="inducing grid: SxT (S kmeans spatial x T time "
+                        "knots, the reference layout) or LATxLONxT for the "
+                        "three-factor lat⊗lon⊗time decomposition (axis-wise "
+                        "linspace knots; not expressible in the reference)")
     p.add_argument("--preset", type=str, default="reference",
                    choices=("reference", "best"),
                    help="reference = the paper's config; best = RESULTS.md ablated config")
@@ -190,6 +215,9 @@ def main(argv=None):
                            "contractions, applied to every variant/fold (see "
                            "the per-fold commands and RESULTS.md precision "
                            "study)")
+    p_cv.add_argument("--grid", type=str, default=None,
+                      help="inducing grid for every variant: SxT or "
+                           "LATxLONxT (three-factor lat⊗lon⊗time)")
     p_cv.add_argument("--batched", action="store_true",
                       help="train all folds of each variant simultaneously "
                            "(one compile + one dispatch stream per variant; "
@@ -276,6 +304,8 @@ def main(argv=None):
                 kw["natgrad_kron_joint"] = True
             if args.whiten:
                 kw["whiten"] = True
+            if getattr(args, "grid", None) and hasattr(cfg, "grid"):
+                kw["grid"] = _parse_grid(args.grid)
             return dataclasses.replace(cfg, **kw)
 
         from ..io.datasets import load_pptr, make_cv_splits
@@ -351,6 +381,8 @@ def main(argv=None):
             kw["q_cov"] = args.q_cov
         if getattr(args, "whiten", None) and hasattr(cfg, "whiten"):
             kw["whiten"] = True
+        if getattr(args, "grid", None) and hasattr(cfg, "grid"):
+            kw["grid"] = _parse_grid(args.grid)
         fam_t = getattr(args, "kernel_temporal", None)
         fam_s = getattr(args, "kernel_spatial", None)
         period = getattr(args, "kernel_period", None)

@@ -15,8 +15,16 @@ from typing import Tuple
 
 @dataclass
 class KronGridConfig:
+    """Inducing-grid layout. Two-factor (reference layout, scripts/onoff.py:
+    67-68): ``num_spatial`` kmeans centres over (lat, lon) ⊗ ``num_temporal``
+    time knots. Setting ``spatial_factors=(n_lat, n_lon)`` switches to a
+    THREE-factor decomposition lat ⊗ lon ⊗ time (axis-wise linspace knots;
+    ``num_spatial`` is then ignored) — a factorization the reference's
+    two-factor graph cannot express; CLI: ``--grid 6x6x100``."""
+
     num_spatial: int = 10
     num_temporal: int = 100
+    spatial_factors: Tuple[int, int] | None = None
 
 
 @dataclass

@@ -71,12 +71,27 @@ def kron_inducing_init(
     num_temporal: int = 100,
     *,
     seed: int = 0,
+    spatial_factors: tuple | None = None,
 ) -> List[np.ndarray]:
     """Reference inducing-grid init (scripts/onoff.py:67-68): kmeans centres
-    over (lat, lon) and a linspace over the time column."""
+    over (lat, lon) and a linspace over the time column.
+
+    ``spatial_factors=(n_lat, n_lon)`` instead factorizes the spatial axis
+    itself: axis-wise linspace knots over lat and lon (same convention as
+    the time axis), returning THREE one-column factors lat ⊗ lon ⊗ time —
+    the reference's graph hard-codes two factors and cannot express this.
+    """
     from scipy.cluster.vq import kmeans
 
     np.random.seed(seed)
+    if spatial_factors is not None:
+        n_lat, n_lon = spatial_factors
+        Z_t = np.linspace(Xtrain[:, 2].min(), Xtrain[:, 2].max(), num_temporal)
+        return [
+            np.linspace(Xtrain[:, 0].min(), Xtrain[:, 0].max(), n_lat)[:, None],
+            np.linspace(Xtrain[:, 1].min(), Xtrain[:, 1].max(), n_lon)[:, None],
+            Z_t[:, None],
+        ]
     Z_s = kmeans(Xtrain[:, 0:2], num_spatial)[0]
     if Z_s.shape[0] < num_spatial:
         # scipy kmeans drops empty clusters, so some seeds return fewer than

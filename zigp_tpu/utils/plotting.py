@@ -140,9 +140,13 @@ def plot_inducing_monitor(
     ax1.set_title("mean target per time index")
 
     for ax, gp, name in ((ax2, model.f, "u_fm"), (ax3, model.g, "u_gm")):
-        Ms, Mt = gp.factor_sizes
+        # last factor = temporal, product of the rest = spatial sites (holds
+        # for the 2-factor reference layout AND the 3-factor lat⊗lon⊗time
+        # grid: q_mu is row-major over factors, last factor fastest)
+        sizes = gp.factor_sizes
+        Ms, Mt = int(np.prod(sizes[:-1])), sizes[-1]
         u = np.asarray(gp.q_mu.value).ravel()
-        zt = np.asarray(gp.Zs[1].value).ravel()
+        zt = np.asarray(gp.Zs[-1].value).ravel()
         srt = np.argsort(zt)
         for m in range(Ms):
             slice_m = u[m * Mt : (m + 1) * Mt]
