@@ -228,6 +228,15 @@ def test_natgrad_block_kron_single_factor_is_full_gaussian(rng):
     _joint_jump_case(rng, p=0, sizes=[5])
 
 
+def test_natgrad_block_kron_three_factors_each_p(rng):
+    """P=3 (the lat⊗lon⊗time grid): the γ=1 mirror-step exactness must hold
+    with the updated factor in the leading, middle, and trailing position —
+    the row-major permute-to-front reshape in natgrad_update_block_kron is
+    position-dependent and P=2 only exercises its two ends."""
+    for p in range(3):
+        _joint_jump_case(rng, p=p, sizes=[2, 3, 4])
+
+
 def test_natgrad_block_kron_sign_flip_invariance(rng):
     """The model's C_p is tril-unconstrained; a column-sign-flipped C_p
     represents the same Σ_p and must produce the same updated state (the
@@ -295,6 +304,45 @@ def test_natgrad_trainer_kron_joint_trains_all_blocks(rng):
     assert not np.allclose(
         np.asarray(model.gp.q_sqrt_factors[1].value), C1, atol=1e-6
     ), "factor 1 did not move under the joint block step"
+
+
+def test_natgrad_trainer_kron_joint_three_factor_grid(rng):
+    """kron_joint on a 3-factor grid (lat⊗lon⊗time analog): all three
+    covariance factors and the mean must move, loss converges. Guards the
+    --grid AxBxT × --natgrad-joint CLI combination end-to-end."""
+    N = 60
+    X = rng.rand(N, 3)
+    Y = np.sin(5 * X[:, 2:3]) + 0.1 * rng.randn(N, 1)
+    Zs = [
+        np.linspace(0, 1, 2)[:, None],
+        np.linspace(0, 1, 3)[:, None],
+        np.linspace(0, 1, 5)[:, None],
+    ]
+    ks = [RBF.create([1.0], 1.0), RBF.create([1.0], 1.0), RBF.create([0.3], 1.0)]
+    model = KronSVGP.create(
+        ks, Zs, Gaussian.create(0.1), num_data=N, jitter=1e-6, q_cov="kron",
+    )
+    before = [
+        np.asarray(C.value).copy() for C in model.gp.q_sqrt_factors
+    ]
+    mu0 = np.asarray(model.gp.q_mu.value).copy()
+
+    trainer = NaturalGradientTrainer(
+        model, gamma=0.02, adam_lr=1e-2, kron_joint=True
+    )
+    state = trainer.init(model)
+    step = trainer.make_step()
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    first = float(model.loss(Xj, Yj))
+    for i in range(120):
+        model, state, loss = step(model, state, Xj, Yj, None, i)
+    assert np.isfinite(float(loss))
+    assert float(loss) < 0.2 * first
+    assert not np.allclose(np.asarray(model.gp.q_mu.value), mu0, atol=1e-5)
+    for p, C0 in enumerate(before):
+        assert not np.allclose(
+            np.asarray(model.gp.q_sqrt_factors[p].value), C0, atol=1e-6
+        ), f"factor {p} did not move under the 3-factor joint block step"
 
 
 def test_natgrad_block_kron_f32_gamma0_is_identity_on_mean(rng):
