@@ -98,6 +98,23 @@ def test_cli_cv_preset_and_precision(synth_pptr, tmp_path):
     assert "test_rmse" in res
 
 
+def test_cli_cv_kernel_flags(synth_pptr, tmp_path):
+    """`cv --kernel-temporal/--kernel-period` reach every variant's configs
+    (previously only the per-fold commands exposed the kernel zoo, so a
+    zoo-kernel 5-fold protocol wasn't reproducible in one invocation)."""
+    wd = str(tmp_path / "cvzoo")
+    rc = main(["cv", "--models", "onoff,svgp", "--data", synth_pptr,
+               "--workdir", wd, "--iters", "10", "--batch", "64",
+               "--kernel-temporal", "periodic*rbf",
+               "--kernel-period", "0.001"])
+    assert rc == 0
+    assert (tmp_path / "cvzoo" / "cv_summary.json").exists()
+    # the periodic component actually reached the built kernels: the
+    # end-of-run learned-hyperparameter summary names its period parameter
+    log_text = (tmp_path / "cvzoo" / "modelsumm_cv.log").read_text()
+    assert "period" in log_text
+
+
 def test_cli_predict_roundtrip(synth_pptr, tmp_path):
     """`predict` restores the latest checkpoint written by a training run and
     writes predictions without training (reference onofftf/*pred.py flow)."""
@@ -112,3 +129,32 @@ def test_cli_predict_roundtrip(synth_pptr, tmp_path):
     with pytest.raises(SystemExit, match="no checkpoint"):
         main(["predict", "--model", "svgp", "--fold", "1",
               "--data", synth_pptr, "--workdir", wd, "--batch", "64"])
+
+
+def test_cli_export_artifact(synth_pptr, tmp_path):
+    """`export` writes a standalone serving artifact from the latest
+    checkpoint; the artifact serves arbitrary batch sizes and matches the
+    restored model's predictions."""
+    import numpy as np
+
+    from zigp_tpu.io.export import load_predictor
+
+    wd = str(tmp_path / "runs")
+    assert main(["onoff", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "60", "--batch", "64"]) == 0
+    assert main(["export", "--model", "onoff", "--fold", "1",
+                 "--data", synth_pptr, "--workdir", wd]) == 0
+    art = tmp_path / "runs" / "1" / "export_onoff.zigp"
+    assert art.exists()
+
+    served = load_predictor(str(art))
+    with open(synth_pptr, "rb") as f:
+        X = pickle.load(f)["Xtest"]
+    out = served(np.asarray(X[:17]))
+    assert set(out) >= {"gfmean", "gfvar", "pgmean"}
+    assert all(np.isfinite(v).all() for v in out.values())
+
+    # no checkpoint -> clean error
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        main(["export", "--model", "svgp", "--fold", "1",
+              "--data", synth_pptr, "--workdir", wd])

@@ -21,6 +21,35 @@ import pickle
 import sys
 
 
+def _kernel_flag_kw(cfg, args) -> dict:
+    """Config-field replacements for --kernel-temporal/-spatial/-period.
+
+    Shared by the per-fold commands and the 5-fold ``cv`` driver so a zoo
+    spec (e.g. ``periodic*rbf``) applies identically to every variant that
+    has the corresponding KernelInit fields.
+    """
+    kw = {}
+    fam_t = getattr(args, "kernel_temporal", None)
+    fam_s = getattr(args, "kernel_spatial", None)
+    period = getattr(args, "kernel_period", None)
+
+    def _ki(init, family):
+        repl = {"family": family} if family else {}
+        if period is not None and "periodic" in (family or init.family):
+            repl["period"] = (period,) * len(init.lengthscales)
+        return dataclasses.replace(init, **repl) if repl else init
+
+    if fam_t or period is not None:
+        for f in ("fk_temporal", "gk_temporal", "k_temporal"):
+            if hasattr(cfg, f):
+                kw[f] = _ki(getattr(cfg, f), fam_t)
+    if fam_s:
+        for f in ("fk_spatial", "gk_spatial", "k_spatial"):
+            if hasattr(cfg, f):
+                kw[f] = _ki(getattr(cfg, f), fam_s)
+    return kw
+
+
 def _setup_logging(workdir: str, name: str):
     os.makedirs(workdir, exist_ok=True)
     logger = logging.getLogger("zigp")
@@ -185,6 +214,25 @@ def main(argv=None):
                         help="which trained model to restore; config flags "
                              "(--preset/--kernel-*/...) must match training")
 
+    p_exp = sub.add_parser(
+        "export",
+        help="restore the latest checkpoint and write a standalone serving "
+             "artifact (StableHLO via jax.export; params baked in, symbolic "
+             "batch — load with zigp_tpu.io.export.load_predictor or raw jax)",
+    )
+    _common(p_exp)
+    p_exp.add_argument("--model", type=str, default="onoff",
+                       choices=("onoff", "svgp", "classifier"),
+                       help="which trained model to export; config flags "
+                            "must match training")
+    p_exp.add_argument("--out", type=str, default=None,
+                       help="artifact path (default: "
+                            "<workdir>/<fold>/export_<model>.zigp)")
+    p_exp.add_argument("--fixed-batch", type=int, default=None,
+                       dest="fixed_batch",
+                       help="pin the artifact's batch dimension instead of "
+                            "exporting it symbolically")
+
     p_ens = sub.add_parser(
         "ensemble",
         help="train a seed ensemble of one model on one fold in a single "
@@ -249,6 +297,17 @@ def main(argv=None):
                            "(folds x ensemble seeds) over this many devices "
                            "— zero per-step collectives; non-dividing member "
                            "counts are padded with discarded duplicates")
+    p_cv.add_argument("--kernel-temporal", type=str, default=None,
+                      dest="kernel_temporal",
+                      help="kernel family for the temporal Kronecker factor "
+                           "of every variant (zoo spec, e.g. 'periodic*rbf')")
+    p_cv.add_argument("--kernel-spatial", type=str, default=None,
+                      dest="kernel_spatial",
+                      help="kernel family for the spatial factor(s)")
+    p_cv.add_argument("--kernel-period", type=float, default=None,
+                      dest="kernel_period",
+                      help="period init for periodic components (model units; "
+                           "1 day = 0.001 on pptr)")
 
     args = parser.parse_args(argv)
 
@@ -306,6 +365,7 @@ def main(argv=None):
                 kw["whiten"] = True
             if getattr(args, "grid", None) and hasattr(cfg, "grid"):
                 kw["grid"] = _parse_grid(args.grid)
+            kw.update(_kernel_flag_kw(cfg, args))
             return dataclasses.replace(cfg, **kw)
 
         from ..io.datasets import load_pptr, make_cv_splits
@@ -383,24 +443,7 @@ def main(argv=None):
             kw["whiten"] = True
         if getattr(args, "grid", None) and hasattr(cfg, "grid"):
             kw["grid"] = _parse_grid(args.grid)
-        fam_t = getattr(args, "kernel_temporal", None)
-        fam_s = getattr(args, "kernel_spatial", None)
-        period = getattr(args, "kernel_period", None)
-
-        def _ki(init, family):
-            repl = {"family": family} if family else {}
-            if period is not None and "periodic" in (family or init.family):
-                repl["period"] = (period,) * len(init.lengthscales)
-            return dataclasses.replace(init, **repl) if repl else init
-
-        if fam_t or period is not None:
-            for f in ("fk_temporal", "gk_temporal", "k_temporal"):
-                if hasattr(cfg, f):
-                    kw[f] = _ki(getattr(cfg, f), fam_t)
-        if fam_s:
-            for f in ("fk_spatial", "gk_spatial", "k_spatial"):
-                if hasattr(cfg, f):
-                    kw[f] = _ki(getattr(cfg, f), fam_s)
+        kw.update(_kernel_flag_kw(cfg, args))
         for mk in ("mesh_data", "mesh_model"):
             if getattr(args, mk, None) is not None and hasattr(cfg, mk):
                 kw[mk] = getattr(args, mk)
@@ -445,6 +488,28 @@ def main(argv=None):
             "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
         }[args.model]
         run_predict(split, args.model, _cfgkw(cfg), workdir=workdir, log_fn=log)
+        return 0
+    if args.cmd == "export":
+        from .configs import (
+            ClassifierPptrConfig,
+            OnOffPptrConfig,
+            SvgpPptrConfig,
+            best_onoff_config,
+            tuned_classifier_config,
+            tuned_svgp_config,
+        )
+        from .runners import run_export
+
+        cfg = {
+            "onoff": best_onoff_config() if best else OnOffPptrConfig(),
+            "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
+            "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
+        }[args.model]
+        out = run_export(
+            split, args.model, _cfgkw(cfg), workdir=workdir,
+            out=args.out, batch_size=args.fixed_batch, log_fn=log,
+        )
+        print(f"artifact: {out}")
         return 0
     if args.cmd == "onoff":
         from .configs import OnOffPptrConfig, best_onoff_config

@@ -565,29 +565,10 @@ def run_zero_inflated(
     return results
 
 
-def run_predict(
-    split: Split,
-    kind: str,
-    cfg=None,
-    *,
-    workdir: str,
-    log_fn: Callable[[str], None] = logger.info,
-) -> dict:
-    """Standalone restore-and-predict: rebuild the model from its config,
-    restore the latest Orbax checkpoint in ``workdir``, and run the same
-    predict+metric block as the training runner — without training.
-
-    The reference ships this workflow as separate graph-rebuilding modules
-    (onofftf/onoffpred.py:15, svgppred.py:15, svcppred.py:15, each re-declaring
-    every Param then Saver.restore); here the model is a pytree, so restore is
-    structural. Only the model is restored (the optimizer state in the
-    checkpoint is ignored), so checkpoints from any optimizer — Adam, natgrad —
-    predict identically.
-
-    ``kind``: "onoff" | "svgp" | "classifier". ``cfg`` must match the training
-    config's model shape (grid, q_cov, whiten, kernel families).
-    Writes ``predictions_<kind>.pickle`` into ``workdir``.
-    """
+def _restore_model(split, kind, cfg, workdir, log_fn):
+    """Rebuild a model from its config and restore the latest checkpoint in
+    ``workdir`` (shared by run_predict and run_export). Returns
+    (model, step, eval_fn)."""
     from ..io.checkpoint import CheckpointManager
 
     builders = {
@@ -612,7 +593,59 @@ def run_predict(
     model, _, step = restored
     log_fn(f"restored {kind} checkpoint at step {step}")
     _log_hyperparams(model, log_fn)
+    return model, step, evaluate
 
+
+def run_export(
+    split: Split,
+    kind: str,
+    cfg=None,
+    *,
+    workdir: str,
+    out: Optional[str] = None,
+    batch_size: Optional[int] = None,
+    log_fn: Callable[[str], None] = logger.info,
+) -> str:
+    """Restore the latest ``kind`` checkpoint and write a standalone serving
+    artifact (StableHLO via jax.export — see io.export). Unlike the
+    reference's serving path, the artifact needs neither this package nor the
+    checkpoint to serve: parameters are baked in, and the batch dimension is
+    symbolic unless ``batch_size`` pins it. Returns the artifact path.
+    """
+    from ..io.export import export_predictor
+
+    model, step, _ = _restore_model(split, kind, cfg, workdir, log_fn)
+    out = out or os.path.join(workdir, f"export_{kind}.zigp")
+    d_in = int(split.Xtrain.shape[1])
+    export_predictor(model, kind, d_in, out, batch_size=batch_size)
+    log_fn(f"exported {kind} (checkpoint step {step}) to {out}")
+    return out
+
+
+def run_predict(
+    split: Split,
+    kind: str,
+    cfg=None,
+    *,
+    workdir: str,
+    log_fn: Callable[[str], None] = logger.info,
+) -> dict:
+    """Standalone restore-and-predict: rebuild the model from its config,
+    restore the latest Orbax checkpoint in ``workdir``, and run the same
+    predict+metric block as the training runner — without training.
+
+    The reference ships this workflow as separate graph-rebuilding modules
+    (onofftf/onoffpred.py:15, svgppred.py:15, svcppred.py:15, each re-declaring
+    every Param then Saver.restore); here the model is a pytree, so restore is
+    structural. Only the model is restored (the optimizer state in the
+    checkpoint is ignored), so checkpoints from any optimizer — Adam, natgrad —
+    predict identically.
+
+    ``kind``: "onoff" | "svgp" | "classifier". ``cfg`` must match the training
+    config's model shape (grid, q_cov, whiten, kernel families).
+    Writes ``predictions_<kind>.pickle`` into ``workdir``.
+    """
+    model, step, evaluate = _restore_model(split, kind, cfg, workdir, log_fn)
     results = evaluate(model, split, log_fn)
     results["restored_step"] = step
     _maybe_pickle(results, workdir, f"predictions_{kind}.pickle")
