@@ -199,6 +199,62 @@ def test_make_kernel_composites(rng):
         make_kernel(dataclasses.replace(init, family="spline"))
 
 
+def test_sigmoid_bijector_roundtrip_and_bounds():
+    from zigp_tpu.core import bijectors
+
+    b = bijectors.Sigmoid(0.5, 2.0)
+    y = np.asarray(b.forward(jnp.asarray([-50.0, 0.0, 50.0])))
+    assert (y >= 0.5).all() and (y <= 2.0).all()
+    for v in (0.6, 1.0, 1.9):
+        np.testing.assert_allclose(
+            np.asarray(b.forward(jnp.asarray(b.inverse(v)))), v, rtol=1e-10
+        )
+    # ARD bounds; hashable static metadata (tuple-normalized)
+    b2 = bijectors.Sigmoid([0.1, 1.0], [0.4, 4.0])
+    np.testing.assert_allclose(np.asarray(b2.forward(jnp.zeros(2))), [0.25, 2.5])
+    assert b2 == bijectors.Sigmoid((0.1, 1.0), (0.4, 4.0))
+    assert hash(b2) == hash(bijectors.Sigmoid((0.1, 1.0), (0.4, 4.0)))
+    with pytest.raises(ValueError, match="hi > lo"):
+        bijectors.Sigmoid(1.0, 1.0)
+
+
+def test_make_kernel_trust_interval(rng):
+    """KernelInit.trust bounds every component's lengthscales/periods to
+    [init/R, init·R]; inits are preserved and no unconstrained update can
+    leave the interval (the champion×periodic drift failure mode)."""
+    import dataclasses
+
+    from zigp_tpu.experiments.builders import make_kernel
+    from zigp_tpu.experiments.configs import KernelInit
+
+    init = KernelInit(
+        (0.005,), 20.0, family="periodic*rbf", period=(0.001,), trust=4.0
+    )
+    k = make_kernel(init, lr=2e-3)
+    np.testing.assert_allclose(np.asarray(k.k1.period.value), [0.001], rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(k.k1.lengthscales.value), [0.005], rtol=1e-9
+    )
+    assert k.k1.lengthscales.lr == 2e-3  # per-group lr rides the bound
+
+    # simulate unbounded optimizer drift on the raw leaves
+    moved = jax.tree_util.tree_map(lambda x: x + 1e3, k)
+    per = float(np.asarray(moved.k1.period.value))
+    ls = float(np.asarray(moved.k1.lengthscales.value))
+    assert per <= 0.004 + 1e-9 and ls <= 0.02 + 1e-9
+    moved_dn = jax.tree_util.tree_map(lambda x: x - 1e3, k)
+    assert float(np.asarray(moved_dn.k1.period.value)) >= 0.00025 - 1e-9
+
+    # variance stays unbounded (reference Softplus)
+    assert float(np.asarray(moved.k1.variance.value)) > 1e3
+    # gram still finite at the walls
+    X = jnp.asarray(rng.rand(6, 1))
+    assert np.isfinite(np.asarray(moved.K(X))).all()
+
+    with pytest.raises(ValueError, match="trust must be"):
+        make_kernel(dataclasses.replace(init, trust=0.5))
+
+
 def test_composite_kernel_carries_per_group_lr(rng):
     """Sum/Product children created with lr= keep their per-group labels, so
     the multi_transform optimizer gives them their own Adam group."""

@@ -83,6 +83,44 @@ class Exp(Bijector):
         return np.log(np.asarray(y, dtype=np.float64) - self.lower)
 
 
+class Sigmoid(Bijector):
+    """Interval constraint: y = lo + (hi − lo)·σ(x).
+
+    The gpflow-0.4 ``transforms.Logistic`` equivalent (the reference never
+    uses it — its hyperparameters are unbounded). Built for drift-prone
+    hyperparameters whose training trajectory can leave the numerically
+    safe region (measured: periodic-kernel lengthscales/periods under the
+    champion budget, results/champ_periodic_probes.json) — the bound is a
+    hard trust interval, smooth everywhere, with vanishing gradient at the
+    walls. ``lo``/``hi`` are scalars or 1-D sequences matching the
+    parameter (stored as tuples so the bijector stays hashable static
+    pytree metadata).
+    """
+
+    name = "sigmoid"
+
+    def __init__(self, lo, hi):
+        lo_a = np.ravel(np.asarray(lo, dtype=np.float64))
+        hi_a = np.ravel(np.asarray(hi, dtype=np.float64))
+        if not (hi_a > lo_a).all():
+            raise ValueError(f"Sigmoid bounds need hi > lo, got {lo} .. {hi}")
+        self.lo = float(lo_a[0]) if lo_a.size == 1 else tuple(map(float, lo_a))
+        self.hi = float(hi_a[0]) if hi_a.size == 1 else tuple(map(float, hi_a))
+
+    def forward(self, x):
+        lo = jnp.asarray(self.lo, dtype=x.dtype)
+        hi = jnp.asarray(self.hi, dtype=x.dtype)
+        # stable logistic via tanh
+        return lo + (hi - lo) * 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+
+    def inverse(self, y):
+        y = jnp.asarray(y)
+        lo = jnp.asarray(self.lo, dtype=y.dtype)
+        hi = jnp.asarray(self.hi, dtype=y.dtype)
+        p = (y - lo) / (hi - lo)
+        return jnp.log(p) - jnp.log1p(-p)
+
+
 class FillLowerTriangular(Bijector):
     """Unconstrained (M, M) (or (M, M, K)) matrix -> its lower triangle.
 

@@ -31,6 +31,26 @@ _FAMILIES = {
 }
 
 
+def _bound_hypers(kernel, trust: float, *, lr=None):
+    """Rebuild a kernel atom's lengthscales/period Parameters with a Sigmoid
+    interval [init/trust, init·trust] (``KernelInit.trust``). Variances stay
+    unbounded — they set scale, not gram conditioning, and the relative
+    jitter absorbs them."""
+    from ..core import bijectors
+    from ..core.parameters import param
+
+    if trust <= 1.0:
+        raise ValueError(f"trust must be > 1 (got {trust})")
+    repl = {}
+    for f in ("lengthscales", "period"):
+        p = getattr(kernel, f, None)
+        if p is None:
+            continue
+        v = np.asarray(p.value, dtype=np.float64)
+        repl[f] = param(v, bijectors.Sigmoid(v / trust, v * trust), lr=lr)
+    return kernel.replace(**repl) if repl else kernel
+
+
 def make_kernel(init: KernelInit, *, lr=None):
     """Build the kernel named by ``init.family`` — a zoo name or a composite
     "a*b" / "a+b" spec (Product binds tighter than Sum; components share the
@@ -45,7 +65,10 @@ def make_kernel(init: KernelInit, *, lr=None):
                 f"unknown kernel family {name!r}; choose from "
                 f"{sorted(_FAMILIES)} or join with '*' / '+'"
             )
-        return _FAMILIES[name](init, lr)
+        k = _FAMILIES[name](init, lr)
+        if getattr(init, "trust", 0.0):
+            k = _bound_hypers(k, float(init.trust), lr=lr)
+        return k
 
     def product(term):
         parts = term.split("*")

@@ -32,18 +32,21 @@ def _kernel_flag_kw(cfg, args) -> dict:
     fam_t = getattr(args, "kernel_temporal", None)
     fam_s = getattr(args, "kernel_spatial", None)
     period = getattr(args, "kernel_period", None)
+    trust = getattr(args, "kernel_trust", None)
 
     def _ki(init, family):
         repl = {"family": family} if family else {}
         if period is not None and "periodic" in (family or init.family):
             repl["period"] = (period,) * len(init.lengthscales)
+        if trust:
+            repl["trust"] = trust
         return dataclasses.replace(init, **repl) if repl else init
 
-    if fam_t or period is not None:
+    if fam_t or period is not None or trust:
         for f in ("fk_temporal", "gk_temporal", "k_temporal"):
             if hasattr(cfg, f):
                 kw[f] = _ki(getattr(cfg, f), fam_t)
-    if fam_s:
+    if fam_s or trust:
         for f in ("fk_spatial", "gk_spatial", "k_spatial"):
             if hasattr(cfg, f):
                 kw[f] = _ki(getattr(cfg, f), fam_s)
@@ -162,6 +165,12 @@ def _common(p):
     p.add_argument("--kernel-spatial", type=str, default=None,
                    dest="kernel_spatial",
                    help="spatial-factor kernel family (same choices)")
+    p.add_argument("--kernel-trust", type=float, default=None,
+                   dest="kernel_trust",
+                   help="bound every kernel component's lengthscales/periods "
+                        "to [init/R, init*R] via a Sigmoid bijector (hard "
+                        "interval against hyperparameter drift); 0/unset = "
+                        "unbounded (reference behavior)")
     p.add_argument("--kernel-period", type=float, default=None,
                    dest="kernel_period",
                    help="initial period for 'periodic' temporal kernels, in "
@@ -308,6 +317,11 @@ def main(argv=None):
                       dest="kernel_period",
                       help="period init for periodic components (model units; "
                            "1 day = 0.001 on pptr)")
+    p_cv.add_argument("--kernel-trust", type=float, default=None,
+                      dest="kernel_trust",
+                      help="bound kernel lengthscales/periods to "
+                           "[init/R, init*R] (Sigmoid bijector) for every "
+                           "variant")
 
     args = parser.parse_args(argv)
 

@@ -44,6 +44,11 @@ class KernelInit:
     family: str = "rbf"
     period: Tuple[float, ...] = ()
     alpha: float = 1.0
+    # trust > 0 bounds each component's lengthscales/periods to
+    # [init/trust, init·trust] via a Sigmoid bijector — a hard interval
+    # against hyperparameter drift (the measured champion×periodic failure
+    # mode, results/champ_periodic_probes.json). 0 = unbounded (reference).
+    trust: float = 0.0
 
 
 @dataclass
