@@ -119,7 +119,11 @@ class ServedPredictor:
         self._exported = exported
         self.meta = meta
 
-    def __call__(self, X) -> Dict[str, np.ndarray]:
+    def __call__(self, X, *, as_numpy: bool = True) -> Dict[str, np.ndarray]:
+        """Serve one request. ``as_numpy=False`` returns device arrays
+        without syncing — bulk callers can pipeline chunk dispatches and
+        fetch everything in one ``jax.device_get`` (the same transfer
+        scheduling that makes ``predict_batched`` fast)."""
         X = jnp.asarray(X)
         if X.ndim != 2 or X.shape[1] != self.meta["d_in"]:
             raise ValueError(
@@ -132,6 +136,8 @@ class ServedPredictor:
                 "rows (re-export with batch_size=None for a symbolic batch)"
             )
         out = self._exported.call(X)
+        if not as_numpy:
+            return out
         return {k: np.asarray(v) for k, v in out.items()}
 
 
