@@ -165,6 +165,12 @@ def _common(p):
     p.add_argument("--kernel-spatial", type=str, default=None,
                    dest="kernel_spatial",
                    help="spatial-factor kernel family (same choices)")
+    p.add_argument("--hyper-every", type=int, default=None, dest="hyper_every",
+                   help="block-coordinate training: update the kernel/"
+                        "inducing/likelihood hyperparameters once every K "
+                        "steps and run factorization-free q-only steps "
+                        "between (requires --sampler device; K must divide "
+                        "scan_inner). 0/unset = joint training (reference)")
     p.add_argument("--kernel-trust", type=float, default=None,
                    dest="kernel_trust",
                    help="bound every kernel component's lengthscales/periods "
@@ -455,6 +461,10 @@ def main(argv=None):
             kw["q_cov"] = args.q_cov
         if getattr(args, "whiten", None) and hasattr(cfg, "whiten"):
             kw["whiten"] = True
+        if getattr(args, "hyper_every", None) is not None and hasattr(
+            cfg, "hyper_every"
+        ):
+            kw["hyper_every"] = args.hyper_every
         if getattr(args, "grid", None) and hasattr(cfg, "grid"):
             kw["grid"] = _parse_grid(args.grid)
         kw.update(_kernel_flag_kw(cfg, args))

@@ -81,6 +81,11 @@ class OnOffPptrConfig:
     # uniform sampling inside the jitted step (fastest through the tunnel)
     sampler: str = "host"
     optimizer: str = "adam"  # "adam" | "natgrad" (natgrad on q, Adam on hypers)
+    # > 0: block-coordinate schedule (training.alternating) — hypers update
+    # once per hyper_every steps, q-only steps between with the factorization
+    # hoisted out of the scan (requires sampler="device"; must divide
+    # scan_inner). 0 = joint training (reference schedule).
+    hyper_every: int = 0
     natgrad_gamma: float = 0.1
     natgrad_warmup: int = 2000  # γ ramp length (steps)
     natgrad_adam_warmup: int = 1000  # all-param Adam phase before the split
@@ -126,6 +131,7 @@ class SvgpPptrConfig:
     lr_schedule: str = ""
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
     sampler: str = "host"  # "host" (epoch pipeline) | "device" (HBM-resident sampling)
+    hyper_every: int = 0  # block-coordinate cadence (see OnOffPptrConfig)
     mesh_data: int = 0  # see OnOffPptrConfig.mesh_data
     mesh_model: int = 0
     # natural-gradient options — see OnOffPptrConfig for the field docs
@@ -159,6 +165,7 @@ class ClassifierPptrConfig:
     lr_schedule: str = ""
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
     sampler: str = "host"  # "host" (epoch pipeline) | "device" (HBM-resident sampling)
+    hyper_every: int = 0  # block-coordinate cadence (see OnOffPptrConfig)
     mesh_data: int = 0  # see OnOffPptrConfig.mesh_data
     mesh_model: int = 0
     # natural-gradient options — see OnOffPptrConfig for the field docs

@@ -170,8 +170,29 @@ def _fit_auto(
             mesh=ng_mesh,
         )
 
+    hyper_every = getattr(cfg, "hyper_every", 0) or 0
+    alt_facs = None
+    if hyper_every:
+        # block-coordinate schedule: per-partition optimizers with schedules
+        # sized to each partition's own update count
+        from ..training.alternating import init_alt_optimizers
+
+        if getattr(cfg, "sampler", "host") != "device":
+            raise SystemExit(
+                "error: --hyper-every requires --sampler device (the "
+                "alternating q-scan needs HBM-resident data)"
+            )
+        if getattr(cfg, "lr_schedule", "") == "cosine":
+            alt_facs = (
+                cosine_adam(cfg.num_iter * (hyper_every - 1) // hyper_every),
+                cosine_adam(max(1, cfg.num_iter // hyper_every)),
+            )
+        _, _, alt_state0 = init_alt_optimizers(
+            model, learning_rate=learning_rate, opt_factories=alt_facs
+        )
+
     start_step = 0
-    opt_state = optimizer.init(model)
+    opt_state = alt_state0 if hyper_every else optimizer.init(model)
     if resume and ckpt is not None:
         restored = ckpt.restore_latest(model, opt_state)
         if restored is not None:
@@ -202,6 +223,13 @@ def _fit_auto(
         )
 
     scan_inner = getattr(cfg, "scan_inner", 0)
+    if hyper_every and not (scan_inner and remaining >= scan_inner):
+        raise SystemExit(
+            "error: --hyper-every requires the scanned path "
+            "(scan_inner > 0 and num_iter >= scan_inner)"
+        )
+    if hyper_every and mesh is not None:
+        raise SystemExit("error: --hyper-every does not compose with --mesh-*")
     if scan_inner and remaining >= scan_inner:
         return fit_scanned(
             model,
@@ -209,8 +237,10 @@ def _fit_auto(
             num_iter=remaining,
             batch_size=cfg.batch_size,
             num_inner=scan_inner,
-            optimizer=optimizer,
+            optimizer=None if hyper_every else optimizer,
             opt_state=opt_state,
+            alternating=hyper_every,
+            alt_opt_factories=alt_facs,
             learning_rate=learning_rate,
             # log_every=0 disables per-block loss syncs entirely — each
             # float(loss) sync stalls the dispatch pipeline for a full

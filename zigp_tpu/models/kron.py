@@ -212,11 +212,19 @@ class KronSVGP:
         p = self.likelihood.predict_prob(fmean, fvar)
         return p, p - jnp.square(p)
 
-    def elbo(self, X: jnp.ndarray, Y: jnp.ndarray, *, num_data=None) -> jnp.ndarray:
+    def elbo(
+        self, X: jnp.ndarray, Y: jnp.ndarray, *, num_data=None, factor_state=None
+    ) -> jnp.ndarray:
         """``num_data`` optionally overrides the (static) dataset size with a
         traced value — the hook that lets ragged batched-fold training
-        (training.batched) stack models whose true N differs per fold."""
-        st = self.gp.factor_state()  # one factorization for KL + conditional
+        (training.batched) stack models whose true N differs per fold.
+
+        ``factor_state`` optionally injects a precomputed ``gp.factor_state()``
+        — the block-coordinate trainer (training.alternating) factorizes once
+        per hyper update and runs its q-only steps against that state, so the
+        scan body contains no chol_inv at all."""
+        # one factorization for KL + conditional
+        st = self.gp.factor_state() if factor_state is None else factor_state
         kl = self.gp.prior_kl(st)
         fmean, fvar = self.gp.predict_f(X, st)
         if self.mean_const is not None:
@@ -226,8 +234,13 @@ class KronSVGP:
         scale = jnp.asarray(n, dtype=X.dtype) / X.shape[0]
         return jnp.sum(var_exp) * scale - kl
 
-    def loss(self, X, Y, *, num_data=None):
-        return -self.elbo(X, Y, num_data=num_data)
+    def loss(self, X, Y, *, num_data=None, factor_state=None):
+        return -self.elbo(X, Y, num_data=num_data, factor_state=factor_state)
+
+    def factor_state(self):
+        """Precomputable factorization for elbo(factor_state=...) — see
+        training.alternating."""
+        return self.gp.factor_state()
 
 
 @struct.dataclass
@@ -338,28 +351,55 @@ class KronOnOffSVGP:
         gfmeanu = var_phi * jnp.square(fmean)
         return OnOffPrediction(gfmean, gfvar, gfmeanu, fmean, fvar, gmean, gvar, e_phi, var_phi)
 
-    def elbo(self, X: jnp.ndarray, Y: jnp.ndarray, *, num_data=None) -> jnp.ndarray:
+    def factor_state(self):
+        """The f/g pair's chol_inv factorizations, in the same layout elbo
+        consumes: stacked (leading f/g axis) on the paired-vmap path, a
+        ((f state), (g state)) tuple otherwise. Precompute and pass to
+        ``elbo(factor_state=...)`` to run steps with the factorization
+        hoisted out (training.alternating)."""
+        import jax
+
+        if self._pairable():
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), self.f, self.g
+            )
+            return jax.vmap(lambda gp: gp.factor_state())(stacked)
+        return (self.f.factor_state(), self.g.factor_state())
+
+    def elbo(
+        self, X: jnp.ndarray, Y: jnp.ndarray, *, num_data=None, factor_state=None
+    ) -> jnp.ndarray:
         """``num_data`` optionally overrides the static dataset size with a
-        traced value (see KronSVGP.elbo)."""
+        traced value (see KronSVGP.elbo). ``factor_state`` optionally injects
+        a precomputed ``self.factor_state()`` (block-coordinate q-steps,
+        training.alternating)."""
         import jax
 
         # One pass per GP: factorize the Kronecker grams once (chol_inv) and
         # feed both the KL and the conditional from that state; f and g run
         # through a single vmap so every small op is batched across the pair.
-        def kl_and_predict(gp, Xb):
-            st = gp.factor_state()
+        def kl_and_predict(gp, Xb, st):
+            st = gp.factor_state() if st is None else st
             return gp.prior_kl(st), gp.predict_f(Xb, st)
 
         if self._pairable():
             stacked = jax.tree_util.tree_map(
                 lambda a, b: jnp.stack([a, b]), self.f, self.g
             )
-            kls, (mu, var) = jax.vmap(lambda gp: kl_and_predict(gp, X))(stacked)
+            if factor_state is None:
+                kls, (mu, var) = jax.vmap(
+                    lambda gp: kl_and_predict(gp, X, None)
+                )(stacked)
+            else:
+                kls, (mu, var) = jax.vmap(
+                    lambda gp, st: kl_and_predict(gp, X, st)
+                )(stacked, factor_state)
             kl = jnp.sum(kls)
             (fmean, fvar), (gmean, gvar) = (mu[0], var[0]), (mu[1], var[1])
         else:
-            klf, (fmean, fvar) = kl_and_predict(self.f, X)
-            klg, (gmean, gvar) = kl_and_predict(self.g, X)
+            stf, stg = (None, None) if factor_state is None else factor_state
+            klf, (fmean, fvar) = kl_and_predict(self.f, X, stf)
+            klg, (gmean, gvar) = kl_and_predict(self.g, X, stg)
             kl = klf + klg
         if self.mean_const is not None:
             fmean = fmean + self.mean_const.value
@@ -377,5 +417,5 @@ class KronOnOffSVGP:
         scale = jnp.asarray(n, dtype=X.dtype) / X.shape[0]
         return jnp.sum(var_exp) * scale - kl
 
-    def loss(self, X, Y, *, num_data=None):
-        return -self.elbo(X, Y, num_data=num_data)
+    def loss(self, X, Y, *, num_data=None, factor_state=None):
+        return -self.elbo(X, Y, num_data=num_data, factor_state=factor_state)

@@ -1,3 +1,8 @@
+from .alternating import (
+    init_alt_optimizers,
+    make_alternating_device_step,
+    partition_model,
+)
 from .batched import (
     fit_batched_scanned,
     fit_natgrad_batched,
@@ -31,4 +36,7 @@ __all__ = [
     "predict_batched_stacked",
     "stack_pytrees",
     "unstack_pytree",
+    "make_alternating_device_step",
+    "init_alt_optimizers",
+    "partition_model",
 ]

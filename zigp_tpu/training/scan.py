@@ -164,6 +164,8 @@ def fit_scanned(
     sampler_seed: int = 0,
     mesh=None,
     mesh_tp: bool = False,
+    alternating: int = 0,
+    alt_opt_factories=None,
 ):
     """fit() with the scanned inner loop. ``num_iter`` is the number of
     optimizer steps to run *in this call*; ``start_step`` offsets the step
@@ -212,13 +214,44 @@ def fit_scanned(
     from .loop import FitResult, block_for_interrupt, save_final
     from .optim import make_optimizer
 
-    if optimizer is None:
+    device_mode = sampler == "device"
+    if alternating:
+        # Block-coordinate schedule (training.alternating): hypers update
+        # once per `alternating` steps, q-only steps between with the
+        # factorization hoisted out of the scan. Per-partition optimizers
+        # replace the joint one.
+        from .alternating import make_alternating_device_step
+
+        if not device_mode or mesh is not None or loss_fn is not None:
+            raise ValueError(
+                "alternating training requires sampler='device', no mesh, "
+                "and the model's own loss (loss_fn=None)"
+            )
+        if num_inner % alternating:
+            raise ValueError(
+                f"scan_inner ({num_inner}) must divide by hyper_every "
+                f"({alternating})"
+            )
+        Xd, Yd = data.arrays
+        step, opt_state0 = make_alternating_device_step(
+            model,
+            jnp.asarray(Xd),
+            jnp.asarray(Yd),
+            batch_size,
+            hyper_every=alternating,
+            learning_rate=learning_rate,
+            opt_factories=alt_opt_factories,
+        )
+        if opt_state is None:
+            opt_state = opt_state0
+    elif optimizer is None:
         optimizer = make_optimizer(model, default_lr=learning_rate)
     if opt_state is None:
         opt_state = optimizer.init(model)
-    device_mode = sampler == "device"
     place = None
-    if mesh is not None:
+    if alternating:
+        pass  # step already built above
+    elif mesh is not None:
         from ..parallel import replicate
         from ..parallel.step import (
             make_device_sampling_sharded_scan_step,
