@@ -131,6 +131,28 @@ def test_cli_predict_roundtrip(synth_pptr, tmp_path):
               "--data", synth_pptr, "--workdir", wd, "--batch", "64"])
 
 
+def test_cli_hyper_every_plumbing(synth_pptr, tmp_path):
+    """--hyper-every reaches the per-fold and cv drivers; guard rails fire
+    for the unsupported combinations."""
+    wd = str(tmp_path / "alt")
+    assert main(["onoff", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "50", "--batch", "32",
+                 "--sampler", "device", "--hyper-every", "10"]) == 0
+    assert (tmp_path / "alt" / "1" / "results_onoff.pickle").exists()
+
+    # alternating without the device sampler is a clear error
+    with pytest.raises(SystemExit, match="sampler device"):
+        main(["onoff", "--fold", "1", "--data", synth_pptr,
+              "--workdir", wd, "--iters", "50", "--batch", "32",
+              "--hyper-every", "10"])
+
+    # and the batched stack trainer doesn't take it
+    with pytest.raises(SystemExit, match="not supported with --batched"):
+        main(["cv", "--models", "onoff", "--data", synth_pptr,
+              "--workdir", str(tmp_path / "cvalt"), "--iters", "50",
+              "--batched", "--hyper-every", "10"])
+
+
 def test_cli_export_artifact(synth_pptr, tmp_path):
     """`export` writes a standalone serving artifact from the latest
     checkpoint; the artifact serves arbitrary batch sizes and matches the

@@ -328,6 +328,13 @@ def main(argv=None):
                       help="bound kernel lengthscales/periods to "
                            "[init/R, init*R] (Sigmoid bijector) for every "
                            "variant")
+    p_cv.add_argument("--sampler", type=str, default=None,
+                      choices=("host", "device"),
+                      help="minibatch source for every trained variant")
+    p_cv.add_argument("--hyper-every", type=int, default=None,
+                      dest="hyper_every",
+                      help="block-coordinate cadence for every variant "
+                           "(requires --sampler device)")
 
     args = parser.parse_args(argv)
 
@@ -377,6 +384,12 @@ def main(argv=None):
                 kw["batch_size"] = args.batch
             if args.optimizer is not None:
                 kw["optimizer"] = args.optimizer
+            if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
+                kw["sampler"] = args.sampler
+            if getattr(args, "hyper_every", None) is not None and hasattr(
+                cfg, "hyper_every"
+            ):
+                kw["hyper_every"] = args.hyper_every
             if args.q_cov is not None:
                 kw["q_cov"] = args.q_cov
             if args.natgrad_kron_joint:
@@ -412,6 +425,11 @@ def main(argv=None):
             log_fn=log,
         )
         if args.batched:
+            if getattr(args, "hyper_every", None):
+                raise SystemExit(
+                    "error: --hyper-every is not supported with --batched "
+                    "(the vmapped stack trainer runs the joint schedule)"
+                )
             from .cv_batched import run_cv_batched
 
             run_cv_batched(

@@ -123,6 +123,13 @@ def _fit_auto(
     if getattr(cfg, "optimizer", "adam") == "natgrad":
         from ..training.natgrad import fit_natgrad_scanned
 
+        if getattr(cfg, "hyper_every", 0):
+            log_fn(
+                "warning: --hyper-every is an Adam-path schedule; natgrad "
+                "already alternates (natural q-steps + Adam hypers) — "
+                "ignoring the flag"
+            )
+
         # Data parallelism composes with natgrad (batch sharded over 'data',
         # parameters + the natural-step algebra replicated); tensor
         # parallelism does not — the factored natural steps need the full

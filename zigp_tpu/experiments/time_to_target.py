@@ -54,13 +54,32 @@ def run_time_to_target(
         split = make_cv_splits(load_pptr())[fold - 1]
     cfg = cfg or best_onoff_config()
     model = build_onoff_pptr(cfg, split)
-    optimizer = make_optimizer(
-        model, default_lr=cfg.indp_lr, opt_factory=cosine_adam(cfg.num_iter)
-    )
-    opt_state = optimizer.init(model)
-    step = make_device_sampling_scan_step(
-        optimizer, split.Xtrain, split.Ytrain, cfg.batch_size
-    )
+    he = getattr(cfg, "hyper_every", 0) or 0
+    if he:
+        # block-coordinate schedule (training.alternating) — per-partition
+        # cosine schedules sized to each partition's own update count
+        from ..training.alternating import make_alternating_device_step
+
+        step, opt_state = make_alternating_device_step(
+            model,
+            jnp.asarray(split.Xtrain),
+            jnp.asarray(split.Ytrain),
+            cfg.batch_size,
+            hyper_every=he,
+            learning_rate=cfg.indp_lr,
+            opt_factories=(
+                cosine_adam(cfg.num_iter * (he - 1) // he),
+                cosine_adam(max(1, cfg.num_iter // he)),
+            ),
+        )
+    else:
+        optimizer = make_optimizer(
+            model, default_lr=cfg.indp_lr, opt_factory=cosine_adam(cfg.num_iter)
+        )
+        opt_state = optimizer.init(model)
+        step = make_device_sampling_scan_step(
+            optimizer, split.Xtrain, split.Ytrain, cfg.batch_size
+        )
 
     # Once-jitted fixed-shape predictor: the model pytree is an argument, so
     # one executable serves every eval as the parameters move.
@@ -154,8 +173,18 @@ def main(argv=None):
     p.add_argument("--fold", type=int, default=1)
     p.add_argument("--eval-every", type=int, default=2000)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--hyper-every", type=int, default=0, dest="hyper_every",
+                   help="block-coordinate cadence (training.alternating); "
+                        "0 = joint (the recorded champion protocol)")
     args = p.parse_args(argv)
-    run_time_to_target(args.fold, args.eval_every, args.out)
+    cfg = None
+    if args.hyper_every:
+        import dataclasses
+
+        from .configs import best_onoff_config
+
+        cfg = dataclasses.replace(best_onoff_config(), hyper_every=args.hyper_every)
+    run_time_to_target(args.fold, args.eval_every, args.out, cfg=cfg)
     return 0
 
 
