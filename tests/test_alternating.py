@@ -156,6 +156,65 @@ def test_alternating_validation_errors(split):
         step(model, st0, key, 6)
 
 
+def test_batched_alternating_matches_sequential(split):
+    """Each member of the batched alternating stack reproduces its own
+    sequential fit_scanned(alternating=K) run — same seeds, same schedule,
+    same trajectories (the batched analogue of
+    tests/test_batched.py::test_batched_folds_match_sequential)."""
+    from zigp_tpu.training import fit_scanned
+    from zigp_tpu.training.batched import fit_batched_scanned
+
+    def data(seed, N=60):
+        r = np.random.RandomState(seed)
+        X = r.rand(N, 3)
+        Y = np.maximum(r.randn(N, 1), 0.0)
+        return X, Y
+
+    def model(seed):
+        s = Split(*data(100 + seed), *data(900 + seed, 10))
+        cfg = OnOffPptrConfig(
+            grid=KronGridConfig(num_spatial=3, num_temporal=6),
+            whiten=True, q_cov="kron", seed=seed,
+        )
+        return build_onoff_pptr(cfg, s)
+
+    folds = [data(100 + f) for f in range(2)]
+    seq_models = []
+    for f, (X, Y) in enumerate(folds):
+        from zigp_tpu.io.native import make_dataset
+
+        res = fit_scanned(
+            model(f), make_dataset(X, Y), num_iter=8, batch_size=16,
+            num_inner=4, learning_rate=1e-2, log_every_blocks=0,
+            log_fn=lambda s: None, sampler="device", sampler_seed=f,
+            alternating=4,
+        )
+        seq_models.append(res.model)
+
+    results = fit_batched_scanned(
+        [model(f) for f in range(2)], folds,
+        num_iter=8, batch_size=16, num_inner=4, learning_rate=1e-2,
+        seeds=[0, 1], log_every_blocks=0, log_fn=lambda s: None,
+        hyper_every=4,
+    )
+    for seq, res in zip(seq_models, results):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(seq), jax.tree_util.tree_leaves(res.model)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-11
+            )
+
+    # guard: the ragged/aux path refuses the schedule with a clear error
+    with pytest.raises(ValueError, match="loss_fn/aux"):
+        fit_batched_scanned(
+            [model(f) for f in range(2)], folds,
+            num_iter=8, batch_size=16, num_inner=4, hyper_every=4,
+            log_fn=lambda s: None,
+            loss_fn=lambda m, X, Y, a: m.loss(X, Y),
+        )
+
+
 def test_fit_scanned_alternating_trains_and_checkpoints(split, tmp_path):
     """fit_scanned(alternating=K): loss decreases, checkpoint/restore works
     with the pair opt_state, and the guard rails reject bad combinations."""

@@ -146,11 +146,11 @@ def test_cli_hyper_every_plumbing(synth_pptr, tmp_path):
               "--workdir", wd, "--iters", "50", "--batch", "32",
               "--hyper-every", "10"])
 
-    # and the batched stack trainer doesn't take it
-    with pytest.raises(SystemExit, match="not supported with --batched"):
-        main(["cv", "--models", "onoff", "--data", synth_pptr,
-              "--workdir", str(tmp_path / "cvalt"), "--iters", "50",
-              "--batched", "--hyper-every", "10"])
+    # the batched stack trainer runs the schedule too (vmapped members)
+    assert main(["cv", "--models", "onoff", "--data", synth_pptr,
+                 "--workdir", str(tmp_path / "cvalt"), "--iters", "50",
+                 "--batch", "32", "--batched", "--hyper-every", "10"]) == 0
+    assert (tmp_path / "cvalt" / "cv_summary.json").exists()
 
 
 def test_cli_export_artifact(synth_pptr, tmp_path):

@@ -425,11 +425,6 @@ def main(argv=None):
             log_fn=log,
         )
         if args.batched:
-            if getattr(args, "hyper_every", None):
-                raise SystemExit(
-                    "error: --hyper-every is not supported with --batched "
-                    "(the vmapped stack trainer runs the joint schedule)"
-                )
             from .cv_batched import run_cv_batched
 
             run_cv_batched(

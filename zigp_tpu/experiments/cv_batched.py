@@ -129,6 +129,11 @@ def _train_stack(
     if getattr(cfg, "optimizer", "adam") == "natgrad":
         from ..training.batched import fit_natgrad_batched
 
+        if getattr(cfg, "hyper_every", 0):
+            log_fn(
+                "warning: --hyper-every is an Adam-path schedule; the "
+                "natgrad stack already alternates — ignoring the flag"
+            )
         if loss_fn is not None or aux is not None:
             raise ValueError(
                 "batched natgrad supports equal-shape stacks only (no "
@@ -158,10 +163,24 @@ def _train_stack(
             mesh=mesh,
         )
 
+    hyper_every = getattr(cfg, "hyper_every", 0) or 0
+    alt_facs = None
+    if hyper_every and (loss_fn is not None or aux is not None):
+        # the hurdle's ragged/aux stacks keep the joint schedule
+        log_fn(
+            f"[{kind}] hyper_every is unsupported on the ragged/aux stack — "
+            "training jointly"
+        )
+        hyper_every = 0
     if getattr(cfg, "lr_schedule", "") == "cosine":
         optimizer = make_optimizer(
             models[0], default_lr=lr, opt_factory=cosine_adam(cfg.num_iter)
         )
+        if hyper_every:
+            alt_facs = (
+                cosine_adam(cfg.num_iter * (hyper_every - 1) // hyper_every),
+                cosine_adam(max(1, cfg.num_iter // hyper_every)),
+            )
     else:
         optimizer = make_optimizer(models[0], default_lr=lr)
 
@@ -174,6 +193,9 @@ def _train_stack(
         optimizer=optimizer,
         loss_fn=loss_fn,
         aux=aux,
+        hyper_every=hyper_every,
+        alt_opt_factories=alt_facs,
+        learning_rate=lr,
         # default mirrors the sequential protocol: every fold uses
         # sampler_seed=cfg.seed (ensemble members override per member)
         seeds=seeds or [getattr(cfg, "seed", 0)] * len(models),

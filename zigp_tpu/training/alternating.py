@@ -153,62 +153,136 @@ def make_alternating_device_step(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
     def step(model, opt_state, block_key, num_inner):
-        if num_inner % hyper_every:
-            raise ValueError(
-                f"num_inner ({num_inner}) must divide by hyper_every "
-                f"({hyper_every})"
-            )
-        h_state, q_state = opt_state
-        q, h, _merge = partition_model(model)
-
-        # one staged gather for the whole dispatch (sampler convention of
-        # make_device_sampling_scan_step — same key stream, same estimator)
-        idx = jax.random.randint(block_key, (num_inner * batch_size,), 0, N)
-        groups = num_inner // hyper_every
-        Xs = Xtrain[idx].reshape(
-            groups, hyper_every, batch_size, *Xtrain.shape[1:]
+        return _alternating_dispatch(
+            model, opt_state, block_key, num_inner,
+            Xtrain=Xtrain, Ytrain=Ytrain, nrows=N, batch_size=batch_size,
+            hyper_every=hyper_every, opt_q=opt_q, opt_h=opt_h, unroll=unroll,
         )
-        Ys = Ytrain[idx].reshape(
-            groups, hyper_every, batch_size, *Ytrain.shape[1:]
-        )
-
-        def outer(carry, xy):
-            q, h, h_state, q_state = carry
-            Xg, Yg = xy  # (hyper_every, B, ·)
-
-            # hyper step: full gradient wrt the hyper partition at current q
-            # (this is the one step per group that factorizes)
-            def h_loss(h_leaves, X, Y):
-                return _merge(q, h_leaves).loss(X, Y)
-
-            loss0, gh = jax.value_and_grad(h_loss)(h, Xg[0], Yg[0])
-            upd, h_state = opt_h.update(gh, h_state, h)
-            h = optax.apply_updates(h, upd)
-
-            # factorize ONCE at the new hypers; loop-invariant for the q-scan
-            st = jax.lax.stop_gradient(_merge(q, h).factor_state())
-
-            def q_body(qcarry, xy1):
-                q, q_state = qcarry
-                X, Y = xy1
-
-                def q_loss(q_leaves):
-                    return _merge(q_leaves, h).loss(X, Y, factor_state=st)
-
-                loss, gq = jax.value_and_grad(q_loss)(q)
-                upd, q_state = opt_q.update(gq, q_state, q)
-                q = optax.apply_updates(q, upd)
-                return (q, q_state), loss
-
-            (q, q_state), q_losses = jax.lax.scan(
-                q_body, (q, q_state), (Xg[1:], Yg[1:]), unroll=unroll
-            )
-            losses = jnp.concatenate([loss0[None], q_losses])
-            return (q, h, h_state, q_state), losses
-
-        (q, h, h_state, q_state), losses = jax.lax.scan(
-            outer, (q, h, h_state, q_state), (Xs, Ys)
-        )
-        return _merge(q, h), (h_state, q_state), losses.reshape(-1)
 
     return step, opt_state0
+
+
+def _alternating_dispatch(
+    model, opt_state, block_key, num_inner, *,
+    Xtrain, Ytrain, nrows, batch_size, hyper_every, opt_q, opt_h, unroll,
+):
+    """One traced alternating dispatch: the group structure shared by the
+    single-member step and the batched (vmapped-over-members) step."""
+    if num_inner % hyper_every:
+        raise ValueError(
+            f"num_inner ({num_inner}) must divide by hyper_every "
+            f"({hyper_every})"
+        )
+    h_state, q_state = opt_state
+    q, h, _merge = partition_model(model)
+
+    # one staged gather for the whole dispatch (sampler convention of
+    # make_device_sampling_scan_step — same key stream, same estimator)
+    idx = jax.random.randint(block_key, (num_inner * batch_size,), 0, nrows)
+    groups = num_inner // hyper_every
+    Xs = Xtrain[idx].reshape(groups, hyper_every, batch_size, *Xtrain.shape[1:])
+    Ys = Ytrain[idx].reshape(groups, hyper_every, batch_size, *Ytrain.shape[1:])
+
+    def outer(carry, xy):
+        q, h, h_state, q_state = carry
+        Xg, Yg = xy  # (hyper_every, B, ·)
+
+        # hyper step: full gradient wrt the hyper partition at current q
+        # (this is the one step per group that factorizes)
+        def h_loss(h_leaves, X, Y):
+            return _merge(q, h_leaves).loss(X, Y)
+
+        loss0, gh = jax.value_and_grad(h_loss)(h, Xg[0], Yg[0])
+        upd, h_state = opt_h.update(gh, h_state, h)
+        h = optax.apply_updates(h, upd)
+
+        # factorize ONCE at the new hypers; loop-invariant for the q-scan
+        st = jax.lax.stop_gradient(_merge(q, h).factor_state())
+
+        def q_body(qcarry, xy1):
+            q, q_state = qcarry
+            X, Y = xy1
+
+            def q_loss(q_leaves):
+                return _merge(q_leaves, h).loss(X, Y, factor_state=st)
+
+            loss, gq = jax.value_and_grad(q_loss)(q)
+            upd, q_state = opt_q.update(gq, q_state, q)
+            q = optax.apply_updates(q, upd)
+            return (q, q_state), loss
+
+        (q, q_state), q_losses = jax.lax.scan(
+            q_body, (q, q_state), (Xg[1:], Yg[1:]), unroll=unroll
+        )
+        losses = jnp.concatenate([loss0[None], q_losses])
+        return (q, h, h_state, q_state), losses
+
+    (q, h, h_state, q_state), losses = jax.lax.scan(
+        outer, (q, h, h_state, q_state), (Xs, Ys)
+    )
+    return _merge(q, h), (h_state, q_state), losses.reshape(-1)
+
+
+def make_batched_alternating_step(
+    template,
+    Xs: jnp.ndarray,
+    Ys: jnp.ndarray,
+    batch_size: int,
+    *,
+    hyper_every: int,
+    learning_rate: float = 1e-3,
+    opt_factories=None,
+    num_rows=None,
+    unroll: int = 8,
+    mesh=None,
+):
+    """Alternating step vmapped over a stacked member axis (the
+    training.batched layout: Xs (F, N, D), Ys (F, N, L), models/opt_states
+    stacked with a leading F axis). Returns ``(step, init_opt_states)``
+    where ``init_opt_states(stacked_models)`` builds the stacked
+    ``(h_state, q_state)`` pair. Per-member math is exactly
+    make_alternating_device_step's — member f's trajectory matches a
+    sequential alternating run with the same sampler seed.
+    """
+    if hyper_every < 2:
+        raise ValueError(f"hyper_every must be >= 2 (got {hyper_every})")
+    Xs = jnp.asarray(Xs)
+    Ys = jnp.asarray(Ys)
+    if Xs.ndim != 3:
+        raise ValueError(f"Xs must be (F, N, D), got {Xs.shape}")
+    N = Xs.shape[1]
+    rows = (
+        jnp.full((Xs.shape[0],), N, dtype=jnp.int32)
+        if num_rows is None
+        else jnp.asarray(num_rows, jnp.int32)
+    )
+    if mesh is not None:
+        from .batched import _check_member_mesh, member_place
+
+        _check_member_mesh(mesh, Xs.shape[0])
+        Xs, Ys, rows = member_place(mesh, (Xs, Ys, rows))
+
+    opt_q, opt_h, _ = init_alt_optimizers(
+        template, learning_rate=learning_rate, opt_factories=opt_factories
+    )
+
+    def init_opt_states(stacked):
+        def one(m):
+            qm, hm, _ = partition_model(m)
+            return (opt_h.init(hm), opt_q.init(qm))
+
+        return jax.vmap(one)(stacked)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
+    def step(models, opt_states, block_keys, num_inner):
+        def one_member(model, opt_state, Xf, Yf, block_key, nf):
+            return _alternating_dispatch(
+                model, opt_state, block_key, num_inner,
+                Xtrain=Xf, Ytrain=Yf, nrows=nf, batch_size=batch_size,
+                hyper_every=hyper_every, opt_q=opt_q, opt_h=opt_h,
+                unroll=unroll,
+            )
+
+        return jax.vmap(one_member)(models, opt_states, Xs, Ys, block_keys, rows)
+
+    return step, init_opt_states

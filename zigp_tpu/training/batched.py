@@ -222,8 +222,17 @@ def fit_batched_scanned(
     metric_logger=None,
     resume: bool = False,
     mesh=None,
+    hyper_every: int = 0,
+    alt_opt_factories=None,
 ):
     """Train F stacked members simultaneously; returns a list of F FitResults.
+
+    ``hyper_every`` > 0 switches every member to the block-coordinate
+    schedule (training.alternating: hypers once per hyper_every steps,
+    factorization-free q-only steps between). Requires the models' own loss
+    (``loss_fn``/``aux`` unsupported — the hurdle's ragged stacks keep the
+    joint schedule); per-member math matches a sequential
+    ``fit_scanned(alternating=hyper_every)`` run.
 
     ``mesh`` (parallel.make_mesh): shard the MEMBER axis over the mesh
     ``data`` axis — F/D members per device, zero per-step collectives (the
@@ -287,10 +296,40 @@ def fit_batched_scanned(
     ragged = len(set(lens)) > 1
 
     stacked = stack_pytrees(models)
+    init_alt_states = None
+    if hyper_every:
+        from .alternating import make_batched_alternating_step  # noqa: F401
+
+        if loss_fn is not None or aux is not None:
+            raise ValueError(
+                "hyper_every (block-coordinate schedule) requires the "
+                "models' own loss — loss_fn/aux are unsupported"
+            )
+        if num_inner % hyper_every:
+            raise ValueError(
+                f"num_inner ({num_inner}) must divide by hyper_every "
+                f"({hyper_every})"
+            )
     if optimizer is None:
         optimizer = make_optimizer(models[0], default_lr=learning_rate)
-    # init per member (count scalars etc. get their F axis from the vmap)
-    opt_states = jax.vmap(optimizer.init)(stacked)
+    if hyper_every:
+        # stacked (h_state, q_state) pairs; the step factory below rebuilds
+        # the same optimizers from the template, so states and step agree
+        from .alternating import init_alt_optimizers, partition_model
+
+        opt_q0, opt_h0, _ = init_alt_optimizers(
+            models[0], learning_rate=learning_rate,
+            opt_factories=alt_opt_factories,
+        )
+
+        def _alt_init(m):
+            qm, hm, _ = partition_model(m)
+            return (opt_h0.init(hm), opt_q0.init(qm))
+
+        opt_states = jax.vmap(_alt_init)(stacked)
+    else:
+        # init per member (count scalars etc. get their F axis from the vmap)
+        opt_states = jax.vmap(optimizer.init)(stacked)
 
     # Resume BEFORE the heavy setup (full-dataset stacking/transfer, step
     # build): a resume that turns out to be a completed-run no-op must not
@@ -333,10 +372,19 @@ def fit_batched_scanned(
     Ys = jnp.asarray(np.stack([_pad(np.asarray(y), N) for _, y in xys]))
     num_rows = jnp.asarray(lens, jnp.int32) if ragged else None
 
-    step = make_batched_device_sampling_scan_step(
-        optimizer, Xs, Ys, batch_size, loss_fn,
-        num_rows=num_rows, aux=aux, mesh=mesh,
-    )
+    if hyper_every:
+        from .alternating import make_batched_alternating_step
+
+        step, _ = make_batched_alternating_step(
+            models[0], Xs, Ys, batch_size,
+            hyper_every=hyper_every, learning_rate=learning_rate,
+            opt_factories=alt_opt_factories, num_rows=num_rows, mesh=mesh,
+        )
+    else:
+        step = make_batched_device_sampling_scan_step(
+            optimizer, Xs, Ys, batch_size, loss_fn,
+            num_rows=num_rows, aux=aux, mesh=mesh,
+        )
 
     if ckpt_manager is not None and ckpt_manager.latest_step() is None:
         ckpt_manager.save_at(start_step, stacked, opt_states)
