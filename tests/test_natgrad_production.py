@@ -228,3 +228,54 @@ def test_natgrad_resume_completed_run_is_noop(rng, tmp_path):
     # the no-op path still populates the health signal (evaluated on the
     # restored state), so ensemble-style consumers don't see NaN-unknown
     assert np.isfinite(again.final_loss)
+
+
+@pytest.mark.parametrize("kron_joint", [False, True])
+def test_natgrad_hyper_every_block_coordinate(rng, kron_joint):
+    """Block-coordinate natgrad (hyper_every=K): within each group only the
+    first step touches the hyper partition (kernels/likelihood), the natural
+    q-steps between move the variational parameters at frozen hypers with
+    the factorization injected, and the run trains."""
+    from zigp_tpu.training.alternating import partition_model
+
+    N = 48
+    X, Y = rng.rand(N, 3), np.maximum(rng.randn(N, 1), 0.0)
+
+    def build(seed=0):
+        Zs = [rng_const.rand(3, 2), np.linspace(0, 1, 5)[:, None]]
+        ks = [RBF.create([1.0, 1.0], 1.0), RBF.create([0.3], 1.0)]
+        return KronSVGP.create(
+            ks, Zs, Gaussian.create(0.1), num_data=N, jitter=1e-6,
+            seed=seed, whiten=True, q_cov="kron" if kron_joint else "diag",
+        )
+
+    rng_const = np.random.RandomState(7)
+    model = build()
+    _, h0, _ = partition_model(model)
+    h0 = [np.asarray(p.raw).copy() for p in h0]
+
+    res = fit_natgrad_scanned(
+        model, DataSet(X, Y), num_iter=8, batch_size=16, num_inner=4,
+        gamma=0.01, gamma_warmup=0, adam_warmup=0, sampler="device",
+        hyper_every=4, kron_joint=kron_joint, log_fn=lambda s: None,
+        log_every_blocks=1,
+    )
+    assert np.isfinite(res.final_loss)
+    q1, h1, _ = partition_model(res.model)
+    # hypers moved (once per group), q moved (every step)
+    assert any(
+        not np.array_equal(a, np.asarray(p.raw)) for a, p in zip(h0, h1)
+    )
+    # clear errors for the unsupported combinations
+    with pytest.raises(ValueError, match="sampler='device'"):
+        fit_natgrad_scanned(
+            build(1), DataSet(X, Y), num_iter=8, batch_size=16, num_inner=4,
+            gamma=0.01, gamma_warmup=0, adam_warmup=0, hyper_every=4,
+            log_fn=lambda s: None,
+        )
+    with pytest.raises(ValueError, match="divide"):
+        fit_natgrad_scanned(
+            build(2), DataSet(X, Y), num_iter=10, batch_size=16, num_inner=5,
+            gamma=0.01, gamma_warmup=0, adam_warmup=0, sampler="device",
+            hyper_every=4, log_fn=lambda s: None,
+        )

@@ -123,11 +123,16 @@ def _fit_auto(
     if getattr(cfg, "optimizer", "adam") == "natgrad":
         from ..training.natgrad import fit_natgrad_scanned
 
-        if getattr(cfg, "hyper_every", 0):
-            log_fn(
-                "warning: --hyper-every is an Adam-path schedule; natgrad "
-                "already alternates (natural q-steps + Adam hypers) — "
-                "ignoring the flag"
+        ng_hyper_every = getattr(cfg, "hyper_every", 0) or 0
+        if ng_hyper_every and getattr(cfg, "sampler", "host") != "device":
+            raise SystemExit(
+                "error: --hyper-every with --optimizer natgrad requires "
+                "--sampler device"
+            )
+        if ng_hyper_every and getattr(cfg, "mesh_data", 0):
+            raise SystemExit(
+                "error: --hyper-every does not compose with --mesh-data "
+                "under --optimizer natgrad"
             )
 
         # Data parallelism composes with natgrad (batch sharded over 'data',
@@ -175,6 +180,7 @@ def _fit_auto(
             sampler=getattr(cfg, "sampler", "host"),
             sampler_seed=getattr(cfg, "seed", 0),
             mesh=ng_mesh,
+            hyper_every=ng_hyper_every,
         )
 
     hyper_every = getattr(cfg, "hyper_every", 0) or 0

@@ -635,8 +635,27 @@ class NaturalGradientTrainer:
         step.jitted = _step
         return step
 
+    def _q_only_step(self, model, X, Y, gamma, step_idx, factor_state):
+        """One natural step on the variational partition at frozen hypers:
+        q-gradients are taken with the factorization injected (no chol_inv,
+        no hyper cotangents in the backward) and the Adam chain is untouched
+        — the natgrad analogue of training.alternating's q-step."""
+        from .alternating import partition_model
+
+        q, h, merge = partition_model(model)
+
+        def q_loss(q_leaves):
+            return merge(q_leaves, h).loss(X, Y, factor_state=factor_state)
+
+        loss, gq = jax.value_and_grad(q_loss)(q)
+        zero_h = jax.tree_util.tree_map(jnp.zeros_like, h)
+        grads = merge(gq, zero_h)
+        model = self._natgrad_apply(model, grads, gamma, step_idx)
+        return model, loss
+
     def make_device_scan_step(
-        self, Xtrain, Ytrain, batch_size: int, *, unroll: int = 4, mesh=None
+        self, Xtrain, Ytrain, batch_size: int, *, unroll: int = 4, mesh=None,
+        hyper_every: int = 0,
     ):
         """Device-sampling variant of make_scan_step (mirrors
         training/scan.make_device_sampling_scan_step): the training set lives
@@ -648,10 +667,69 @@ class NaturalGradientTrainer:
         With a ``mesh`` the training set lives replicated on every device and
         the drawn minibatch is constrained to the mesh ``data`` axis — same
         dp semantics (and identical index sequence) as the single-device
-        sampler for the same key."""
+        sampler for the same key.
+
+        ``hyper_every`` > 0: block-coordinate cadence (see
+        training.alternating) — the full natgrad+Adam step runs once per
+        group, the remaining steps take the natural step on q only with the
+        factorization precomputed (zero chol_inv in the q-scan body).
+        Requires a Kron-family model (factor_state()/loss(factor_state=))
+        and K must divide the dispatch length; does not compose with
+        ``mesh``."""
         Xtrain = jnp.asarray(Xtrain)
         Ytrain = jnp.asarray(Ytrain)
         N = Xtrain.shape[0]
+        if hyper_every:
+            if hyper_every < 2:
+                raise ValueError(f"hyper_every must be >= 2 (got {hyper_every})")
+            if mesh is not None:
+                raise ValueError("hyper_every does not compose with mesh")
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def alt_step(model, opt_state, block_key, gammas, steps):
+                K = gammas.shape[0]
+                if K % hyper_every:
+                    raise ValueError(
+                        f"dispatch length ({K}) must divide by hyper_every "
+                        f"({hyper_every})"
+                    )
+                idx = jax.random.randint(block_key, (K * batch_size,), 0, N)
+                G = K // hyper_every
+                Xs = Xtrain[idx].reshape(
+                    G, hyper_every, batch_size, *Xtrain.shape[1:]
+                )
+                Ys = Ytrain[idx].reshape(
+                    G, hyper_every, batch_size, *Ytrain.shape[1:]
+                )
+                gg = gammas.reshape(G, hyper_every)
+                ii = steps.reshape(G, hyper_every)
+
+                def outer(carry, inp):
+                    model, opt_state = carry
+                    Xg, Yg, gams, idxs = inp
+                    model, opt_state, loss0 = self._step_body(
+                        model, opt_state, Xg[0], Yg[0], gams[0], idxs[0]
+                    )
+                    st = jax.lax.stop_gradient(model.factor_state())
+
+                    def q_body(m, inp1):
+                        X, Y, gamma, i = inp1
+                        m, loss = self._q_only_step(m, X, Y, gamma, i, st)
+                        return m, loss
+
+                    model, q_losses = jax.lax.scan(
+                        q_body, model, (Xg[1:], Yg[1:], gams[1:], idxs[1:]),
+                        unroll=unroll,
+                    )
+                    losses = jnp.concatenate([loss0[None], q_losses])
+                    return (model, opt_state), losses
+
+                (model, opt_state), losses = jax.lax.scan(
+                    outer, (model, opt_state), (Xs, Ys, gg, ii)
+                )
+                return model, opt_state, losses.reshape(-1)
+
+            return alt_step
 
         blk_sh = None
         if mesh is not None:
@@ -719,6 +797,7 @@ def fit_natgrad_scanned(
     sampler: str = "host",
     sampler_seed: int = 0,
     mesh=None,
+    hyper_every: int = 0,
 ):
     """Production natural-gradient training: scanned K-step dispatches with
     the γ-warmup schedule threaded through as per-step traced scalars.
@@ -769,6 +848,11 @@ def fit_natgrad_scanned(
     num_iter = int(num_iter)
     adam_warmup = min(int(adam_warmup), num_iter // 2)
     num_inner = max(1, min(int(num_inner), num_iter - adam_warmup))
+    if hyper_every and num_inner % hyper_every:
+        raise ValueError(
+            f"num_inner ({num_inner}) must divide by hyper_every "
+            f"({hyper_every}) — adjust scan_inner or the step budget"
+        )
 
     trainer = NaturalGradientTrainer(
         model, gamma=gamma, adam_lr=adam_lr,
@@ -827,9 +911,16 @@ def fit_natgrad_scanned(
         place = replicate
         model = place(mesh, model)
         opt_state = place(mesh, opt_state)
+    if hyper_every and (not device_mode or mesh is not None):
+        raise ValueError(
+            "hyper_every (block-coordinate natgrad) requires "
+            "sampler='device' and no mesh"
+        )
     if device_mode:
         Xd, Yd = data.arrays
-        step = trainer.make_device_scan_step(Xd, Yd, batch_size, mesh=mesh)
+        step = trainer.make_device_scan_step(
+            Xd, Yd, batch_size, mesh=mesh, hyper_every=hyper_every
+        )
     else:
         step = trainer.make_scan_step(mesh=mesh)
 
