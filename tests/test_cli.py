@@ -122,8 +122,17 @@ def test_cli_predict_roundtrip(synth_pptr, tmp_path):
     assert main(["onoff", "--fold", "1", "--data", synth_pptr,
                  "--workdir", wd, "--iters", "60", "--batch", "64"]) == 0
     assert main(["predict", "--model", "onoff", "--fold", "1",
-                 "--data", synth_pptr, "--workdir", wd, "--batch", "64"]) == 0
-    assert (tmp_path / "runs" / "1" / "predictions_onoff.pickle").exists()
+                 "--data", synth_pptr, "--workdir", wd, "--batch", "64",
+                 "--samples", "6"]) == 0
+    ppath = tmp_path / "runs" / "1" / "predictions_onoff.pickle"
+    assert ppath.exists()
+    import numpy as np
+
+    with open(ppath, "rb") as f:
+        preds = pickle.load(f)
+    s = preds["y_samples"]
+    assert s.shape[0] == 6 and s.ndim == 3 and s.shape[2] == 1
+    assert np.isfinite(s).all()
 
     # no checkpoint for svgp in this workdir -> clean error
     with pytest.raises(SystemExit, match="no checkpoint"):

@@ -178,3 +178,42 @@ def test_elbo_is_differentiable_end_to_end(rng):
     # at least the likelihood variance and f q_mu receive signal
     assert not np.allclose(np.asarray(grads.f.q_mu.raw), 0.0)
     assert not np.allclose(np.asarray(grads.likelihood.variance.raw), 0.0)
+
+
+def test_onoff_predict_y_samples_match_moments(rng):
+    """predict_y_samples draws the gated predictive y* = Φ(g*)·f* + ε whose
+    Monte-Carlo moments must match the closed-form prediction fields:
+    E[y*] = gfmean and Var[y*] = E[Φ²](fvar + fmean²) − gfmean² + σ²."""
+    Zs_np, X, Y, q_fm, ks, _ = _kron_setup(rng)
+    model = KronOnOffSVGP.create(
+        ks, Zs_np, ks, Zs_np, OnOffGaussian.create(0.01),
+        num_data=1000, jitter=1e-5,
+    )
+    Xt = jnp.asarray(X[:8])
+    pred = model.predict(Xt)
+    S = 20_000
+    s = np.asarray(model.predict_y_samples(jax.random.PRNGKey(0), Xt, S))
+    assert s.shape == (S, 8, 1)
+
+    mean = np.asarray(pred.gfmean)
+    ephi2 = np.asarray(pred.gfvar) / np.maximum(np.asarray(pred.fvar), 1e-30)
+    var = (
+        ephi2 * (np.asarray(pred.fvar) + np.asarray(pred.fmean) ** 2)
+        - mean**2
+        + 0.01
+    )
+    mc_mean = s.mean(axis=0)
+    mc_var = s.var(axis=0)
+    # MC tolerance: ~4 standard errors
+    se_mean = np.sqrt(var / S)
+    assert np.all(np.abs(mc_mean - mean) < 4 * se_mean + 1e-6)
+    np.testing.assert_allclose(mc_var, var, rtol=0.1, atol=1e-4)
+
+    # dense model exposes the same API
+    Xd, Yd, Zd = _toy_problem(rng)
+    dense = OnOffSVGP.create(
+        RBF.create([1.0], 1.0), RBF.create([1.0], 1.0),
+        OnOffGaussian.create(0.01), Zd, Zd, num_data=Xd.shape[0],
+    )
+    sd = np.asarray(dense.predict_y_samples(jax.random.PRNGKey(1), jnp.asarray(Xd[:5]), 7))
+    assert sd.shape == (7, 5, 1) and np.isfinite(sd).all()

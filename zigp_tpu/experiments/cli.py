@@ -228,6 +228,11 @@ def main(argv=None):
                         choices=("onoff", "svgp", "classifier"),
                         help="which trained model to restore; config flags "
                              "(--preset/--kernel-*/...) must match training")
+    p_pred.add_argument("--samples", type=int, default=0,
+                        help="also draw this many predictive samples per "
+                             "test point (onoff: gated y* = Φ(g*)·f* + ε; "
+                             "svgp: f* + ε; classifier: Bernoulli draws) "
+                             "into the predictions pickle's 'y_samples'")
 
     p_exp = sub.add_parser(
         "export",
@@ -524,7 +529,10 @@ def main(argv=None):
             "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
             "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
         }[args.model]
-        run_predict(split, args.model, _cfgkw(cfg), workdir=workdir, log_fn=log)
+        run_predict(
+            split, args.model, _cfgkw(cfg), workdir=workdir, log_fn=log,
+            samples=args.samples,
+        )
         return 0
     if args.cmd == "export":
         from .configs import (

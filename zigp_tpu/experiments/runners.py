@@ -672,6 +672,8 @@ def run_predict(
     *,
     workdir: str,
     log_fn: Callable[[str], None] = logger.info,
+    samples: int = 0,
+    sample_seed: int = 0,
 ) -> dict:
     """Standalone restore-and-predict: rebuild the model from its config,
     restore the latest Orbax checkpoint in ``workdir``, and run the same
@@ -691,6 +693,27 @@ def run_predict(
     model, step, evaluate = _restore_model(split, kind, cfg, workdir, log_fn)
     results = evaluate(model, split, log_fn)
     results["restored_step"] = step
+    if samples:
+        # predictive samples per test point (the reference's predict modules
+        # return moments only): onoff draws the gated y*, svgp adds the
+        # Gaussian noise to latent draws, the classifier draws Bernoulli
+        # labels from the plug-in probability
+        key = jax.random.PRNGKey(sample_seed)
+        Xte = jnp.asarray(split.Xtest)
+        if kind == "onoff":
+            s = model.predict_y_samples(key, Xte, samples)
+        elif kind == "svgp":
+            fs = model.predict_f_samples(key, Xte, samples)
+            noise = jnp.sqrt(model.likelihood.variance.value)
+            s = fs + noise * jax.random.normal(
+                jax.random.fold_in(key, 1), fs.shape, dtype=fs.dtype
+            )
+        else:  # classifier
+            p, _ = model.predict_prob(Xte)
+            u = jax.random.uniform(key, (samples,) + p.shape, dtype=p.dtype)
+            s = (u < p[None]).astype(p.dtype)
+        results["y_samples"] = np.asarray(s)
+        log_fn(f"drew {samples} predictive samples per point: {results['y_samples'].shape}")
     _maybe_pickle(results, workdir, f"predictions_{kind}.pickle")
     results["model"] = model
     return results

@@ -366,6 +366,22 @@ class KronOnOffSVGP:
             return jax.vmap(lambda gp: gp.factor_state())(stacked)
         return (self.f.factor_state(), self.g.factor_state())
 
+    def predict_y_samples(
+        self, key, Xnew: jnp.ndarray, num_samples: int = 1
+    ) -> jnp.ndarray:
+        """(S, B, 1) per-point samples of the gated predictive
+        y* = Φ(g*)·f* + ε — the predictive-interval companion of the
+        reference's point predictions (its predict modules return moments
+        only, onofftf/onoffpred.py:273-281). f*/g* are drawn from their
+        posterior *marginals* at each test point (use
+        ``f.predict_f_samples(full_cov=True)`` for cross-point-correlated
+        latent draws); ε ~ N(0, likelihood.variance)."""
+        from .onoff import gated_y_samples
+
+        return gated_y_samples(
+            self.predict(Xnew), self.likelihood.variance.value, key, num_samples
+        )
+
     def elbo(
         self, X: jnp.ndarray, Y: jnp.ndarray, *, num_data=None, factor_state=None
     ) -> jnp.ndarray:

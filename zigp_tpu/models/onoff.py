@@ -24,6 +24,25 @@ from ..ops import conditionals, gauss_kl, linalg
 from ..ops.probit import probit_expectations
 
 
+def gated_y_samples(pred: "OnOffPrediction", noise_var, key, num_samples: int):
+    """(S, B, 1) per-point samples of y* = Φ(g*)·f* + ε from an
+    OnOffPrediction's marginal moments (shared by the dense and Kron
+    models' ``predict_y_samples``)."""
+    import jax
+
+    kf, kg, ke = jax.random.split(key, 3)
+    shape = (num_samples,) + pred.fmean.shape
+    dt = pred.fmean.dtype
+    f = pred.fmean[None] + jnp.sqrt(
+        jnp.maximum(pred.fvar, 0.0)
+    )[None] * jax.random.normal(kf, shape, dtype=dt)
+    g = pred.gmean[None] + jnp.sqrt(
+        jnp.maximum(pred.gvar, 0.0)
+    )[None] * jax.random.normal(kg, shape, dtype=dt)
+    eps = jax.random.normal(ke, shape, dtype=dt)
+    return jax.scipy.special.ndtr(g) * f + jnp.sqrt(noise_var) * eps
+
+
 class OnOffPrediction(NamedTuple):
     """The 9-tuple returned by the reference's build_predict (OnOffSVGP.py:152)."""
 
@@ -144,6 +163,16 @@ class OnOffSVGP:
         gfvar = e_phi_sq * fvar
         gfmeanu = var_phi * jnp.square(fmean)
         return OnOffPrediction(gfmean, gfvar, gfmeanu, fmean, fvar, gmean, gvar, e_phi, var_phi)
+
+    def predict_y_samples(
+        self, key, Xnew: jnp.ndarray, num_samples: int = 1
+    ) -> jnp.ndarray:
+        """(S, B, 1) per-point samples of the gated predictive
+        y* = Φ(g*)·f* + ε (see gated_y_samples; the reference returns
+        moments only)."""
+        return gated_y_samples(
+            self.predict(Xnew), self.likelihood.variance.value, key, num_samples
+        )
 
     def elbo(self, X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
         kl = self.prior_kl()
