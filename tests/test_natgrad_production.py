@@ -279,3 +279,23 @@ def test_natgrad_hyper_every_block_coordinate(rng, kron_joint):
             gamma=0.01, gamma_warmup=0, adam_warmup=0, sampler="device",
             hyper_every=4, log_fn=lambda s: None,
         )
+
+
+def test_natgrad_hyper_every_rejects_dense_models(rng):
+    """Dense (non-Kron) models get a clear error, not an AttributeError."""
+    from zigp_tpu.likelihoods import OnOffGaussian
+    from zigp_tpu.models import OnOffSVGP
+
+    N = 24
+    X, Y = rng.rand(N, 1), rng.rand(N, 1)
+    Z = np.linspace(0, 1, 4)[:, None]
+    dense = OnOffSVGP.create(
+        RBF.create([1.0], 1.0), RBF.create([1.0], 1.0),
+        OnOffGaussian.create(0.01), Z, Z, num_data=N,
+    )
+    with pytest.raises(ValueError, match="Kron-family"):
+        fit_natgrad_scanned(
+            dense, DataSet(X, Y), num_iter=8, batch_size=8, num_inner=4,
+            gamma=0.01, gamma_warmup=0, adam_warmup=0, sampler="device",
+            hyper_every=4, log_fn=lambda s: None,
+        )

@@ -246,6 +246,11 @@ def make_batched_alternating_step(
     """
     if hyper_every < 2:
         raise ValueError(f"hyper_every must be >= 2 (got {hyper_every})")
+    if not (hasattr(template, "factor_state") and hasattr(template, "loss")):
+        raise ValueError(
+            "alternating training needs a model with factor_state()/"
+            "loss(factor_state=...) — the Kronecker families"
+        )
     Xs = jnp.asarray(Xs)
     Ys = jnp.asarray(Ys)
     if Xs.ndim != 3:

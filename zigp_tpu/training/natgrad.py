@@ -853,6 +853,11 @@ def fit_natgrad_scanned(
             f"num_inner ({num_inner}) must divide by hyper_every "
             f"({hyper_every}) — adjust scan_inner or the step budget"
         )
+    if hyper_every and not hasattr(model, "factor_state"):
+        raise ValueError(
+            "hyper_every requires a Kron-family model exposing "
+            "factor_state()/loss(factor_state=...)"
+        )
 
     trainer = NaturalGradientTrainer(
         model, gamma=gamma, adam_lr=adam_lr,
