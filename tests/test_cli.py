@@ -145,8 +145,9 @@ def test_cli_hyper_every_plumbing(synth_pptr, tmp_path):
     for the unsupported combinations."""
     wd = str(tmp_path / "alt")
     assert main(["onoff", "--fold", "1", "--data", synth_pptr,
-                 "--workdir", wd, "--iters", "50", "--batch", "32",
-                 "--sampler", "device", "--hyper-every", "10"]) == 0
+                 "--workdir", wd, "--iters", "40", "--batch", "32",
+                 "--sampler", "device", "--hyper-every", "10",
+                 "--scan-inner", "20"]) == 0
     assert (tmp_path / "alt" / "1" / "results_onoff.pickle").exists()
 
     # alternating without the device sampler is a clear error

@@ -110,6 +110,11 @@ def _common(p):
     p.add_argument("--workdir", type=str, default="runs/pptr")
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--scan-inner", type=int, default=None, dest="scan_inner",
+                   help="optimizer steps per device dispatch (default 50; "
+                        "also the log/checkpoint sync granularity). "
+                        "Alternating runs reach their full dispatch rate at "
+                        ">= 200 (results/alternating_scan_inner_probe.json)")
     p.add_argument("--grid", type=str, default=None,
                    help="inducing grid: SxT (S kmeans spatial x T time "
                         "knots, the reference layout) or LATxLONxT for the "
@@ -271,6 +276,9 @@ def main(argv=None):
     p_cv.add_argument("--workdir", type=str, default="runs/cv_full")
     p_cv.add_argument("--iters", type=int, default=None)
     p_cv.add_argument("--batch", type=int, default=None)
+    p_cv.add_argument("--scan-inner", type=int, default=None, dest="scan_inner",
+                      help="steps per dispatch for every variant (see the "
+                           "per-fold commands)")
     p_cv.add_argument("--preset", type=str, default="reference",
                       choices=("reference", "best"),
                       help="reference = the paper's per-variant configs; best "
@@ -387,6 +395,10 @@ def main(argv=None):
                 kw["num_iter"] = args.iters
             if args.batch is not None:
                 kw["batch_size"] = args.batch
+            if getattr(args, "scan_inner", None) is not None and hasattr(
+                cfg, "scan_inner"
+            ):
+                kw["scan_inner"] = args.scan_inner
             if args.optimizer is not None:
                 kw["optimizer"] = args.optimizer
             if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
@@ -459,6 +471,10 @@ def main(argv=None):
             kw["num_iter"] = args.iters
         if args.batch is not None:
             kw["batch_size"] = args.batch
+        if getattr(args, "scan_inner", None) is not None and hasattr(
+            cfg, "scan_inner"
+        ):
+            kw["scan_inner"] = args.scan_inner
         if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
             kw["sampler"] = args.sampler
         if getattr(args, "optimizer", None) and hasattr(cfg, "optimizer"):
