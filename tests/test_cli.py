@@ -147,7 +147,7 @@ def test_cli_hyper_every_plumbing(synth_pptr, tmp_path):
     assert main(["onoff", "--fold", "1", "--data", synth_pptr,
                  "--workdir", wd, "--iters", "40", "--batch", "32",
                  "--sampler", "device", "--hyper-every", "10",
-                 "--scan-inner", "20"]) == 0
+                 "--scan-inner", "20", "--kern-lr", "0.02"]) == 0
     assert (tmp_path / "alt" / "1" / "results_onoff.pickle").exists()
 
     # alternating without the device sampler is a clear error

@@ -176,6 +176,10 @@ def _common(p):
                         "steps and run factorization-free q-only steps "
                         "between (requires --sampler device; K must divide "
                         "scan_inner). 0/unset = joint training (reference)")
+    p.add_argument("--kern-lr", type=float, default=None, dest="kern_lr",
+                   help="hyperparameter (kernel/noise) learning rate for the "
+                        "onoff model (default 1e-3; the block-coordinate "
+                        "recipe's best setting is 2e-2 — RESULTS.md)")
     p.add_argument("--kernel-trust", type=float, default=None,
                    dest="kernel_trust",
                    help="bound every kernel component's lengthscales/periods "
@@ -341,6 +345,10 @@ def main(argv=None):
                       help="bound kernel lengthscales/periods to "
                            "[init/R, init*R] (Sigmoid bijector) for every "
                            "variant")
+    p_cv.add_argument("--kern-lr", type=float, default=None,
+                      dest="kern_lr",
+                      help="onoff hyperparameter learning rate (see the "
+                           "per-fold commands)")
     p_cv.add_argument("--sampler", type=str, default=None,
                       choices=("host", "device"),
                       help="minibatch source for every trained variant")
@@ -399,6 +407,10 @@ def main(argv=None):
                 cfg, "scan_inner"
             ):
                 kw["scan_inner"] = args.scan_inner
+            if getattr(args, "kern_lr", None) is not None and hasattr(
+                cfg, "kern_lr"
+            ):
+                kw["kern_lr"] = args.kern_lr
             if args.optimizer is not None:
                 kw["optimizer"] = args.optimizer
             if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
@@ -475,6 +487,10 @@ def main(argv=None):
             cfg, "scan_inner"
         ):
             kw["scan_inner"] = args.scan_inner
+        if getattr(args, "kern_lr", None) is not None and hasattr(
+            cfg, "kern_lr"
+        ):
+            kw["kern_lr"] = args.kern_lr
         if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
             kw["sampler"] = args.sampler
         if getattr(args, "optimizer", None) and hasattr(cfg, "optimizer"):
