@@ -193,3 +193,47 @@ def test_run_predict_from_natgrad_checkpoint(rng, tmp_path):
     # whole blocks, never below the requested count
     assert res["restored_step"] >= cfg.num_iter
     np.testing.assert_allclose(res["test_rmse"], trained["test_rmse"], rtol=1e-7)
+
+
+def test_recalibrate_noise_moment_matching(rng, tmp_path):
+    """recalibrate_noise sets σ² to mean((y−m̂)² − v̂) over train (clipped),
+    improving NLPD when the trained noise under-covers the residuals, and
+    the CLI flag threads through an onoff run."""
+    import numpy as np
+
+    from zigp_tpu.experiments.builders import build_onoff_pptr
+    from zigp_tpu.experiments.runners import (
+        _eval_onoff,
+        predict_batched,
+        recalibrate_noise,
+        run_onoff,
+    )
+
+    split = _synthetic_split(rng)
+    cfg = OnOffPptrConfig(grid=_tiny_grid(), noise_variance=1e-4)
+    model = build_onoff_pptr(cfg, split)
+
+    before = _eval_onoff(model, split, lambda s: None)
+    recal = recalibrate_noise(model, split, "onoff", log_fn=lambda s: None)
+    after = _eval_onoff(recal, split, lambda s: None)
+
+    # closed form check
+    pt = predict_batched(lambda X: model.predict(X), split.Xtrain)
+    want = max(
+        float(np.mean((split.Ytrain - pt["gfmean"]) ** 2 - pt["gfvar"] - pt["gfmeanu"])),
+        1e-6,
+    )
+    got = float(np.asarray(recal.likelihood.variance.value))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # the under-covering 1e-4 noise is replaced; density improves, points don't move
+    assert after["test_nlpd"] < before["test_nlpd"]
+    assert after["test_rmse"] == before["test_rmse"]
+
+    res = run_onoff(
+        split,
+        OnOffPptrConfig(grid=_tiny_grid(), num_iter=10, batch_size=32,
+                        scan_inner=0, log_every=0, ckpt_every=0,
+                        monitor_every=0, recalibrate_noise=True),
+        log_fn=lambda s: None,
+    )
+    assert np.isfinite(res["test_nlpd"])

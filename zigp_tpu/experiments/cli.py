@@ -176,6 +176,13 @@ def _common(p):
                         "steps and run factorization-free q-only steps "
                         "between (requires --sampler device; K must divide "
                         "scan_inner). 0/unset = joint training (reference)")
+    p.add_argument("--recalibrate-noise", action="store_true", default=None,
+                   dest="recalibrate_noise",
+                   help="after training, moment-match the likelihood "
+                        "variance to the train residuals (onoff/svgp; fixes "
+                        "the predictive density when the noise lags, e.g. "
+                        "under --hyper-every — measured NLPD 7.6 -> 0.98 at "
+                        "the scale recipe; point metrics unchanged)")
     p.add_argument("--kern-lr", type=float, default=None, dest="kern_lr",
                    help="hyperparameter (kernel/noise) learning rate for the "
                         "onoff model (default 1e-3; the block-coordinate "
@@ -345,6 +352,10 @@ def main(argv=None):
                       help="bound kernel lengthscales/periods to "
                            "[init/R, init*R] (Sigmoid bijector) for every "
                            "variant")
+    p_cv.add_argument("--recalibrate-noise", action="store_true", default=None,
+                      dest="recalibrate_noise",
+                      help="post-training noise recalibration for the "
+                           "onoff/svgp variants (see the per-fold commands)")
     p_cv.add_argument("--kern-lr", type=float, default=None,
                       dest="kern_lr",
                       help="onoff hyperparameter learning rate (see the "
@@ -411,6 +422,10 @@ def main(argv=None):
                 cfg, "kern_lr"
             ):
                 kw["kern_lr"] = args.kern_lr
+            if getattr(args, "recalibrate_noise", None) and hasattr(
+                cfg, "recalibrate_noise"
+            ):
+                kw["recalibrate_noise"] = True
             if args.optimizer is not None:
                 kw["optimizer"] = args.optimizer
             if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
@@ -491,6 +506,10 @@ def main(argv=None):
             cfg, "kern_lr"
         ):
             kw["kern_lr"] = args.kern_lr
+        if getattr(args, "recalibrate_noise", None) and hasattr(
+            cfg, "recalibrate_noise"
+        ):
+            kw["recalibrate_noise"] = True
         if getattr(args, "sampler", None) and hasattr(cfg, "sampler"):
             kw["sampler"] = args.sampler
         if getattr(args, "optimizer", None) and hasattr(cfg, "optimizer"):

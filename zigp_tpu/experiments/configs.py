@@ -86,6 +86,11 @@ class OnOffPptrConfig:
     # hoisted out of the scan (requires sampler="device"; must divide
     # scan_inner). 0 = joint training (reference schedule).
     hyper_every: int = 0
+    # post-hoc likelihood-variance recalibration by train-residual moment
+    # matching (runners.recalibrate_noise) — fixes the predictive density
+    # when the noise lags training (e.g. the block-coordinate schedule:
+    # measured NLPD 7.6 -> 0.98 at the scale recipe); point metrics unchanged
+    recalibrate_noise: bool = False
     natgrad_gamma: float = 0.1
     natgrad_warmup: int = 2000  # γ ramp length (steps)
     natgrad_adam_warmup: int = 1000  # all-param Adam phase before the split
@@ -132,6 +137,7 @@ class SvgpPptrConfig:
     q_cov: str = "diag"  # "diag" (reference family) | "kron" (factored full covariance)
     sampler: str = "host"  # "host" (epoch pipeline) | "device" (HBM-resident sampling)
     hyper_every: int = 0  # block-coordinate cadence (see OnOffPptrConfig)
+    recalibrate_noise: bool = False  # see OnOffPptrConfig
     mesh_data: int = 0  # see OnOffPptrConfig.mesh_data
     mesh_model: int = 0
     # natural-gradient options — see OnOffPptrConfig for the field docs
