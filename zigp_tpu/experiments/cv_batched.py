@@ -250,6 +250,16 @@ def run_cv_batched(
         mix_onoff_preds,
     )
 
+    if any(
+        getattr(c, "recalibrate_noise", False)
+        for c in (onoff_cfg, svgp_cfg, clf_cfg)
+        if c is not None
+    ):
+        log_fn(
+            "warning: --recalibrate-noise is not implemented for the batched "
+            "driver (its eval reuses stacked test predictions and computes "
+            "no train predictions) — ignoring; use the sequential cv driver"
+        )
     splits = splits or make_cv_splits(load_pptr())
     F = len(splits)
     E = max(1, int(ensemble))
