@@ -198,6 +198,15 @@ def fit_scanned(
     - ``callback(step, model)`` every ``callback_every`` steps — the
       inducing-monitor hook (reference plots every 10k iters).
 
+    ``alternating`` > 0: the block-coordinate schedule (training.alternating)
+    — hyperparameters update once per that many steps by their own Adam
+    chain, the q-only steps between run with the factorization hoisted out
+    of the scan. Requires ``sampler="device"``, no mesh, the model's own
+    loss, and ``alternating`` dividing ``num_inner``; ``opt_state`` becomes
+    the ``(h_state, q_state)`` pair (``alt_opt_factories``: per-partition
+    make_optimizer factories). Measured profile in RESULTS.md
+    "Block-coordinate training".
+
     Multi-device training (new-design obligation — the reference is single
     process, SURVEY §2 "Parallelism: NONE"): pass a ``mesh``
     (parallel.make_mesh) to run the scanned step sharded — the per-step
