@@ -5,7 +5,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..io.datasets import Split, kron_inducing_init
-from ..likelihoods import Bernoulli, Gaussian, OnOffGaussian
+from ..likelihoods import Bernoulli, Gamma, Gaussian, LogNormal, OnOffGaussian
 from ..models import KronOnOffSVGP, KronSVGP
 from ..ops import kernels as _kz
 from ..ops.kernels import RBF
@@ -165,21 +165,70 @@ def build_onoff_pptr(cfg: OnOffPptrConfig, split: Split) -> KronOnOffSVGP:
     )
 
 
+def make_regression_likelihood(cfg: SvgpPptrConfig, Y: np.ndarray):
+    """(likelihood, mean_const) for the regression head named by
+    ``cfg.likelihood``. The positive-support heads model the latent on a log
+    scale, so they get a learned constant prior mean initialised from the
+    (strictly positive) targets — log-scale latents start near the data
+    instead of at 0 (= amount 1)."""
+    name = (getattr(cfg, "likelihood", "gaussian") or "gaussian").lower()
+    if name == "gaussian":
+        return Gaussian.create(cfg.noise_variance, lr=cfg.lr), None
+    Y = np.asarray(Y, dtype=np.float64).reshape(-1)
+    if (Y <= 0).any():
+        raise ValueError(
+            f"likelihood={name!r} requires strictly positive targets "
+            f"(got min {Y.min()}); use it as the hurdle's on-subset head "
+            "or filter zeros first"
+        )
+    if name == "lognormal":
+        return (
+            LogNormal.create(cfg.lognormal_variance, lr=cfg.lr),
+            float(np.mean(np.log(Y))),
+        )
+    if name == "gamma":
+        return Gamma.create(cfg.gamma_shape, lr=cfg.lr), float(np.log(np.mean(Y)))
+    raise ValueError(
+        f"unknown regression likelihood {name!r}; "
+        "choose gaussian | lognormal | gamma"
+    )
+
+
 def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> KronSVGP:
     X = split.Xtrain if subset_idx is None else split.Xtrain[subset_idx]
+    Y = split.Ytrain if subset_idx is None else split.Ytrain[subset_idx]
     Zs = kron_inducing_init(
         X, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed,
         spatial_factors=cfg.grid.spatial_factors,
     )
+    likelihood, mean_const = make_regression_likelihood(cfg, Y)
+    k_spatial, k_temporal = cfg.k_spatial, cfg.k_temporal
+    if mean_const is not None:
+        # positive-support head: the latent lives on a LOG scale, so the
+        # y-scale variance heuristic (max(Y), utils_pptr-style) is wildly
+        # miscalibrated — Kron prior variance is the PRODUCT over factors
+        # (20·20 = 400 ⇒ exp(200) predictive means). Init each factor at
+        # var(log y)^(1/F) so the product matches the log-target variance.
+        import dataclasses
+
+        n_factors = 2 if cfg.grid.spatial_factors is None else 3
+        v_log = max(
+            float(np.var(np.log(np.asarray(Y, dtype=np.float64).reshape(-1)))),
+            0.05,
+        )
+        v_f = v_log ** (1.0 / n_factors)
+        k_spatial = dataclasses.replace(k_spatial, variance=v_f)
+        k_temporal = dataclasses.replace(k_temporal, variance=v_f)
     kerns = make_factor_kernels(
-        cfg.k_spatial, cfg.k_temporal, cfg.grid.spatial_factors,
+        k_spatial, k_temporal, cfg.grid.spatial_factors,
         lr=cfg.lr, axis_spans=_axis_spans(X),
     )
     return KronSVGP.create(
         kerns,
         Zs,
-        Gaussian.create(cfg.noise_variance, lr=cfg.lr),
+        likelihood,
         num_data=X.shape[0],
+        mean_const=mean_const,
         jitter=cfg.jitter,
         seed=cfg.seed,
         lr=cfg.lr,

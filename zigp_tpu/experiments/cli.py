@@ -198,6 +198,19 @@ def _common(p):
                    help="initial period for 'periodic' temporal kernels, in "
                         "the model's time units (pptr time is days/1000; "
                         "1 day = 0.001)")
+    p.add_argument("--likelihood", type=str, default=None,
+                   choices=("gaussian", "lognormal", "gamma"),
+                   help="regression observation model (svgp/hurdle): gaussian "
+                        "(reference) | lognormal | gamma — positive-support "
+                        "heads for the hurdle's conditional amount y | y>0; "
+                        "they fit on strictly-positive targets and report "
+                        "y-scale metrics via the predictive mean")
+    p.add_argument("--lognormal-variance", type=float, default=None,
+                   dest="lognormal_variance",
+                   help="init observation variance of log y (lognormal head)")
+    p.add_argument("--gamma-shape", type=float, default=None,
+                   dest="gamma_shape",
+                   help="init shape alpha of the gamma head (1 = exponential)")
     p.add_argument("--solve-precision", type=str, default=None,
                    dest="solve_precision", choices=("highest", "high", "mixed"),
                    help="matmul precision on the solve-replacing contractions "
@@ -367,6 +380,16 @@ def main(argv=None):
                       dest="hyper_every",
                       help="block-coordinate cadence for every variant "
                            "(requires --sampler device)")
+    p_cv.add_argument("--likelihood", type=str, default=None,
+                      choices=("gaussian", "lognormal", "gamma"),
+                      help="regression observation model for the svgp/hurdle "
+                           "variants (see the per-fold commands)")
+    p_cv.add_argument("--lognormal-variance", type=float, default=None,
+                      dest="lognormal_variance",
+                      help="init observation variance of log y (lognormal)")
+    p_cv.add_argument("--gamma-shape", type=float, default=None,
+                      dest="gamma_shape",
+                      help="init shape alpha of the gamma head")
 
     args = parser.parse_args(argv)
 
@@ -436,6 +459,11 @@ def main(argv=None):
                 kw["hyper_every"] = args.hyper_every
             if args.q_cov is not None:
                 kw["q_cov"] = args.q_cov
+            if getattr(args, "likelihood", None) and hasattr(cfg, "likelihood"):
+                kw["likelihood"] = args.likelihood
+            for lk in ("lognormal_variance", "gamma_shape"):
+                if getattr(args, lk, None) is not None and hasattr(cfg, lk):
+                    kw[lk] = getattr(args, lk)
             if args.natgrad_kron_joint:
                 kw["natgrad_kron_joint"] = True
             if args.whiten:
@@ -528,6 +556,11 @@ def main(argv=None):
             kw["natgrad_kl_cap"] = args.natgrad_kl_cap
         if getattr(args, "q_cov", None) and hasattr(cfg, "q_cov"):
             kw["q_cov"] = args.q_cov
+        if getattr(args, "likelihood", None) and hasattr(cfg, "likelihood"):
+            kw["likelihood"] = args.likelihood
+        for lk in ("lognormal_variance", "gamma_shape"):
+            if getattr(args, lk, None) is not None and hasattr(cfg, lk):
+                kw[lk] = getattr(args, lk)
         if getattr(args, "whiten", None) and hasattr(cfg, "whiten"):
             kw["whiten"] = True
         if getattr(args, "hyper_every", None) is not None and hasattr(

@@ -124,6 +124,15 @@ class SvgpPptrConfig:
     k_spatial: KernelInit = field(default_factory=lambda: KernelInit((8.0, 8.0), 20.0))
     k_temporal: KernelInit = field(default_factory=lambda: KernelInit((5.0 / 1000,), 20.0))
     noise_variance: float = 0.01
+    # Regression observation model: "gaussian" (reference; y-scale noise) |
+    # "lognormal" / "gamma" — positive-support heads for the hurdle's
+    # conditional amount model y | y>0 (likelihoods.LogNormal/Gamma; the
+    # reference instead clips Gaussian predictions at 0,
+    # scripts/hurdle.py:338-377). Positive heads require strictly positive
+    # training targets — run_hurdle trains them on the actual positives.
+    likelihood: str = "gaussian"
+    lognormal_variance: float = 0.5  # init σ² of log y (lognormal head)
+    gamma_shape: float = 1.0  # init α (gamma head; 1 = exponential)
     lr: float = 1e-3
     jitter: float = 1e-5
     q_mu_scale: float = 0.1

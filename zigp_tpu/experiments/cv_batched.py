@@ -406,17 +406,32 @@ def run_cv_batched(
         import jax.numpy as jnp
 
         cfg = svgp_cfg or SvgpPptrConfig()
-        # per-fold classifier-'on' subsets: ragged — the padded/num_rows path
-        subs, on_idx = [], []
+        # per-fold classifier-'on' subsets: ragged — the padded/num_rows path.
+        # Positive-support heads (cfg.likelihood != gaussian) fit on the
+        # strictly-positive 'on' points only (their density lives on y > 0;
+        # classifier-miscalled exact zeros would put log(0) in the loss) but
+        # still predict over the full 'on' subset.
+        head = (getattr(cfg, "likelihood", "gaussian") or "gaussian").lower()
+        subs, on_idx, fit_idx = [], [], []
         for f, split in enumerate(splits):
             tr = hurdle_on_indices(clf_res[f]["pred_train"]["pfmean"])
             te = hurdle_on_indices(clf_res[f]["pred_test"]["pfmean"])
             on_idx.append((tr, te))
-            subs.append(
-                Split(split.Xtrain[tr], split.Ytrain[tr],
-                      split.Xtest[te], split.Ytest[te])
-            )
-        sizes = [s.Xtrain.shape[0] for s in subs]
+            sub = Split(split.Xtrain[tr], split.Ytrain[tr],
+                        split.Xtest[te], split.Ytest[te])
+            subs.append(sub)
+            if head != "gaussian":
+                pos = np.flatnonzero(
+                    np.asarray(sub.Ytrain, dtype=np.float64).reshape(-1) > 0
+                )
+                fit_idx.append(np.asarray(tr)[pos])
+            else:
+                fit_idx.append(np.asarray(tr))
+        fit_data = [
+            (splits[f].Xtrain[fit_idx[f]], splits[f].Ytrain[fit_idx[f]])
+            for f in range(F)
+        ]
+        sizes = [x.shape[0] for x, _ in fit_data]
         # shared static num_data placeholder so the stacked treedefs match;
         # the true per-fold ELBO scale rides in as the traced aux override
         base = getattr(cfg, "seed", 0)
@@ -425,12 +440,12 @@ def run_cv_batched(
             for e in range(E):
                 c = dataclasses.replace(cfg, seed=base + e) if E > 1 else cfg
                 hmodels.append(
-                    build_svgp_pptr(c, splits[f], subset_idx=on_idx[f][0]).replace(num_data=1)
+                    build_svgp_pptr(c, splits[f], subset_idx=fit_idx[f]).replace(num_data=1)
                 )
                 hseeds.append(base + e)
         res = _train_stack(
             "hurdle", hmodels,
-            fold_inputs([(s.Xtrain, s.Ytrain) for s in subs]),
+            fold_inputs(fit_data),
             cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
             loss_fn=lambda m, X, Y, n: m.loss(X, Y, num_data=n),
             aux=jnp.asarray(np.asarray(fold_inputs(sizes), dtype=np.int32)),

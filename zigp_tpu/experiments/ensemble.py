@@ -113,15 +113,16 @@ def _healthy(trained: list, preds_list, results: list, log_fn, label: str):
 
 
 def _avg_noise_model(models: list):
-    """Member 0's model with the likelihood noise replaced by the members'
-    average — the scalar the shared metric blocks read for NLPD."""
-    noise = float(np.mean([
-        np.asarray(m.likelihood.variance.value) for m in models
+    """Member 0's model with the likelihood's scalar parameter replaced by
+    the members' average — the scalar the shared metric blocks read for NLPD.
+    ``variance`` for the Gaussian/LogNormal heads, ``shape`` for Gamma."""
+    field = "variance" if hasattr(models[0].likelihood, "variance") else "shape"
+    avg = float(np.mean([
+        np.asarray(getattr(m.likelihood, field).value) for m in models
     ]))
+    lik0 = models[0].likelihood
     return models[0].replace(
-        likelihood=models[0].likelihood.replace(
-            variance=models[0].likelihood.variance.replace_value(noise)
-        )
+        likelihood=lik0.replace(**{field: getattr(lik0, field).replace_value(avg)})
     )
 
 

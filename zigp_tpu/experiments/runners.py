@@ -354,6 +354,15 @@ def recalibrate_noise(model, split: Split, kind: str, log_fn=logger.info):
     pass takes test NLPD 7.6 → 0.98 (σ² 0.019 → 0.285) at unchanged
     RMSE/MAE. No reference counterpart (it reports point metrics only).
     """
+    if kind == "svgp":
+        from ..likelihoods import Gaussian
+
+        if not isinstance(model.likelihood, Gaussian):
+            raise ValueError(
+                "recalibrate_noise assumes a Gaussian observation model; the "
+                f"{type(model.likelihood).__name__} head's noise is not on "
+                "the y scale"
+            )
     y = np.asarray(split.Ytrain)
     if kind == "onoff":
         pt = predict_batched(lambda X: model.predict(X), split.Xtrain)
@@ -429,11 +438,20 @@ def run_svgp(
     workdir: Optional[str] = None,
     log_fn: Callable[[str], None] = logger.info,
     resume: bool = False,
+    fit_idx: Optional[np.ndarray] = None,
 ) -> dict:
-    """Kronecker SVGP regression on a pptr split (scripts/svgp.py)."""
+    """Kronecker SVGP regression on a pptr split (scripts/svgp.py).
+
+    ``fit_idx`` optionally restricts the TRAINING set to a subset of
+    ``split.Xtrain`` rows while evaluation still covers the full split —
+    the hurdle's positive-support heads fit on the strictly-positive
+    targets but predict at every classifier-'on' point."""
     cfg = cfg or SvgpPptrConfig()
-    model = build_svgp_pptr(cfg, split)
-    ds = make_dataset(split.Xtrain, split.Ytrain)
+    model = build_svgp_pptr(cfg, split, subset_idx=fit_idx)
+    if fit_idx is None:
+        ds = make_dataset(split.Xtrain, split.Ytrain)
+    else:
+        ds = make_dataset(split.Xtrain[fit_idx], split.Ytrain[fit_idx])
     res = _fit_auto(
         model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn, kind="svgp",
         workdir=workdir, resume=resume,
@@ -468,13 +486,64 @@ def _eval_svgp(model, split: Split, log_fn) -> dict:
 
 def _svgp_metrics(model, pred_train: dict, pred_test: dict, split: Split, log_fn) -> dict:
     """Metric block of the svgp runner, split from prediction so the batched
-    CV driver can feed it stacked-model predictions (cv_batched)."""
-    test_rmse = metrics.rmse(pred_test["fmean"], split.Ytest)
-    test_mae = metrics.mae(pred_test["fmean"], split.Ytest)
-    test_nlpd = metrics.gaussian_nlpd(
-        pred_test["fmean"], pred_test["fvar"], split.Ytest,
-        noise_var=float(np.asarray(model.likelihood.variance.value)),
-    )
+    CV driver can feed it stacked-model predictions (cv_batched).
+
+    For the positive-support heads (LogNormal/Gamma) the latent is on a log
+    scale: the point prediction becomes the predictive mean E[y] (stamped
+    into the pred dicts as ``ymean`` — the hurdle/zi combiners pick it up),
+    NLPD uses the head's own predictive density, and the lognormal head also
+    reports the median-predictor metrics (the MAE-optimal point under its
+    heavy right tail)."""
+    from ..likelihoods import Gamma, LogNormal
+
+    lik = model.likelihood
+    extras = {}
+    if isinstance(lik, (LogNormal, Gamma)):
+        for pred in (pred_train, pred_test):
+            # numpy float64: exp of a latent variance overflows f32 long
+            # before f64 (the far-from-data prior variance rides into it)
+            if isinstance(lik, LogNormal):
+                ym, yv = metrics.lognormal_mean_var(
+                    pred["fmean"], pred["fvar"],
+                    noise_var=float(np.asarray(lik.variance.value)),
+                )
+            else:
+                ym, yv = metrics.gamma_mean_var(
+                    pred["fmean"], pred["fvar"],
+                    shape=float(np.asarray(lik.shape.value)),
+                )
+            pred["ymean"] = ym
+            pred["yvar"] = yv
+        test_rmse = metrics.rmse(pred_test["ymean"], split.Ytest)
+        test_mae = metrics.mae(pred_test["ymean"], split.Ytest)
+        # the conditional amount model's density is defined on y > 0 only;
+        # in the hurdle context the eval subset (classifier-'on') contains
+        # miscalled exact zeros — NLPD is reported over the true positives
+        pos = np.asarray(split.Ytest, dtype=np.float64).reshape(-1) > 0
+        fm = np.asarray(pred_test["fmean"]).reshape(-1)[pos]
+        fv = np.asarray(pred_test["fvar"]).reshape(-1)[pos]
+        ypos = np.asarray(split.Ytest).reshape(-1)[pos]
+        if isinstance(lik, LogNormal):
+            test_nlpd = metrics.lognormal_nlpd(
+                fm, fv, ypos, noise_var=float(np.asarray(lik.variance.value))
+            )
+            for pred in (pred_train, pred_test):
+                pred["ymedian"] = np.exp(np.asarray(pred["fmean"], dtype=np.float64))
+            extras = {
+                "test_rmse_median": metrics.rmse(pred_test["ymedian"], split.Ytest),
+                "test_mae_median": metrics.mae(pred_test["ymedian"], split.Ytest),
+            }
+        else:
+            test_nlpd = metrics.gamma_nlpd(
+                fm, fv, ypos, shape=float(np.asarray(lik.shape.value))
+            )
+    else:
+        test_rmse = metrics.rmse(pred_test["fmean"], split.Ytest)
+        test_mae = metrics.mae(pred_test["fmean"], split.Ytest)
+        test_nlpd = metrics.gaussian_nlpd(
+            pred_test["fmean"], pred_test["fvar"], split.Ytest,
+            noise_var=float(np.asarray(lik.variance.value)),
+        )
     log_fn(f"test rmse: {test_rmse}")
     log_fn(f"test nlpd: {test_nlpd}")
 
@@ -484,6 +553,7 @@ def _svgp_metrics(model, pred_train: dict, pred_test: dict, split: Split, log_fn
         "test_rmse": test_rmse,
         "test_mae": test_mae,
         "test_nlpd": test_nlpd,
+        **extras,
     }
 
 
@@ -571,9 +641,23 @@ def run_hurdle(
         split.Xtest[test_on_idx],
         split.Ytest[test_on_idx],
     )
+    # positive-support heads (lognormal/gamma) define a density on y > 0
+    # only: fit on the strictly-positive 'on' points (the classifier's
+    # miscalled exact zeros would put log(0) in the loss), predict everywhere
+    head = (getattr(cfg, "likelihood", "gaussian") or "gaussian").lower()
+    fit_idx = None
+    if head != "gaussian":
+        fit_idx = np.flatnonzero(np.asarray(sub.Ytrain, dtype=np.float64).reshape(-1) > 0)
+        log_fn(
+            f"[hurdle] {head} head: fitting on {fit_idx.size}/{sub.Xtrain.shape[0]} "
+            "strictly-positive 'on' points"
+        )
     # label the inner regression's log lines: its RMSEs are on the
     # positives-only subset and read much larger than the combined metric
-    reg = run_svgp(sub, cfg, log_fn=lambda m: log_fn(f"[hurdle on-subset] {m}"))
+    reg = run_svgp(
+        sub, cfg, log_fn=lambda m: log_fn(f"[hurdle on-subset] {m}"),
+        fit_idx=fit_idx,
+    )
 
     results = _eval_hurdle(
         split, clf_results, reg, sub, train_on_idx, test_on_idx, log_fn
@@ -590,21 +674,27 @@ def _eval_hurdle(
 ) -> dict:
     """Hurdle recombination + metric block (scripts/hurdle.py:60-96) — shared
     between run_hurdle and the batched CV driver, which trains the inner
-    regression itself (cv_batched)."""
+    regression itself (cv_batched).
+
+    Positive-support heads stamp ``ymean`` (the y-scale predictive mean) into
+    the pred dicts; the recombination and the on-subset metrics use it when
+    present — ``fmean`` is on the log scale for those heads."""
+    ptr = reg["pred_train"].get("ymean", reg["pred_train"]["fmean"])
+    pte = reg["pred_test"].get("ymean", reg["pred_test"]["fmean"])
     train_comb = hurdle_combine(
-        clf_results["pred_train"]["pfmean"], reg["pred_train"]["fmean"], train_on_idx
+        clf_results["pred_train"]["pfmean"], ptr, train_on_idx
     )
     test_comb = hurdle_combine(
-        clf_results["pred_test"]["pfmean"], reg["pred_test"]["fmean"], test_on_idx
+        clf_results["pred_test"]["pfmean"], pte, test_on_idx
     )
 
     results = {
         "train_pred_on_idx": train_on_idx,
         "test_pred_on_idx": test_on_idx,
-        "train_hurdle_reg_rmse": metrics.rmse(reg["pred_train"]["fmean"], sub.Ytrain),
-        "test_hurdle_reg_rmse": metrics.rmse(reg["pred_test"]["fmean"], sub.Ytest),
-        "train_hurdle_reg_mae": metrics.mae(reg["pred_train"]["fmean"], sub.Ytrain),
-        "test_hurdle_reg_mae": metrics.mae(reg["pred_test"]["fmean"], sub.Ytest),
+        "train_hurdle_reg_rmse": metrics.rmse(ptr, sub.Ytrain),
+        "test_hurdle_reg_rmse": metrics.rmse(pte, sub.Ytest),
+        "train_hurdle_reg_mae": metrics.mae(ptr, sub.Ytrain),
+        "test_hurdle_reg_mae": metrics.mae(pte, sub.Ytest),
         "train_pred_hurdle_comb": train_comb,
         "test_pred_hurdle_comb": test_comb,
         "train_hurdle_comb_rmse": metrics.rmse(train_comb, split.Ytrain),
@@ -624,12 +714,17 @@ def run_zero_inflated(
     workdir: Optional[str] = None,
     log_fn: Callable[[str], None] = logger.info,
 ) -> dict:
-    """Zero-inflated GPC×GPR product composite (scripts/zero_inflated.py)."""
+    """Zero-inflated GPC×GPR product composite (scripts/zero_inflated.py).
+
+    ``ymean`` (y-scale predictive mean of a positive-support regression head)
+    is preferred over ``fmean`` when the regression results carry it."""
     train = zero_inflated_combine(
-        clf_results["pred_train"]["pfmean"], reg_results["pred_train"]["fmean"]
+        clf_results["pred_train"]["pfmean"],
+        reg_results["pred_train"].get("ymean", reg_results["pred_train"]["fmean"]),
     )
     test = zero_inflated_combine(
-        clf_results["pred_test"]["pfmean"], reg_results["pred_test"]["fmean"]
+        clf_results["pred_test"]["pfmean"],
+        reg_results["pred_test"].get("ymean", reg_results["pred_test"]["fmean"]),
     )
     results = {
         "pred_train_zi_prob": train.pred_prob,

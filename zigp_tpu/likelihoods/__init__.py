@@ -1,3 +1,3 @@
-from .likelihoods import Bernoulli, Gaussian, OnOffGaussian
+from .likelihoods import Bernoulli, Gamma, Gaussian, LogNormal, OnOffGaussian
 
-__all__ = ["Gaussian", "OnOffGaussian", "Bernoulli"]
+__all__ = ["Gaussian", "OnOffGaussian", "Bernoulli", "LogNormal", "Gamma"]

@@ -8,6 +8,13 @@
   predictive probability, var_exp = log p̃ with p̃ = Φ̃(μ/√(1+v))
   (scripts/classifier.py:210-217) — kept as the parity default — plus a
   Gauss-Hermite quadrature mode as the quality option.
+- ``LogNormal`` / ``Gamma``: positive-support regression heads for the
+  hurdle composite's conditional amount model y | y>0. The reference models
+  the strictly-positive rain amounts with a Gaussian and clips predictions
+  at zero post hoc (scripts/hurdle.py:338-377 ``max(pred, 0)``); these are
+  the principled replacements (standard in the precipitation literature).
+  Both have CLOSED-FORM variational expectations under a Gaussian q(f) —
+  no quadrature in the training step.
 """
 
 from __future__ import annotations
@@ -59,6 +66,113 @@ class OnOffGaussian:
             - 0.5 * jnp.log(v)
             - 0.5 * (jnp.square(Y - Fmu) + Fvar + Fmuvar) / v
         )
+
+
+@struct.dataclass
+class LogNormal:
+    """Positive-support regression: log y | f ~ N(f, σ²), y > 0.
+
+    The latent GP models the log amount, so the whole model is exactly a
+    Gaussian SVGP on log y — the variational expectation is closed-form
+    (the Gaussian one on log y minus the Jacobian term log y), and the
+    posterior predictive is exactly LogNormal(Fmu, Fvar + σ²).
+
+    Point prediction: ``predict_mean_and_var`` gives the predictive mean
+    E[y] = exp(μ + s²/2) (optimal for squared error); ``predict_median``
+    gives exp(μ) (optimal for absolute error — the heavy right tail makes
+    the two differ materially, report both).
+    """
+
+    variance: Parameter  # σ²: observation noise of log y
+
+    @classmethod
+    def create(cls, variance: float = 0.1, lr=None) -> "LogNormal":
+        return cls(variance=positive_param(variance, lr=lr))
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        v = self.variance.value
+        logy = jnp.log(Y)
+        return (
+            -logy
+            - 0.5 * np.log(2.0 * np.pi)
+            - 0.5 * jnp.log(v)
+            - 0.5 * (jnp.square(logy - Fmu) + Fvar) / v
+        )
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        s2 = Fvar + self.variance.value
+        mean = jnp.exp(Fmu + 0.5 * s2)
+        var = (jnp.exp(s2) - 1.0) * jnp.exp(2.0 * Fmu + s2)
+        return mean, var
+
+    def predict_median(self, Fmu, Fvar):
+        del Fvar
+        return jnp.exp(Fmu)
+
+    def nlpd(self, Fmu, Fvar, Y):
+        """Exact per-point −log p(y*): the predictive is LogNormal(μ, Fvar+σ²)."""
+        s2 = Fvar + self.variance.value
+        logy = jnp.log(Y)
+        return logy + 0.5 * jnp.log(2.0 * np.pi * s2) + 0.5 * jnp.square(logy - Fmu) / s2
+
+
+@struct.dataclass
+class Gamma:
+    """Positive-support regression: y | f ~ Gamma(shape α, mean exp(f)).
+
+    Log mean link (rate β = α·e^{−f}). The variational expectation is
+    closed-form because log p is linear in f up to E[e^{−f}], which is the
+    Gaussian MGF: E_q[e^{−f}] = exp(−μ + v/2):
+
+        E_q[log p(y|f)] = α log α − lΓ(α) + (α−1) log y − α μ
+                          − α y exp(−μ + v/2).
+
+    The shape α is a learned positive parameter (α=1 is exponential).
+    """
+
+    shape: Parameter  # α > 0
+
+    @classmethod
+    def create(cls, shape: float = 1.0, lr=None) -> "Gamma":
+        return cls(shape=positive_param(shape, lr=lr))
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        from jax.scipy.special import gammaln
+
+        a = self.shape.value
+        return (
+            a * jnp.log(a)
+            - gammaln(a)
+            + (a - 1.0) * jnp.log(Y)
+            - a * Fmu
+            - a * Y * jnp.exp(-Fmu + 0.5 * Fvar)
+        )
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        a = self.shape.value
+        mean = jnp.exp(Fmu + 0.5 * Fvar)  # E[e^f]
+        # Var[y] = E[Var[y|f]] + Var[E[y|f]] = E[e^{2f}]/α + Var[e^f]
+        var = jnp.exp(2.0 * Fmu + 2.0 * Fvar) / a + (jnp.exp(Fvar) - 1.0) * jnp.exp(
+            2.0 * Fmu + Fvar
+        )
+        return mean, var
+
+    def nlpd(self, Fmu, Fvar, Y, *, num_gh: int = 32):
+        """−log p(y*) = −log E_{f~N(μ,v)}[Gamma(y; α, α e^{−f})] by GH
+        quadrature with a log-sum-exp over the nodes."""
+        from jax.scipy.special import gammaln, logsumexp
+
+        a = self.shape.value
+        x, w = quadrature.gauss_hermite_points(num_gh, dtype=Fmu.dtype)
+        f = Fmu[..., None] + jnp.sqrt(jnp.maximum(Fvar, 0.0))[..., None] * x
+        logp = (
+            a * jnp.log(a)
+            - gammaln(a)
+            + (a - 1.0) * jnp.log(Y)[..., None]
+            - a * f
+            - a * Y[..., None] * jnp.exp(-f)
+        )
+        return -logsumexp(logp + jnp.log(w), axis=-1)
 
 
 @struct.dataclass

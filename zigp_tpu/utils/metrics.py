@@ -91,3 +91,63 @@ def gaussian_nlpd(mean, var, actual, *, noise_var: float = 0.0) -> float:
     y = np.asarray(actual, dtype=np.float64).reshape(-1)
     var = np.maximum(var, 1e-12)
     return float(np.mean(0.5 * np.log(2.0 * np.pi * var) + 0.5 * (y - mean) ** 2 / var))
+
+
+def lognormal_mean_var(fmean, fvar, *, noise_var: float):
+    """y-scale predictive mean/var of the LogNormal head, in numpy float64.
+
+    Eval-side counterpart of ``likelihoods.LogNormal.predict_mean_and_var``:
+    the exp of a latent variance overflows float32 long before float64
+    (exp(89) vs exp(709)) and metric blocks run on the host anyway."""
+    mu = np.asarray(fmean, dtype=np.float64)
+    s2 = np.asarray(fvar, dtype=np.float64) + float(noise_var)
+    mean = np.exp(mu + 0.5 * s2)
+    var = np.expm1(s2) * np.exp(2.0 * mu + s2)
+    return mean, var
+
+
+def gamma_mean_var(fmean, fvar, *, shape: float):
+    """y-scale predictive mean/var of the Gamma head, in numpy float64
+    (see ``lognormal_mean_var`` for why eval-side moments avoid float32)."""
+    a = float(shape)
+    mu = np.asarray(fmean, dtype=np.float64)
+    v = np.asarray(fvar, dtype=np.float64)
+    mean = np.exp(mu + 0.5 * v)
+    var = np.exp(2.0 * mu + 2.0 * v) / a + np.expm1(v) * np.exp(2.0 * mu + v)
+    return mean, var
+
+
+def lognormal_nlpd(fmean, fvar, actual, *, noise_var: float) -> float:
+    """Mean −log p(y) under the exact LogNormal predictive
+    LogNormal(fmean, fvar + noise_var) — the posterior predictive of the
+    ``likelihoods.LogNormal`` head (log y | data is exactly Gaussian)."""
+    mu = np.asarray(fmean, dtype=np.float64).reshape(-1)
+    s2 = np.asarray(fvar, dtype=np.float64).reshape(-1) + float(noise_var)
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    s2 = np.maximum(s2, 1e-12)
+    logy = np.log(y)
+    return float(np.mean(logy + 0.5 * np.log(2.0 * np.pi * s2) + 0.5 * (logy - mu) ** 2 / s2))
+
+
+def gamma_nlpd(fmean, fvar, actual, *, shape: float, num_gh: int = 64) -> float:
+    """Mean −log E_{f~N(fmean,fvar)}[Gamma(y; α, α e^{−f})] by Gauss-Hermite
+    quadrature (float64, log-sum-exp over nodes) — the predictive NLPD of
+    the ``likelihoods.Gamma`` head."""
+    from scipy.special import gammaln, logsumexp
+
+    a = float(shape)
+    mu = np.asarray(fmean, dtype=np.float64).reshape(-1)
+    v = np.maximum(np.asarray(fvar, dtype=np.float64).reshape(-1), 0.0)
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    x, w = np.polynomial.hermite.hermgauss(num_gh)
+    x = x * np.sqrt(2.0)
+    w = w / np.sqrt(np.pi)
+    f = mu[:, None] + np.sqrt(v)[:, None] * x[None, :]
+    logp = (
+        a * np.log(a)
+        - gammaln(a)
+        + (a - 1.0) * np.log(y)[:, None]
+        - a * f
+        - a * y[:, None] * np.exp(-f)
+    )
+    return float(np.mean(-logsumexp(logp + np.log(w)[None, :], axis=1)))
