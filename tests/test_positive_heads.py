@@ -204,6 +204,41 @@ def _split_and_clf(rng):
     return split, clf
 
 
+def test_hurdle_nlpd_hand_check():
+    """metrics.hurdle_nlpd against a by-hand evaluation of the mixed measure."""
+    p = np.array([0.8, 0.3, 0.6])
+    y = np.array([2.0, 0.0, 0.0])
+    cond = np.array([1.5])  # −log q(2.0) at the single positive row
+    want = np.mean([-np.log(0.8) + 1.5, -np.log(1 - 0.3), -np.log(1 - 0.6)])
+    np.testing.assert_allclose(metrics.hurdle_nlpd(p, cond, y), want, rtol=1e-12)
+
+    # clipping guards p = 0/1; mismatched cond length is an error
+    assert np.isfinite(metrics.hurdle_nlpd(np.array([1.0]), np.array([0.5]), np.array([3.0])))
+    with pytest.raises(ValueError, match="strictly-positive entries"):
+        metrics.hurdle_nlpd(p, np.array([1.0, 2.0]), y)
+
+
+def test_hurdle_nlpd_proper_score(rng):
+    """Sampling from the true mixed measure, the true parameters score better
+    than miscalibrated ones (propriety of the log score)."""
+    N = 4000
+    p_true, mu_true, s2 = 0.7, 0.4, 0.25
+    on = rng.rand(N) < p_true
+    y = np.where(on, np.exp(mu_true + np.sqrt(s2) * rng.randn(N)), 0.0)
+    pos = y > 0
+
+    def score(p, mu):
+        cond = metrics.lognormal_nlpd_pointwise(
+            np.full(pos.sum(), mu), np.zeros(pos.sum()), y[pos], noise_var=s2
+        )
+        return metrics.hurdle_nlpd(np.full(N, p), cond, y)
+
+    true_score = score(p_true, mu_true)
+    assert true_score < score(0.4, mu_true)
+    assert true_score < score(0.95, mu_true)
+    assert true_score < score(p_true, mu_true + 1.0)
+
+
 @pytest.mark.parametrize("head", ["lognormal", "gamma"])
 def test_hurdle_with_positive_head(rng, tmp_path, head):
     """run_hurdle with a positive-support head: fits on the strictly-positive
@@ -223,6 +258,22 @@ def test_hurdle_with_positive_head(rng, tmp_path, head):
     assert (np.asarray(comb) >= 0.0).all()  # exp-link mean: no clipping needed
     # the inner regression's metric block reported y-scale numbers
     assert np.isfinite(res["test_hurdle_reg_rmse"])
+    # the composite's mixed-measure predictive NLPD (full test set)
+    assert np.isfinite(res["test_hurdle_nlpd"])
+
+
+def test_hurdle_nlpd_gaussian_head(rng, tmp_path):
+    """The mixed-measure NLPD is also defined for the reference's Gaussian
+    amount head (its conditional density on ℝ)."""
+    from zigp_tpu.experiments import KronGridConfig, SvgpPptrConfig, run_hurdle
+
+    split, clf = _split_and_clf(rng)
+    cfg = SvgpPptrConfig(
+        num_iter=30, batch_size=64,
+        grid=KronGridConfig(num_spatial=3, num_temporal=6), log_every=0,
+    )
+    res = run_hurdle(split, clf, cfg, workdir=str(tmp_path), log_fn=lambda s: None)
+    assert np.isfinite(res["test_hurdle_nlpd"])
 
 
 def test_svgp_metrics_lognormal_extras(rng):

@@ -79,6 +79,7 @@ def run_cv(
             _abort_if_interrupted(res, "hurdle", k)
             record("hurdle", "test_rmse", res["test_hurdle_comb_rmse"])
             record("hurdle", "test_mae", res["test_hurdle_comb_mae"])
+            record("hurdle", "test_nlpd", res["test_hurdle_nlpd"])
         if "zi" in models:
             res = run_zero_inflated(split, clf, reg, workdir=fold_dir, log_fn=log_fn)
             record("zi", "test_rmse_prob", res["test_zi_prob_reg_rmse"])

@@ -56,6 +56,7 @@ from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
 from .runners import (
     _classifier_metrics,
     _eval_hurdle,
+    _hurdle_nlpd,
     _log_hyperparams,
     _onoff_metrics,
     _svgp_metrics,
@@ -479,6 +480,9 @@ def run_cv_batched(
             out = _eval_hurdle(split, clf_res[f], reg, sub, tr, te, log_fn)
             record("hurdle", "test_rmse", out["test_hurdle_comb_rmse"])
             record("hurdle", "test_mae", out["test_hurdle_comb_mae"])
+            nlpd = _hurdle_nlpd(model, clf_res[f]["pred_test"]["pfmean"], split)
+            log_fn(f"hurdle test nlpd: {nlpd}")
+            record("hurdle", "test_nlpd", nlpd)
 
     if "zi" in models:
         for f, split in enumerate(splits):

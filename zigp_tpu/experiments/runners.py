@@ -662,10 +662,51 @@ def run_hurdle(
     results = _eval_hurdle(
         split, clf_results, reg, sub, train_on_idx, test_on_idx, log_fn
     )
+    results["test_hurdle_nlpd"] = _hurdle_nlpd(
+        reg["model"], clf_results["pred_test"]["pfmean"], split
+    )
+    log_fn(f"hurdle test nlpd: {results['test_hurdle_nlpd']}")
     results["interrupted"] = bool(reg.get("interrupted", False))
     _maybe_pickle(results, workdir, "results_hurdle.pickle")
     results["model"] = reg["model"]
     return results
+
+
+def _hurdle_nlpd(model, pfmean_test, split: Split) -> float:
+    """Full-test-set predictive NLPD of the hurdle composite: the mixed
+    measure with atom 1−p at y=0 and density p·q(y|on) on y>0
+    (metrics.hurdle_nlpd). The amount head is predicted at ALL strictly-
+    positive test rows — the classifier-'on' predictions don't cover the
+    positives the gate miscalls 'off'. A proper scoring rule the reference's
+    clipped point metrics can't express."""
+    from ..likelihoods import Gamma, LogNormal
+
+    y = np.asarray(split.Ytest, dtype=np.float64).reshape(-1)
+    pos = np.flatnonzero(y > 0)
+
+    def predict(X):
+        fm, fv = model.predict_f(X)
+        return {"fmean": fm, "fvar": fv}
+
+    pred = predict_batched(predict, split.Xtest[pos])
+    fm, fv = pred["fmean"], pred["fvar"]
+    lik = model.likelihood
+    if isinstance(lik, LogNormal):
+        cond = metrics.lognormal_nlpd_pointwise(
+            fm, fv, y[pos], noise_var=float(np.asarray(lik.variance.value))
+        )
+    elif isinstance(lik, Gamma):
+        cond = metrics.gamma_nlpd_pointwise(
+            fm, fv, y[pos], shape=float(np.asarray(lik.shape.value))
+        )
+    else:
+        # Gaussian amount head: its conditional density lives on all of ℝ —
+        # the mass it leaks below zero is real miscalibration and the score
+        # duly charges for it (that's the point of reporting this number)
+        cond = metrics.gaussian_nlpd_pointwise(
+            fm, fv, y[pos], noise_var=float(np.asarray(lik.variance.value))
+        )
+    return metrics.hurdle_nlpd(pfmean_test, cond, y)
 
 
 def _eval_hurdle(

@@ -117,8 +117,8 @@ def gamma_mean_var(fmean, fvar, *, shape: float):
     return mean, var
 
 
-def lognormal_nlpd(fmean, fvar, actual, *, noise_var: float) -> float:
-    """Mean −log p(y) under the exact LogNormal predictive
+def lognormal_nlpd_pointwise(fmean, fvar, actual, *, noise_var: float) -> np.ndarray:
+    """Per-point −log p(y) under the exact LogNormal predictive
     LogNormal(fmean, fvar + noise_var) — the posterior predictive of the
     ``likelihoods.LogNormal`` head (log y | data is exactly Gaussian)."""
     mu = np.asarray(fmean, dtype=np.float64).reshape(-1)
@@ -126,13 +126,18 @@ def lognormal_nlpd(fmean, fvar, actual, *, noise_var: float) -> float:
     y = np.asarray(actual, dtype=np.float64).reshape(-1)
     s2 = np.maximum(s2, 1e-12)
     logy = np.log(y)
-    return float(np.mean(logy + 0.5 * np.log(2.0 * np.pi * s2) + 0.5 * (logy - mu) ** 2 / s2))
+    return logy + 0.5 * np.log(2.0 * np.pi * s2) + 0.5 * (logy - mu) ** 2 / s2
 
 
-def gamma_nlpd(fmean, fvar, actual, *, shape: float, num_gh: int = 64) -> float:
-    """Mean −log E_{f~N(fmean,fvar)}[Gamma(y; α, α e^{−f})] by Gauss-Hermite
-    quadrature (float64, log-sum-exp over nodes) — the predictive NLPD of
-    the ``likelihoods.Gamma`` head."""
+def lognormal_nlpd(fmean, fvar, actual, *, noise_var: float) -> float:
+    """Mean of ``lognormal_nlpd_pointwise``."""
+    return float(np.mean(lognormal_nlpd_pointwise(fmean, fvar, actual, noise_var=noise_var)))
+
+
+def gamma_nlpd_pointwise(fmean, fvar, actual, *, shape: float, num_gh: int = 64) -> np.ndarray:
+    """Per-point −log E_{f~N(fmean,fvar)}[Gamma(y; α, α e^{−f})] by
+    Gauss-Hermite quadrature (float64, log-sum-exp over nodes) — the
+    predictive NLPD of the ``likelihoods.Gamma`` head."""
     from scipy.special import gammaln, logsumexp
 
     a = float(shape)
@@ -150,4 +155,47 @@ def gamma_nlpd(fmean, fvar, actual, *, shape: float, num_gh: int = 64) -> float:
         - a * f
         - a * y[:, None] * np.exp(-f)
     )
-    return float(np.mean(-logsumexp(logp + np.log(w)[None, :], axis=1)))
+    return -logsumexp(logp + np.log(w)[None, :], axis=1)
+
+
+def gamma_nlpd(fmean, fvar, actual, *, shape: float, num_gh: int = 64) -> float:
+    """Mean of ``gamma_nlpd_pointwise``."""
+    return float(
+        np.mean(gamma_nlpd_pointwise(fmean, fvar, actual, shape=shape, num_gh=num_gh))
+    )
+
+
+def gaussian_nlpd_pointwise(mean, var, actual, *, noise_var: float = 0.0) -> np.ndarray:
+    """Per-point −log N(y; mean, var + noise_var) (see ``gaussian_nlpd``)."""
+    mean = np.asarray(mean, dtype=np.float64).reshape(-1)
+    var = np.asarray(var, dtype=np.float64).reshape(-1) + float(noise_var)
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    var = np.maximum(var, 1e-12)
+    return 0.5 * np.log(2.0 * np.pi * var) + 0.5 * (y - mean) ** 2 / var
+
+
+def hurdle_nlpd(p_on, cond_nlpd_pos, actual, *, eps: float = 1e-6) -> float:
+    """Mean NLPD of the hurdle's mixed discrete–continuous predictive:
+    an atom 1−p at y = 0 and density p·q(y | on) on y > 0, i.e.
+
+        −log(1−pᵢ)            where yᵢ = 0
+        −log pᵢ − log q(yᵢ)   where yᵢ > 0.
+
+    ``cond_nlpd_pos`` carries −log q(yᵢ) for the strictly-positive rows of
+    ``actual``, in order (the conditional amount head's pointwise NLPD).
+    A proper scoring rule over the FULL test set — the single probabilistic
+    quality number for the composite; the reference reports clipped point
+    metrics only (scripts/hurdle.py:338-377). ``p_on`` is clipped to
+    [eps, 1−eps] (the classifier's own Φ̃ clip is 1e-3)."""
+    p = np.clip(np.asarray(p_on, dtype=np.float64).reshape(-1), eps, 1.0 - eps)
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    pos = y > 0
+    cond = np.asarray(cond_nlpd_pos, dtype=np.float64).reshape(-1)
+    if cond.shape[0] != int(pos.sum()):
+        raise ValueError(
+            f"cond_nlpd_pos has {cond.shape[0]} rows but actual has "
+            f"{int(pos.sum())} strictly-positive entries"
+        )
+    vals = -np.log1p(-p)
+    vals[pos] = -np.log(p[pos]) + cond
+    return float(np.mean(vals))
