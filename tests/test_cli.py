@@ -46,6 +46,21 @@ def test_cli_onoff_then_classifier_then_downstream(synth_pptr, tmp_path):
     assert (tmp_path / "runs" / "1" / "results_zi.pickle").exists()
 
 
+def test_cli_hurdle_joint_and_likelihood_flags(synth_pptr, tmp_path):
+    wd = str(tmp_path / "runs")
+    # jointly-trained hurdle: no classifier prerequisite
+    assert main(["hurdle", "--joint", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "10", "--batch", "32",
+                 "--likelihood", "gamma"]) == 0
+    assert (tmp_path / "runs" / "1" / "results_hurdlej.pickle").exists()
+    # two-stage hurdle with a positive-support amount head
+    assert main(["classifier", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "10", "--batch", "64"]) == 0
+    assert main(["hurdle", "--fold", "1", "--data", synth_pptr,
+                 "--workdir", wd, "--iters", "10", "--batch", "32",
+                 "--likelihood", "lognormal"]) == 0
+
+
 def test_cli_svgp_and_classifier_accept_natgrad(synth_pptr, tmp_path):
     """--optimizer natgrad must actually reach the svgp/classifier runs (their
     configs previously lacked the natgrad fields, so the flag was silently

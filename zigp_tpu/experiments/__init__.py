@@ -3,6 +3,7 @@ from .cv import run_cv
 from .configs import (
     ClassifierPptrConfig,
     KronGridConfig,
+    HurdleJointConfig,
     OnOffPptrConfig,
     SvgpPptrConfig,
     ToyOnOffConfig,
@@ -10,6 +11,7 @@ from .configs import (
 from .runners import (
     run_classifier,
     run_hurdle,
+    run_hurdle_joint,
     run_onoff,
     run_predict,
     run_svgp,
@@ -27,11 +29,13 @@ __all__ = [
     "ClassifierPptrConfig",
     "KronGridConfig",
     "ToyOnOffConfig",
+    "HurdleJointConfig",
     "run_onoff",
     "run_predict",
     "run_svgp",
     "run_classifier",
     "run_hurdle",
+    "run_hurdle_joint",
     "run_zero_inflated",
     "run_toy",
     "build_toy_model",

@@ -194,6 +194,23 @@ def make_regression_likelihood(cfg: SvgpPptrConfig, Y: np.ndarray):
     )
 
 
+def _log_matched_kernel_inits(k_spatial, k_temporal, Y, n_factors: int):
+    """Kernel inits with per-factor variance var(log y)^(1/F): the positive
+    heads' latent lives on a LOG scale, so the y-scale variance heuristic
+    (max(Y), utils_pptr-style) is wildly miscalibrated — Kron prior variance
+    is the PRODUCT over factors (20·20 = 400 ⇒ exp(200) predictive means)."""
+    import dataclasses
+
+    v_log = max(
+        float(np.var(np.log(np.asarray(Y, dtype=np.float64).reshape(-1)))), 0.05
+    )
+    v_f = v_log ** (1.0 / n_factors)
+    return (
+        dataclasses.replace(k_spatial, variance=v_f),
+        dataclasses.replace(k_temporal, variance=v_f),
+    )
+
+
 def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> KronSVGP:
     X = split.Xtrain if subset_idx is None else split.Xtrain[subset_idx]
     Y = split.Ytrain if subset_idx is None else split.Ytrain[subset_idx]
@@ -204,21 +221,10 @@ def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> Kr
     likelihood, mean_const = make_regression_likelihood(cfg, Y)
     k_spatial, k_temporal = cfg.k_spatial, cfg.k_temporal
     if mean_const is not None:
-        # positive-support head: the latent lives on a LOG scale, so the
-        # y-scale variance heuristic (max(Y), utils_pptr-style) is wildly
-        # miscalibrated — Kron prior variance is the PRODUCT over factors
-        # (20·20 = 400 ⇒ exp(200) predictive means). Init each factor at
-        # var(log y)^(1/F) so the product matches the log-target variance.
-        import dataclasses
-
         n_factors = 2 if cfg.grid.spatial_factors is None else 3
-        v_log = max(
-            float(np.var(np.log(np.asarray(Y, dtype=np.float64).reshape(-1)))),
-            0.05,
+        k_spatial, k_temporal = _log_matched_kernel_inits(
+            k_spatial, k_temporal, Y, n_factors
         )
-        v_f = v_log ** (1.0 / n_factors)
-        k_spatial = dataclasses.replace(k_spatial, variance=v_f)
-        k_temporal = dataclasses.replace(k_temporal, variance=v_f)
     kerns = make_factor_kernels(
         k_spatial, k_temporal, cfg.grid.spatial_factors,
         lr=cfg.lr, axis_spans=_axis_spans(X),
@@ -252,6 +258,54 @@ def build_classifier_pptr(cfg: ClassifierPptrConfig, split: Split) -> KronSVGP:
         Zs,
         Bernoulli.create(num_gh=cfg.num_gh),
         num_data=split.Xtrain.shape[0],
+        jitter=cfg.jitter,
+        seed=cfg.seed,
+        lr=cfg.lr,
+        q_mu_scale=cfg.q_mu_scale,
+        whiten=cfg.whiten,
+        q_cov=cfg.q_cov,
+    )
+
+
+def build_hurdle_joint_pptr(cfg, split: Split) -> "KronHurdleSVGP":
+    """Jointly-trained hurdle (models.KronHurdleSVGP): gate + amount GP in
+    one ELBO. The amount head's likelihood/mean/kernel-variance inits are
+    derived from the strictly-positive training targets (cfg.likelihood may
+    also be "gaussian" for an ablation against the y-scale head)."""
+    from ..models import KronHurdleSVGP
+
+    X, Y = split.Xtrain, split.Ytrain
+    Zs = kron_inducing_init(
+        X, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed,
+        spatial_factors=cfg.grid.spatial_factors,
+    )
+    spans = _axis_spans(X)
+    Ypos = np.asarray(Y, dtype=np.float64).reshape(-1)
+    Ypos = Ypos[Ypos > 0]
+    amount_lik, mean_const = make_regression_likelihood(cfg, Ypos)
+    k_spatial, k_temporal = cfg.k_spatial, cfg.k_temporal
+    if mean_const is not None:
+        n_factors = 2 if cfg.grid.spatial_factors is None else 3
+        k_spatial, k_temporal = _log_matched_kernel_inits(
+            k_spatial, k_temporal, Ypos, n_factors
+        )
+    fkerns = make_factor_kernels(
+        k_spatial, k_temporal, cfg.grid.spatial_factors,
+        lr=cfg.lr, axis_spans=spans,
+    )
+    gkerns = make_factor_kernels(
+        cfg.gk_spatial, cfg.gk_temporal, cfg.grid.spatial_factors,
+        lr=cfg.lr, axis_spans=spans,
+    )
+    return KronHurdleSVGP.create(
+        fkerns,
+        Zs,
+        gkerns,
+        [Z.copy() for Z in Zs],
+        Bernoulli.create(num_gh=cfg.num_gh),
+        amount_lik,
+        num_data=X.shape[0],
+        mean_const=mean_const,
         jitter=cfg.jitter,
         seed=cfg.seed,
         lr=cfg.lr,

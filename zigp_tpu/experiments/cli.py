@@ -245,7 +245,17 @@ def main(argv=None):
     p_cv.add_argument("--data", type=str, default=None)
 
     for name in ("onoff", "svgp", "classifier", "hurdle", "zi"):
-        _common(sub.add_parser(name))
+        p_var = sub.add_parser(name)
+        _common(p_var)
+        if name == "hurdle":
+            p_var.add_argument(
+                "--joint", action="store_true",
+                help="train the jointly-fit hurdle (gate + amount GP in one "
+                     "ELBO, models.KronHurdleSVGP) instead of the two-stage "
+                     "classifier→regression pipeline; needs no classifier "
+                     "results. Default amount head: lognormal "
+                     "(--likelihood gaussian|lognormal|gamma)",
+            )
 
     p_pred = sub.add_parser(
         "predict",
@@ -295,7 +305,9 @@ def main(argv=None):
 
     p_cv = sub.add_parser("cv", help="run model variants over all 5 CV folds")
     p_cv.add_argument("--models", type=str, default="onoff",
-                      help="comma-separated: onoff,svgp,classifier,hurdle,zi")
+                      help="comma-separated: onoff,svgp,classifier,hurdle,"
+                           "hurdlej,zi (hurdlej = jointly-trained hurdle; "
+                           "sequential driver only)")
     p_cv.add_argument("--data", type=str, default=None)
     p_cv.add_argument("--workdir", type=str, default="runs/cv_full")
     p_cv.add_argument("--iters", type=int, default=None)
@@ -499,6 +511,11 @@ def main(argv=None):
         if args.batched:
             from .cv_batched import run_cv_batched
 
+            if "hurdlej" in variants:
+                raise SystemExit(
+                    "error: hurdlej is not supported by the batched driver "
+                    "yet — drop --batched"
+                )
             run_cv_batched(
                 variants, resume=args.resume, ensemble=args.ensemble,
                 mesh_members=args.mesh_members, **kwargs
@@ -506,7 +523,13 @@ def main(argv=None):
         else:
             if args.ensemble > 1:
                 raise SystemExit("error: --ensemble requires --batched")
-            run_cv(variants, **kwargs)
+            from .configs import HurdleJointConfig
+
+            run_cv(
+                variants,
+                hurdlej_cfg=_ckw(dataclasses.replace(HurdleJointConfig(), log_every=0)),
+                **kwargs,
+            )
         return 0
 
     split = _load_fold(args)
@@ -659,11 +682,20 @@ def main(argv=None):
         cfg = tuned_classifier_config() if best else ClassifierPptrConfig()
         run_classifier(split, _cfgkw(cfg), workdir=workdir, log_fn=log, resume=args.resume)
     elif args.cmd == "hurdle":
-        from .configs import SvgpPptrConfig
-        from .runners import run_hurdle
+        if getattr(args, "joint", False):
+            from .configs import HurdleJointConfig
+            from .runners import run_hurdle_joint
 
-        clf = _load_results(workdir, "results_scgp.pickle", "classifier")
-        run_hurdle(split, clf, _cfgkw(SvgpPptrConfig()), workdir=workdir, log_fn=log)
+            run_hurdle_joint(
+                split, _cfgkw(HurdleJointConfig()), workdir=workdir,
+                log_fn=log, resume=args.resume,
+            )
+        else:
+            from .configs import SvgpPptrConfig
+            from .runners import run_hurdle
+
+            clf = _load_results(workdir, "results_scgp.pickle", "classifier")
+            run_hurdle(split, clf, _cfgkw(SvgpPptrConfig()), workdir=workdir, log_fn=log)
     elif args.cmd == "zi":
         from .runners import run_zero_inflated
 

@@ -192,6 +192,51 @@ class ClassifierPptrConfig:
     natgrad_kl_cap: float = 10.0
 
 
+@dataclass
+class HurdleJointConfig:
+    """Jointly-trained hurdle (models.KronHurdleSVGP): gate + amount GP in one
+    ELBO — replaces the reference's two-stage classifier→regression pipeline
+    (scripts/classifier.py + scripts/hurdle.py) with a single training run.
+    Gate kernel inits follow the classifier's; the amount kernel variance is
+    auto-matched to var(log y⁺) by the builder for the positive heads."""
+
+    num_iter: int = 50_000
+    batch_size: int = 1000
+    grid: KronGridConfig = field(default_factory=KronGridConfig)
+    # amount GP (f)
+    k_spatial: KernelInit = field(default_factory=lambda: KernelInit((8.0, 8.0), 20.0))
+    k_temporal: KernelInit = field(default_factory=lambda: KernelInit((5.0 / 1000,), 20.0))
+    # gate GP (g)
+    gk_spatial: KernelInit = field(default_factory=lambda: KernelInit((5.0, 5.0), 20.0))
+    gk_temporal: KernelInit = field(default_factory=lambda: KernelInit((5.0 / 1000,), 20.0))
+    likelihood: str = "lognormal"  # amount head: lognormal | gamma | gaussian
+    lognormal_variance: float = 0.5
+    gamma_shape: float = 1.0
+    noise_variance: float = 0.01  # gaussian amount head only
+    num_gh: int = 0  # gate Bernoulli: 0 = plug-in parity form, >0 = GH
+    lr: float = 1e-3
+    jitter: float = 1e-5
+    q_mu_scale: float = 0.1
+    seed: int = 0
+    log_every: int = 200
+    ckpt_every: int = 10_000
+    hist_every: int = 0
+    scan_inner: int = 50
+    whiten: bool = False
+    lr_schedule: str = ""
+    q_cov: str = "diag"
+    sampler: str = "host"
+    hyper_every: int = 0
+    mesh_data: int = 0
+    mesh_model: int = 0
+    optimizer: str = "adam"
+    natgrad_gamma: float = 0.1
+    natgrad_warmup: int = 2000
+    natgrad_adam_warmup: int = 1000
+    natgrad_kron_joint: bool = False
+    natgrad_kl_cap: float = 10.0
+
+
 def best_onoff_config() -> "OnOffPptrConfig":
     """The ablated champion on/off configuration (RESULTS.md): whitened
     parameterization, Kronecker-factored full covariance, 32×200 grid, exact

@@ -28,13 +28,15 @@ def run_cv(
     onoff_cfg: Optional[OnOffPptrConfig] = None,
     svgp_cfg: Optional[SvgpPptrConfig] = None,
     clf_cfg: Optional[ClassifierPptrConfig] = None,
+    hurdlej_cfg=None,
     workdir: Optional[str] = None,
     log_fn: Callable[[str], None] = print,
 ) -> dict:
     """Run the requested model variants over all CV folds.
 
-    models ⊆ {"onoff", "svgp", "classifier", "hurdle", "zi"}. hurdle/zi
-    automatically pull in the classifier (and zi the svgp) per fold.
+    models ⊆ {"onoff", "svgp", "classifier", "hurdle", "hurdlej", "zi"}.
+    hurdle/zi automatically pull in the classifier (and zi the svgp) per
+    fold; "hurdlej" is the jointly-trained hurdle (no classifier needed).
     """
     splits = splits or make_cv_splits(load_pptr())
     need_clf = bool({"classifier", "hurdle", "zi"} & set(models))
@@ -80,6 +82,16 @@ def run_cv(
             record("hurdle", "test_rmse", res["test_hurdle_comb_rmse"])
             record("hurdle", "test_mae", res["test_hurdle_comb_mae"])
             record("hurdle", "test_nlpd", res["test_hurdle_nlpd"])
+        if "hurdlej" in models:
+            from .runners import run_hurdle_joint
+
+            res = run_hurdle_joint(split, hurdlej_cfg, workdir=fold_dir, log_fn=log_fn)
+            _abort_if_interrupted(res, "hurdlej", k)
+            record("hurdlej", "test_rmse", res["test_hurdle_comb_rmse"])
+            record("hurdlej", "test_mae", res["test_hurdle_comb_mae"])
+            record("hurdlej", "test_nlpd", res["test_hurdle_nlpd"])
+            record("hurdlej", "test_gate_auc", res["test_gate_auc"])
+            record("hurdlej", "steps_per_sec", res["steps_per_sec"])
         if "zi" in models:
             res = run_zero_inflated(split, clf, reg, workdir=fold_dir, log_fn=log_fn)
             record("zi", "test_rmse_prob", res["test_zi_prob_reg_rmse"])

@@ -747,6 +747,123 @@ def _eval_hurdle(
     return results
 
 
+def run_hurdle_joint(
+    split: Split,
+    cfg=None,
+    *,
+    workdir: Optional[str] = None,
+    log_fn: Callable[[str], None] = logger.info,
+    resume: bool = False,
+) -> dict:
+    """Jointly-trained hurdle (models.KronHurdleSVGP): gate + amount GP in a
+    single ELBO / single training run — no classifier prerequisite, no
+    thresholded intermediate subset. Compare with run_hurdle (the reference's
+    two-stage pipeline, scripts/classifier.py + scripts/hurdle.py)."""
+    from .builders import build_hurdle_joint_pptr
+    from .configs import HurdleJointConfig
+
+    cfg = cfg or HurdleJointConfig()
+    model = build_hurdle_joint_pptr(cfg, split)
+    ds = make_dataset(split.Xtrain, split.Ytrain)
+    res = _fit_auto(
+        model, ds, cfg, learning_rate=cfg.lr, log_fn=log_fn, kind="hurdlej",
+        workdir=workdir, resume=resume,
+    )
+    model = res.model
+    _log_hyperparams(model, log_fn)
+
+    results = _eval_hurdle_joint(model, split, log_fn)
+    results.update(
+        steps_per_sec=res.steps_per_sec,
+        losses=res.losses,
+        interrupted=bool(getattr(res, "interrupted", False)),
+    )
+    _maybe_pickle(results, workdir, "results_hurdlej.pickle")
+    results["model"] = model
+    return results
+
+
+def _amount_ymean(lik, fmean, fvar):
+    """y-scale predictive mean of the amount head (numpy float64 — see
+    metrics.lognormal_mean_var for why eval-side moments avoid float32)."""
+    from ..likelihoods import Gamma, LogNormal
+
+    if isinstance(lik, LogNormal):
+        ym, _ = metrics.lognormal_mean_var(
+            fmean, fvar, noise_var=float(np.asarray(lik.variance.value))
+        )
+    elif isinstance(lik, Gamma):
+        ym, _ = metrics.gamma_mean_var(
+            fmean, fvar, shape=float(np.asarray(lik.shape.value))
+        )
+    else:
+        ym = np.asarray(fmean, dtype=np.float64)
+    return ym
+
+
+def _eval_hurdle_joint(model, split: Split, log_fn) -> dict:
+    """Predict + metric block of the joint hurdle: hard-gated and
+    probability-weighted point predictions, mixed-measure NLPD, gate
+    classification metrics. Shares the two-stage hurdle's metric names where
+    the quantities coincide so CV rows are directly comparable."""
+    from ..likelihoods import Gamma, LogNormal
+
+    def predict(X):
+        pr = model.predict(X)
+        return {"p_on": pr.p_on, "fmean": pr.fmean, "fvar": pr.fvar}
+
+    pred_train = predict_batched(predict, split.Xtrain)
+    pred_test = predict_batched(predict, split.Xtest)
+    lik = model.amount_likelihood
+    for pred in (pred_train, pred_test):
+        ym = _amount_ymean(lik, pred["fmean"], pred["fvar"])
+        pred["ymean"] = ym.reshape(pred["fmean"].shape)
+        p = np.asarray(pred["p_on"], dtype=np.float64)
+        pred["comb_hard"] = np.where(p > 0.5, pred["ymean"], 0.0)
+        pred["comb_prob"] = p * pred["ymean"]
+
+    y = np.asarray(split.Ytest, dtype=np.float64).reshape(-1)
+    pos = np.flatnonzero(y > 0)
+    fm = np.asarray(pred_test["fmean"]).reshape(-1)[pos]
+    fv = np.asarray(pred_test["fvar"]).reshape(-1)[pos]
+    if isinstance(lik, LogNormal):
+        cond = metrics.lognormal_nlpd_pointwise(
+            fm, fv, y[pos], noise_var=float(np.asarray(lik.variance.value))
+        )
+    elif isinstance(lik, Gamma):
+        cond = metrics.gamma_nlpd_pointwise(
+            fm, fv, y[pos], shape=float(np.asarray(lik.shape.value))
+        )
+    else:
+        cond = metrics.gaussian_nlpd_pointwise(
+            fm, fv, y[pos], noise_var=float(np.asarray(lik.variance.value))
+        )
+
+    results = {
+        "pred_train": pred_train,
+        "pred_test": pred_test,
+        "test_pred_hurdle_comb": pred_test["comb_hard"],
+        "test_hurdle_comb_rmse": metrics.rmse(pred_test["comb_hard"], split.Ytest),
+        "test_hurdle_comb_mae": metrics.mae(pred_test["comb_hard"], split.Ytest),
+        "test_hurdle_prob_rmse": metrics.rmse(pred_test["comb_prob"], split.Ytest),
+        "test_hurdle_prob_mae": metrics.mae(pred_test["comb_prob"], split.Ytest),
+        "test_hurdle_nlpd": metrics.hurdle_nlpd(pred_test["p_on"], cond, y),
+        "test_gate_accuracy": metrics.accuracy(
+            pred_test["p_on"], binarize_targets(split.Ytest)
+        ),
+        "test_gate_auc": metrics.roc_auc(
+            pred_test["p_on"], binarize_targets(split.Ytest)
+        ),
+    }
+    log_fn(f"hurdle-joint test rmse: {results['test_hurdle_comb_rmse']}")
+    log_fn(f"hurdle-joint test nlpd: {results['test_hurdle_nlpd']}")
+    log_fn(
+        f"hurdle-joint gate acc {results['test_gate_accuracy']:.4f} "
+        f"auc {results['test_gate_auc']:.4f}"
+    )
+    return results
+
+
 def run_zero_inflated(
     split: Split,
     clf_results: dict,

@@ -1,5 +1,12 @@
 from .composites import hurdle_combine, hurdle_on_indices, zero_inflated_combine
-from .kron import KronGP, KronOnOffSVGP, KronSVGP, gen_input_masks
+from .kron import (
+    HurdlePrediction,
+    KronGP,
+    KronHurdleSVGP,
+    KronOnOffSVGP,
+    KronSVGP,
+    gen_input_masks,
+)
 from .onoff import OnOffPrediction, OnOffSVGP
 from .svgp import SVGP
 
@@ -10,6 +17,8 @@ __all__ = [
     "KronGP",
     "KronSVGP",
     "KronOnOffSVGP",
+    "KronHurdleSVGP",
+    "HurdlePrediction",
     "gen_input_masks",
     "zero_inflated_combine",
     "hurdle_combine",

@@ -13,7 +13,7 @@ and conditional use the factored algebra in ops.{gauss_kl,conditionals}.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -241,6 +241,188 @@ class KronSVGP:
         """Precomputable factorization for elbo(factor_state=...) — see
         training.alternating."""
         return self.gp.factor_state()
+
+
+class HurdlePrediction(NamedTuple):
+    """Joint-hurdle predictive moments: gate probability + amount latent."""
+
+    p_on: jnp.ndarray  # P(y > 0 | x) = Φ̃(gmean/√(1+gvar))
+    fmean: jnp.ndarray  # amount latent mean (log scale for LogNormal/Gamma)
+    fvar: jnp.ndarray
+    gmean: jnp.ndarray
+    gvar: jnp.ndarray
+
+
+@struct.dataclass
+class KronHurdleSVGP:
+    """Jointly-trained hurdle model: a Bernoulli gate GP ``g`` on 1[y>0] and a
+    positive-support amount GP ``f`` on y | y>0, trained in ONE ELBO.
+
+    The hurdle density factorizes exactly —
+    log p(y) = log Bern(1[y>0] | π(x)) + 1[y>0]·log q(y | amount) — so the
+    variational objective separates into a gate term over every point and an
+    amount term over the positives only:
+
+        ELBO = Σᵢ E_q(g)[log Bern(1[yᵢ>0] | Φ(gᵢ))]
+             + Σ_{i: yᵢ>0} E_q(f)[log q(yᵢ | fᵢ)]  − KL_f − KL_g.
+
+    This replaces the reference's two-stage pipeline (train a classifier,
+    scripts/classifier.py; threshold; retrain a regressor on the 'on' subset,
+    scripts/hurdle.py:49-57) with a single training run: both GPs see every
+    minibatch, the amount term is masked (not subset) so the minibatch stream
+    and the dispatch count are exactly those of a single model, and there is
+    no intermediate thresholding step whose miscalls contaminate the amount
+    model's training set. The amount likelihood is one of the positive-support
+    heads (likelihoods.LogNormal/Gamma) or Gaussian.
+
+    Structure mirrors KronOnOffSVGP (paired f/g vmap, shared factor_state
+    hoisting for the block-coordinate trainer).
+    """
+
+    f: KronGP  # amount
+    g: KronGP  # gate
+    gate_likelihood: Any  # Bernoulli
+    amount_likelihood: Any  # LogNormal | Gamma | Gaussian
+    mean_const: Optional[Parameter]  # amount prior mean (log-scale init)
+    num_data: int = struct.field(pytree_node=False)
+    pair_gps: bool = struct.field(pytree_node=False, default=True)
+
+    @classmethod
+    def create(
+        cls,
+        fkernels,
+        Zfs,
+        gkernels,
+        Zgs,
+        gate_likelihood,
+        amount_likelihood,
+        *,
+        num_data,
+        mean_const=None,
+        jitter=None,
+        seed: int = 0,
+        lr: Optional[float] = None,
+        q_mu_scale: float = 0.1,
+        whiten: bool = False,
+        q_cov: str = "diag",
+    ) -> "KronHurdleSVGP":
+        import jax
+
+        # defensive copy against aliased kernel objects (see KronOnOffSVGP)
+        gkernels = jax.tree_util.tree_map(jnp.array, tuple(gkernels))
+        return cls(
+            f=KronGP.create(fkernels, Zfs, jitter=jitter, seed=seed, lr=lr,
+                            q_mu_scale=q_mu_scale, whiten=whiten, q_cov=q_cov),
+            g=KronGP.create(gkernels, Zgs, jitter=jitter, seed=seed + 1, lr=lr,
+                            q_mu_scale=q_mu_scale, whiten=whiten, q_cov=q_cov),
+            gate_likelihood=gate_likelihood,
+            amount_likelihood=amount_likelihood,
+            mean_const=None if mean_const is None else param(mean_const),
+            num_data=int(num_data),
+        )
+
+    # -- paired-vmap plumbing (identical to KronOnOffSVGP) -------------------
+    def _pairable(self) -> bool:
+        import jax
+
+        if not self.pair_gps:
+            return False
+        if jax.tree_util.tree_structure(self.f) != jax.tree_util.tree_structure(self.g):
+            return False
+        return all(
+            a.shape == b.shape
+            for a, b in zip(
+                jax.tree_util.tree_leaves(self.f), jax.tree_util.tree_leaves(self.g)
+            )
+        )
+
+    def prior_kl(self) -> jnp.ndarray:
+        import jax
+
+        if self._pairable():
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), self.f, self.g
+            )
+            return jnp.sum(jax.vmap(lambda gp: gp.prior_kl())(stacked))
+        return self.f.prior_kl() + self.g.prior_kl()
+
+    def _predict_fg(self, Xnew: jnp.ndarray):
+        import jax
+
+        if self._pairable():
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), self.f, self.g
+            )
+            mu, var = jax.vmap(lambda gp: gp.predict_f(Xnew))(stacked)
+            return (mu[0], var[0]), (mu[1], var[1])
+        return self.f.predict_f(Xnew), self.g.predict_f(Xnew)
+
+    def factor_state(self):
+        import jax
+
+        if self._pairable():
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), self.f, self.g
+            )
+            return jax.vmap(lambda gp: gp.factor_state())(stacked)
+        return (self.f.factor_state(), self.g.factor_state())
+
+    # -- prediction -----------------------------------------------------------
+    def predict(self, Xnew: jnp.ndarray) -> HurdlePrediction:
+        (fmean, fvar), (gmean, gvar) = self._predict_fg(Xnew)
+        if self.mean_const is not None:
+            fmean = fmean + self.mean_const.value
+        p = self.gate_likelihood.predict_prob(gmean, gvar)
+        return HurdlePrediction(p, fmean, fvar, gmean, gvar)
+
+    # -- objective ------------------------------------------------------------
+    def elbo(
+        self, X: jnp.ndarray, Y: jnp.ndarray, *, num_data=None, factor_state=None
+    ) -> jnp.ndarray:
+        """``Y`` carries the raw amounts (zeros included); the gate target and
+        the amount mask are derived in-graph. ``num_data``/``factor_state`` as
+        in KronSVGP.elbo."""
+        import jax
+
+        def kl_and_predict(gp, Xb, st):
+            st = gp.factor_state() if st is None else st
+            return gp.prior_kl(st), gp.predict_f(Xb, st)
+
+        if self._pairable():
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), self.f, self.g
+            )
+            if factor_state is None:
+                kls, (mu, var) = jax.vmap(lambda gp: kl_and_predict(gp, X, None))(stacked)
+            else:
+                kls, (mu, var) = jax.vmap(
+                    lambda gp, st: kl_and_predict(gp, X, st)
+                )(stacked, factor_state)
+            kl = jnp.sum(kls)
+            (fmean, fvar), (gmean, gvar) = (mu[0], var[0]), (mu[1], var[1])
+        else:
+            stf, stg = (None, None) if factor_state is None else factor_state
+            klf, (fmean, fvar) = kl_and_predict(self.f, X, stf)
+            klg, (gmean, gvar) = kl_and_predict(self.g, X, stg)
+            kl = klf + klg
+        if self.mean_const is not None:
+            fmean = fmean + self.mean_const.value
+
+        on = (Y > 0).astype(X.dtype)
+        ve_gate = self.gate_likelihood.variational_expectations(gmean, gvar, on)
+        # mask-not-subset: keeps the batch shape static. Y is replaced by a
+        # safe positive value at the off rows so the amount term stays FINITE
+        # there (log(0) would poison the masked product's gradient — 0·inf);
+        # the mask then zeroes it in both the primal and the backward pass.
+        Ysafe = jnp.where(on > 0, Y, jnp.ones_like(Y))
+        ve_amount = self.amount_likelihood.variational_expectations(fmean, fvar, Ysafe)
+        var_exp = ve_gate + on * ve_amount
+        n = self.num_data if num_data is None else num_data
+        scale = jnp.asarray(n, dtype=X.dtype) / X.shape[0]
+        return jnp.sum(var_exp) * scale - kl
+
+    def loss(self, X, Y, *, num_data=None, factor_state=None):
+        return -self.elbo(X, Y, num_data=num_data, factor_state=factor_state)
 
 
 @struct.dataclass
