@@ -70,6 +70,39 @@ def test_batched_svgp_cv_matches_sequential_device_sampler():
         )
 
 
+def test_batched_hurdlej_cv_matches_sequential_device_sampler():
+    from zigp_tpu.experiments.configs import HurdleJointConfig
+
+    splits = _splits()
+    cfg = HurdleJointConfig(
+        **_TINY, k_spatial=_SP, k_temporal=_TM, gk_spatial=_SP, gk_temporal=_TM,
+    )
+    silent = lambda s: None  # noqa: E731
+
+    seq = run_cv(["hurdlej"], splits=splits, hurdlej_cfg=cfg, log_fn=silent)
+    bat = run_cv_batched(["hurdlej"], splits=splits, hurdlej_cfg=cfg, log_fn=silent)
+
+    for metric in ("test_rmse", "test_mae", "test_nlpd", "test_gate_auc"):
+        np.testing.assert_allclose(
+            bat["hurdlej"][metric]["folds"], seq["hurdlej"][metric]["folds"],
+            rtol=1e-6, atol=1e-8,
+        )
+
+
+def test_batched_hurdlej_rejects_ensemble():
+    from zigp_tpu.experiments.configs import HurdleJointConfig
+
+    splits = _splits()
+    cfg = HurdleJointConfig(
+        **_TINY, k_spatial=_SP, k_temporal=_TM, gk_spatial=_SP, gk_temporal=_TM,
+    )
+    with pytest.raises(NotImplementedError, match="ensemble"):
+        run_cv_batched(
+            ["hurdlej"], splits=splits, hurdlej_cfg=cfg, ensemble=2,
+            log_fn=lambda s: None,
+        )
+
+
 @pytest.mark.parametrize("variants", [["onoff"], ["classifier", "svgp", "hurdle", "zi"]])
 def test_batched_cv_all_variants_smoke(variants, tmp_path):
     """End-to-end batched CV over every variant: finite metrics, correct

@@ -306,8 +306,7 @@ def main(argv=None):
     p_cv = sub.add_parser("cv", help="run model variants over all 5 CV folds")
     p_cv.add_argument("--models", type=str, default="onoff",
                       help="comma-separated: onoff,svgp,classifier,hurdle,"
-                           "hurdlej,zi (hurdlej = jointly-trained hurdle; "
-                           "sequential driver only)")
+                           "hurdlej,zi (hurdlej = jointly-trained hurdle)")
     p_cv.add_argument("--data", type=str, default=None)
     p_cv.add_argument("--workdir", type=str, default="runs/cv_full")
     p_cv.add_argument("--iters", type=int, default=None)
@@ -508,14 +507,14 @@ def main(argv=None):
             workdir=args.workdir,
             log_fn=log,
         )
+        from .configs import HurdleJointConfig
+
+        kwargs["hurdlej_cfg"] = _ckw(
+            dataclasses.replace(HurdleJointConfig(), log_every=0)
+        )
         if args.batched:
             from .cv_batched import run_cv_batched
 
-            if "hurdlej" in variants:
-                raise SystemExit(
-                    "error: hurdlej is not supported by the batched driver "
-                    "yet — drop --batched"
-                )
             run_cv_batched(
                 variants, resume=args.resume, ensemble=args.ensemble,
                 mesh_members=args.mesh_members, **kwargs
@@ -523,13 +522,7 @@ def main(argv=None):
         else:
             if args.ensemble > 1:
                 raise SystemExit("error: --ensemble requires --batched")
-            from .configs import HurdleJointConfig
-
-            run_cv(
-                variants,
-                hurdlej_cfg=_ckw(dataclasses.replace(HurdleJointConfig(), log_every=0)),
-                **kwargs,
-            )
+            run_cv(variants, **kwargs)
         return 0
 
     split = _load_fold(args)

@@ -222,6 +222,7 @@ def run_cv_batched(
     onoff_cfg: Optional[OnOffPptrConfig] = None,
     svgp_cfg: Optional[SvgpPptrConfig] = None,
     clf_cfg: Optional[ClassifierPptrConfig] = None,
+    hurdlej_cfg=None,
     workdir: Optional[str] = None,
     log_fn: Callable[[str], None] = print,
     resume: bool = False,
@@ -230,8 +231,10 @@ def run_cv_batched(
 ) -> dict:
     """run_cv with all folds of each variant trained in one batched run.
 
-    models ⊆ {"onoff", "svgp", "classifier", "hurdle", "zi"}; hurdle/zi pull
-    in the classifier (and zi the svgp) exactly as the sequential driver does.
+    models ⊆ {"onoff", "svgp", "classifier", "hurdle", "hurdlej", "zi"};
+    hurdle/zi pull in the classifier (and zi the svgp) exactly as the
+    sequential driver does; "hurdlej" is the jointly-trained hurdle
+    (single stack, no classifier prerequisite; ensemble=1 only for now).
     Returns the same aggregate dict shape as run_cv and writes the same
     ``cv_summary.json`` (per-fold prediction pickles are not written — use the
     sequential driver to produce those artifacts).
@@ -483,6 +486,43 @@ def run_cv_batched(
             nlpd = _hurdle_nlpd(model, clf_res[f]["pred_test"]["pfmean"], split)
             log_fn(f"hurdle test nlpd: {nlpd}")
             record("hurdle", "test_nlpd", nlpd)
+
+    if "hurdlej" in models:
+        from .builders import build_hurdle_joint_pptr
+        from .configs import HurdleJointConfig
+        from .runners import _hurdlej_metrics, _hurdlej_predict
+
+        cfg = hurdlej_cfg or HurdleJointConfig()
+        if E > 1:
+            raise NotImplementedError(
+                "ensemble mixing is not implemented for hurdlej yet — "
+                "run it with --ensemble 1"
+            )
+        members, seeds = expand(build_hurdle_joint_pptr, cfg)
+        res = _train_stack(
+            "hurdlej", members,
+            fold_inputs([(s.Xtrain, s.Ytrain) for s in splits]),
+            cfg, cfg.lr, workdir=workdir, log_fn=log_fn, resume=resume,
+            seeds=seeds, mesh=mesh,
+        )
+        trained = [r.model for r in res]
+        ptr = _stacked_predict(
+            trained, _hurdlej_predict, fold_inputs([s.Xtrain for s in splits])
+        )
+        pte = _stacked_predict(
+            trained, _hurdlej_predict, fold_inputs([s.Xtest for s in splits])
+        )
+        for f, split in enumerate(splits):
+            log_fn(f"--- hurdlej fold {f + 1}/{F} ---")
+            model = per_fold(trained)[f][0]
+            _log_hyperparams(model, log_fn)
+            out = _hurdlej_metrics(
+                model, per_fold(ptr)[f][0], per_fold(pte)[f][0], split, log_fn
+            )
+            record("hurdlej", "test_rmse", out["test_hurdle_comb_rmse"])
+            record("hurdlej", "test_mae", out["test_hurdle_comb_mae"])
+            record("hurdlej", "test_nlpd", out["test_hurdle_nlpd"])
+            record("hurdlej", "test_gate_auc", out["test_gate_auc"])
 
     if "zi" in models:
         for f, split in enumerate(splits):

@@ -801,19 +801,28 @@ def _amount_ymean(lik, fmean, fvar):
     return ym
 
 
+def _hurdlej_predict(model, X):
+    """Jitted per-chunk predict fn of the joint hurdle (stackable — the
+    batched CV driver vmaps it over fold members)."""
+    pr = model.predict(X)
+    return {"p_on": pr.p_on, "fmean": pr.fmean, "fvar": pr.fvar}
+
+
 def _eval_hurdle_joint(model, split: Split, log_fn) -> dict:
-    """Predict + metric block of the joint hurdle: hard-gated and
-    probability-weighted point predictions, mixed-measure NLPD, gate
-    classification metrics. Shares the two-stage hurdle's metric names where
-    the quantities coincide so CV rows are directly comparable."""
+    """Predict + metric block of the joint hurdle (see _hurdlej_metrics)."""
+    pred_train = predict_batched(lambda X: _hurdlej_predict(model, X), split.Xtrain)
+    pred_test = predict_batched(lambda X: _hurdlej_predict(model, X), split.Xtest)
+    return _hurdlej_metrics(model, pred_train, pred_test, split, log_fn)
+
+
+def _hurdlej_metrics(model, pred_train: dict, pred_test: dict, split: Split, log_fn) -> dict:
+    """Metric block of the joint hurdle: hard-gated and probability-weighted
+    point predictions, mixed-measure NLPD, gate classification metrics.
+    Shares the two-stage hurdle's metric names where the quantities coincide
+    so CV rows are directly comparable. Split from prediction so the batched
+    CV driver can feed it stacked-model predictions (cv_batched)."""
     from ..likelihoods import Gamma, LogNormal
 
-    def predict(X):
-        pr = model.predict(X)
-        return {"p_on": pr.p_on, "fmean": pr.fmean, "fvar": pr.fvar}
-
-    pred_train = predict_batched(predict, split.Xtrain)
-    pred_test = predict_batched(predict, split.Xtest)
     lik = model.amount_likelihood
     for pred in (pred_train, pred_test):
         ym = _amount_ymean(lik, pred["fmean"], pred["fvar"])
