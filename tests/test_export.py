@@ -59,6 +59,25 @@ def test_export_svgp_roundtrip_symbolic_batch(split, tmp_path):
         np.testing.assert_allclose(out["fvar"], np.asarray(var), rtol=1e-10)
 
 
+def test_export_hurdlej_roundtrip(split, tmp_path):
+    from zigp_tpu.experiments.builders import build_hurdle_joint_pptr
+    from zigp_tpu.experiments.configs import HurdleJointConfig
+
+    model = build_hurdle_joint_pptr(HurdleJointConfig(grid=_grid()), split)
+    path = str(tmp_path / "hurdlej.zigp")
+    export_predictor(model, "hurdlej", 3, path)
+    served = load_predictor(path)
+    assert served.meta["outputs"] == sorted(
+        ["p_on", "fmean", "fvar", "gmean", "gvar"]
+    )
+
+    X = np.asarray(split.Xtest[:13])
+    out = served(X)
+    ref = model.predict(X)._asdict()
+    for k, v in ref.items():
+        np.testing.assert_allclose(out[k], np.asarray(v), rtol=1e-8)
+
+
 def test_export_onoff_full_prediction_tuple(split, tmp_path):
     model = build_onoff_pptr(OnOffPptrConfig(grid=_grid()), split)
     path = str(tmp_path / "onoff.zigp")

@@ -125,6 +125,36 @@ def test_run_hurdle_joint_end_to_end(rng, tmp_path, head):
     assert (tmp_path / "results_hurdlej.pickle").exists()
 
 
+@pytest.mark.parametrize("head", ["lognormal", "gamma", "gaussian"])
+def test_predict_y_samples_moments(rng, head):
+    """Mixed-measure draws: zero fraction ≈ 1−p and sample mean ≈ p·E[amount]
+    (Monte Carlo agreement with the analytic moments)."""
+    split = _synthetic_split(rng)
+    model = build_hurdle_joint_pptr(_tiny_cfg(likelihood=head), split)
+    X = jnp.asarray(split.Xtest[:20])
+    pr = model.predict(X)
+    S = 6000
+    ys = np.asarray(model.predict_y_samples(jax.random.PRNGKey(0), X, S))
+    assert ys.shape == (S, 20, 1)
+
+    p = np.asarray(pr.p_on, dtype=np.float64).reshape(-1)
+    zero_frac = (ys == 0.0).mean(axis=0).reshape(-1)
+    np.testing.assert_allclose(zero_frac, 1.0 - p, atol=0.03)
+
+    from zigp_tpu.experiments.runners import _amount_ymean
+
+    ymean = _amount_ymean(
+        model.amount_likelihood, np.asarray(pr.fmean), np.asarray(pr.fvar)
+    ).reshape(-1)
+    want = p * ymean
+    got = ys.mean(axis=0).reshape(-1)
+    # z-test tolerance: the untrained prior variance makes the draws wide
+    # (heavy-tailed under the exp links, var ~ O(100) for the gaussian head),
+    # so bound the error by 6 standard errors of the sample mean per point
+    se = ys.std(axis=0).reshape(-1) / np.sqrt(S)
+    assert (np.abs(got - want) <= 6.0 * se + 1e-9).all()
+
+
 def test_joint_training_improves_elbo(rng):
     """A short fit must improve the objective (both GPs receive gradient)."""
     split = _synthetic_split(rng)

@@ -264,13 +264,14 @@ def main(argv=None):
     )
     _common(p_pred)
     p_pred.add_argument("--model", type=str, default="onoff",
-                        choices=("onoff", "svgp", "classifier"),
+                        choices=("onoff", "svgp", "classifier", "hurdlej"),
                         help="which trained model to restore; config flags "
                              "(--preset/--kernel-*/...) must match training")
     p_pred.add_argument("--samples", type=int, default=0,
                         help="also draw this many predictive samples per "
                              "test point (onoff: gated y* = Φ(g*)·f* + ε; "
-                             "svgp: f* + ε; classifier: Bernoulli draws) "
+                             "svgp: f* + ε; classifier: Bernoulli draws; "
+                             "hurdlej: mixed gate×amount draws) "
                              "into the predictions pickle's 'y_samples'")
 
     p_exp = sub.add_parser(
@@ -281,7 +282,7 @@ def main(argv=None):
     )
     _common(p_exp)
     p_exp.add_argument("--model", type=str, default="onoff",
-                       choices=("onoff", "svgp", "classifier"),
+                       choices=("onoff", "svgp", "classifier", "hurdlej"),
                        help="which trained model to export; config flags "
                             "must match training")
     p_exp.add_argument("--out", type=str, default=None,
@@ -624,10 +625,13 @@ def main(argv=None):
         )
         from .runners import run_predict
 
+        from .configs import HurdleJointConfig
+
         cfg = {
             "onoff": best_onoff_config() if best else OnOffPptrConfig(),
             "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
             "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
+            "hurdlej": HurdleJointConfig(),
         }[args.model]
         run_predict(
             split, args.model, _cfgkw(cfg), workdir=workdir, log_fn=log,
@@ -645,10 +649,13 @@ def main(argv=None):
         )
         from .runners import run_export
 
+        from .configs import HurdleJointConfig
+
         cfg = {
             "onoff": best_onoff_config() if best else OnOffPptrConfig(),
             "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
             "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
+            "hurdlej": HurdleJointConfig(),
         }[args.model]
         out = run_export(
             split, args.model, _cfgkw(cfg), workdir=workdir,

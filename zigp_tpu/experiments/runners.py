@@ -918,13 +918,19 @@ def _restore_model(split, kind, cfg, workdir, log_fn):
     (model, step, eval_fn)."""
     from ..io.checkpoint import CheckpointManager
 
+    from .builders import build_hurdle_joint_pptr
+    from .configs import HurdleJointConfig
+
     builders = {
         "onoff": (build_onoff_pptr, OnOffPptrConfig, _eval_onoff),
         "svgp": (build_svgp_pptr, SvgpPptrConfig, _eval_svgp),
         "classifier": (build_classifier_pptr, ClassifierPptrConfig, _eval_classifier),
+        "hurdlej": (build_hurdle_joint_pptr, HurdleJointConfig, _eval_hurdle_joint),
     }
     if kind not in builders:
-        raise SystemExit(f"error: unknown predict kind {kind!r} (onoff|svgp|classifier)")
+        raise SystemExit(
+            f"error: unknown predict kind {kind!r} (onoff|svgp|classifier|hurdlej)"
+        )
     build, default_cfg, evaluate = builders[kind]
     cfg = cfg or default_cfg()
     model = build(cfg, split)
@@ -990,8 +996,8 @@ def run_predict(
     checkpoint is ignored), so checkpoints from any optimizer — Adam, natgrad —
     predict identically.
 
-    ``kind``: "onoff" | "svgp" | "classifier". ``cfg`` must match the training
-    config's model shape (grid, q_cov, whiten, kernel families).
+    ``kind``: "onoff" | "svgp" | "classifier" | "hurdlej". ``cfg`` must match
+    the training config's model shape (grid, q_cov, whiten, kernel families).
     Writes ``predictions_<kind>.pickle`` into ``workdir``.
     """
     model, step, evaluate = _restore_model(split, kind, cfg, workdir, log_fn)
@@ -1004,7 +1010,7 @@ def run_predict(
         # labels from the plug-in probability
         key = jax.random.PRNGKey(sample_seed)
         Xte = jnp.asarray(split.Xtest)
-        if kind == "onoff":
+        if kind in ("onoff", "hurdlej"):
             s = model.predict_y_samples(key, Xte, samples)
         elif kind == "svgp":
             fs = model.predict_f_samples(key, Xte, samples)

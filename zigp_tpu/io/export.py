@@ -57,8 +57,15 @@ def _predict_dict_fn(model, kind: str) -> Callable:
             mean, var = model.predict_f(X)
             return {"fmean": mean, "fvar": var, "p": model.predict_prob(X)}
 
+    elif kind == "hurdlej":
+
+        def fn(X):
+            return dict(model.predict(X)._asdict())
+
     else:
-        raise ValueError(f"unknown export kind {kind!r} (onoff|svgp|classifier)")
+        raise ValueError(
+            f"unknown export kind {kind!r} (onoff|svgp|classifier|hurdlej)"
+        )
     return fn
 
 

@@ -47,6 +47,14 @@ class Gaussian:
     def predict_mean_and_var(self, Fmu, Fvar):
         return Fmu, Fvar + self.variance.value
 
+    def sample_y(self, key, F):
+        """One observation draw y ~ p(y|f) per latent sample in ``F``."""
+        import jax
+
+        return F + jnp.sqrt(self.variance.value) * jax.random.normal(
+            key, F.shape, dtype=F.dtype
+        )
+
 
 @struct.dataclass
 class OnOffGaussian:
@@ -115,6 +123,15 @@ class LogNormal:
         logy = jnp.log(Y)
         return logy + 0.5 * jnp.log(2.0 * np.pi * s2) + 0.5 * jnp.square(logy - Fmu) / s2
 
+    def sample_y(self, key, F):
+        """One observation draw y ~ LogNormal(f, σ²) per latent sample."""
+        import jax
+
+        return jnp.exp(
+            F + jnp.sqrt(self.variance.value)
+            * jax.random.normal(key, F.shape, dtype=F.dtype)
+        )
+
 
 @struct.dataclass
 class Gamma:
@@ -173,6 +190,15 @@ class Gamma:
             - a * Y[..., None] * jnp.exp(-f)
         )
         return -logsumexp(logp + jnp.log(w), axis=-1)
+
+    def sample_y(self, key, F):
+        """One draw y ~ Gamma(α, rate α e^{−f}) per latent sample (so the
+        conditional mean is e^f): gamma(α)/rate."""
+        import jax
+
+        a = self.shape.value
+        g = jax.random.gamma(key, a, F.shape, dtype=F.dtype)
+        return g * jnp.exp(F) / a
 
 
 @struct.dataclass

@@ -375,6 +375,26 @@ class KronHurdleSVGP:
         p = self.gate_likelihood.predict_prob(gmean, gvar)
         return HurdlePrediction(p, fmean, fvar, gmean, gvar)
 
+    def predict_y_samples(self, key, Xnew: jnp.ndarray, num_samples: int = 1):
+        """(S, B, 1) draws from the mixed predictive: gate ~ Bernoulli(p_on)
+        (p_on = E[Φ(g)], the marginalized gate), amount from a latent-marginal
+        draw pushed through the amount head's ``sample_y``. Zeros appear with
+        probability 1−p_on — the predictive-interval companion of the point
+        metrics, which the reference's predict modules cannot produce."""
+        import jax
+
+        pr = self.predict(Xnew)
+        k_f, k_y, k_gate = jax.random.split(key, 3)
+        eps = jax.random.normal(
+            k_f, (num_samples,) + pr.fmean.shape, dtype=pr.fmean.dtype
+        )
+        f = pr.fmean[None] + jnp.sqrt(jnp.maximum(pr.fvar, 0.0))[None] * eps
+        y = self.amount_likelihood.sample_y(k_y, f)
+        on = (
+            jax.random.uniform(k_gate, f.shape, dtype=f.dtype) < pr.p_on[None]
+        )
+        return jnp.where(on, y, jnp.zeros_like(y))
+
     # -- objective ------------------------------------------------------------
     def elbo(
         self, X: jnp.ndarray, Y: jnp.ndarray, *, num_data=None, factor_state=None
