@@ -89,18 +89,20 @@ def test_batched_hurdlej_cv_matches_sequential_device_sampler():
         )
 
 
-def test_batched_hurdlej_rejects_ensemble():
+def test_batched_hurdlej_ensemble_smoke():
     from zigp_tpu.experiments.configs import HurdleJointConfig
 
     splits = _splits()
     cfg = HurdleJointConfig(
         **_TINY, k_spatial=_SP, k_temporal=_TM, gk_spatial=_SP, gk_temporal=_TM,
     )
-    with pytest.raises(NotImplementedError, match="ensemble"):
-        run_cv_batched(
-            ["hurdlej"], splits=splits, hurdlej_cfg=cfg, ensemble=2,
-            log_fn=lambda s: None,
-        )
+    res = run_cv_batched(
+        ["hurdlej"], splits=splits, hurdlej_cfg=cfg, ensemble=2,
+        log_fn=lambda s: None,
+    )
+    for metric, agg in res["hurdlej"].items():
+        assert np.isfinite(agg["mean"]), metric
+        assert len(agg["folds"]) == len(splits)
 
 
 @pytest.mark.parametrize("variants", [["onoff"], ["classifier", "svgp", "hurdle", "zi"]])

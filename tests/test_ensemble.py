@@ -65,8 +65,10 @@ def test_ensemble_size1_matches_single_run():
     np.testing.assert_allclose(ens["test_nlpd"], single["test_nlpd"], rtol=1e-7)
 
 
-@pytest.mark.parametrize("kind", ["svgp", "classifier", "onoff"])
+@pytest.mark.parametrize("kind", ["svgp", "classifier", "onoff", "hurdlej"])
 def test_ensemble_smoke_all_kinds(kind, tmp_path):
+    from zigp_tpu.experiments.configs import HurdleJointConfig
+
     split = _split(seed=1)
     cfg = {
         "svgp": SvgpPptrConfig(**_TINY, k_spatial=_SP, k_temporal=_TM),
@@ -78,12 +80,17 @@ def test_ensemble_smoke_all_kinds(kind, tmp_path):
             **_TINY, monitor_every=0,
             fk_spatial=_SP, fk_temporal=_TM, gk_spatial=_SP, gk_temporal=_TM,
         ),
+        "hurdlej": HurdleJointConfig(
+            **_TINY, k_spatial=_SP, k_temporal=_TM, gk_spatial=_SP, gk_temporal=_TM,
+        ),
     }[kind]
     res = run_ensemble(
         split, kind, cfg, size=3, workdir=str(tmp_path), log_fn=lambda s: None
     )
     assert res["ensemble_size"] == 3
-    key = "test_auc" if kind == "classifier" else "test_rmse"
+    key = {
+        "classifier": "test_auc", "hurdlej": "test_hurdle_comb_rmse",
+    }.get(kind, "test_rmse")
     assert np.isfinite(res[key])
     assert len(res[f"member_{key}"]) == 3
     assert all(np.isfinite(v) for v in res[f"member_{key}"])

@@ -155,6 +155,29 @@ def test_predict_y_samples_moments(rng, head):
     assert (np.abs(got - want) <= 6.0 * se + 1e-9).all()
 
 
+def test_natgrad_on_joint_hurdle_moves_all_variational_blocks(rng):
+    """optimizer='natgrad' on KronHurdleSVGP: the natural step must update
+    BOTH GPs' (q_mu, q_sqrt) pairs (regression guard against the dense-family
+    freeze bug class: a mean-only pseudo-step that leaves q_sqrt Adam-frozen),
+    and the objective must improve."""
+    split = _synthetic_split(rng)
+    cfg = _tiny_cfg(
+        num_iter=120, batch_size=128, optimizer="natgrad",
+        natgrad_warmup=20, natgrad_adam_warmup=10,
+    )
+    m0 = build_hurdle_joint_pptr(cfg, split)
+    X, Y = jnp.asarray(split.Xtrain), jnp.asarray(split.Ytrain)
+    loss0 = float(m0.loss(X, Y))
+    res = run_hurdle_joint(split, cfg, log_fn=lambda s: None)
+    m1 = res["model"]
+    assert float(m1.loss(X, Y)) < loss0
+    for gp in ("f", "g"):
+        for field in ("q_mu", "q_sqrt"):
+            a = np.asarray(getattr(getattr(m0, gp), field).value)
+            b = np.asarray(getattr(getattr(m1, gp), field).value)
+            assert not np.allclose(a, b), f"{gp}.{field} did not move"
+
+
 def test_joint_training_improves_elbo(rng):
     """A short fit must improve the objective (both GPs receive gradient)."""
     split = _synthetic_split(rng)

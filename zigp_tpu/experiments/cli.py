@@ -198,6 +198,14 @@ def _common(p):
                    help="initial period for 'periodic' temporal kernels, in "
                         "the model's time units (pptr time is days/1000; "
                         "1 day = 0.001)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="base learning rate (models with a single cfg.lr; "
+                        "onoff uses --kern-lr + its preset's indp_lr)")
+    p.add_argument("--lr-schedule", type=str, default=None,
+                   dest="lr_schedule", choices=("constant", "cosine"),
+                   help="learning-rate schedule: constant (reference) or "
+                        "cosine decay over the run (the champion preset's "
+                        "choice)")
     p.add_argument("--likelihood", type=str, default=None,
                    choices=("gaussian", "lognormal", "gamma"),
                    help="regression observation model (svgp/hurdle): gaussian "
@@ -300,7 +308,7 @@ def main(argv=None):
     )
     _common(p_ens)
     p_ens.add_argument("--model", type=str, default="onoff",
-                       choices=("onoff", "svgp", "classifier"))
+                       choices=("onoff", "svgp", "classifier", "hurdlej"))
     p_ens.add_argument("--size", type=int, default=5,
                        help="ensemble members (seeds seed..seed+size-1)")
 
@@ -578,6 +586,14 @@ def main(argv=None):
         for lk in ("lognormal_variance", "gamma_shape"):
             if getattr(args, lk, None) is not None and hasattr(cfg, lk):
                 kw[lk] = getattr(args, lk)
+        if getattr(args, "lr_schedule", None) is not None and hasattr(
+            cfg, "lr_schedule"
+        ):
+            kw["lr_schedule"] = (
+                "" if args.lr_schedule == "constant" else args.lr_schedule
+            )
+        if getattr(args, "lr", None) is not None and hasattr(cfg, "lr"):
+            kw["lr"] = args.lr
         if getattr(args, "whiten", None) and hasattr(cfg, "whiten"):
             kw["whiten"] = True
         if getattr(args, "hyper_every", None) is not None and hasattr(
@@ -602,12 +618,14 @@ def main(argv=None):
             tuned_classifier_config,
             tuned_svgp_config,
         )
+        from .configs import HurdleJointConfig
         from .ensemble import run_ensemble
 
         cfg = {
             "onoff": best_onoff_config() if best else OnOffPptrConfig(),
             "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
             "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
+            "hurdlej": HurdleJointConfig(),
         }[args.model]
         run_ensemble(
             split, args.model, _cfgkw(cfg), size=args.size,

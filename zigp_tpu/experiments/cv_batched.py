@@ -493,11 +493,6 @@ def run_cv_batched(
         from .runners import _hurdlej_metrics, _hurdlej_predict
 
         cfg = hurdlej_cfg or HurdleJointConfig()
-        if E > 1:
-            raise NotImplementedError(
-                "ensemble mixing is not implemented for hurdlej yet — "
-                "run it with --ensemble 1"
-            )
         members, seeds = expand(build_hurdle_joint_pptr, cfg)
         res = _train_stack(
             "hurdlej", members,
@@ -514,11 +509,22 @@ def run_cv_batched(
         )
         for f, split in enumerate(splits):
             log_fn(f"--- hurdlej fold {f + 1}/{F} ---")
-            model = per_fold(trained)[f][0]
-            _log_hyperparams(model, log_fn)
-            out = _hurdlej_metrics(
-                model, per_fold(ptr)[f][0], per_fold(pte)[f][0], split, log_fn
-            )
+            fold_models = per_fold(trained)[f]
+            _log_hyperparams(fold_models[0], log_fn)
+            if E > 1:
+                from .ensemble import _avg_amount_model, mix_hurdlej_preds
+
+                keep, (ktr, kte) = _healthy(
+                    fold_models, [per_fold(ptr)[f], per_fold(pte)[f]],
+                    per_fold(res)[f], log_fn, f"hurdlej fold {f + 1}",
+                )
+                model = _avg_amount_model(keep)
+                tr, te = mix_hurdlej_preds(ktr), mix_hurdlej_preds(kte)
+            else:
+                model, tr, te = (
+                    fold_models[0], per_fold(ptr)[f][0], per_fold(pte)[f][0]
+                )
+            out = _hurdlej_metrics(model, tr, te, split, log_fn)
             record("hurdlej", "test_rmse", out["test_hurdle_comb_rmse"])
             record("hurdlej", "test_mae", out["test_hurdle_comb_mae"])
             record("hurdlej", "test_nlpd", out["test_hurdle_nlpd"])

@@ -31,11 +31,24 @@ import numpy as np
 
 from ..io.datasets import Split
 from ..training.batched import fit_batched_scanned, stack_pytrees
-from .builders import binarize_targets, build_classifier_pptr, build_onoff_pptr, build_svgp_pptr
-from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
+from .builders import (
+    binarize_targets,
+    build_classifier_pptr,
+    build_hurdle_joint_pptr,
+    build_onoff_pptr,
+    build_svgp_pptr,
+)
+from .configs import (
+    ClassifierPptrConfig,
+    HurdleJointConfig,
+    OnOffPptrConfig,
+    SvgpPptrConfig,
+)
 from .cv_batched import _stacked_predict, _svgp_predict
 from .runners import (
     _classifier_metrics,
+    _hurdlej_metrics,
+    _hurdlej_predict,
     _maybe_pickle,
     _onoff_metrics,
     _svgp_metrics,
@@ -56,6 +69,7 @@ _BUILDERS = {
     "onoff": (build_onoff_pptr, OnOffPptrConfig),
     "svgp": (build_svgp_pptr, SvgpPptrConfig),
     "classifier": (build_classifier_pptr, ClassifierPptrConfig),
+    "hurdlej": (build_hurdle_joint_pptr, HurdleJointConfig),
 }
 
 
@@ -143,6 +157,39 @@ def mix_classifier_preds(preds: list) -> dict:
     return {"pfmean": mu, "pfvar": var}
 
 
+def mix_hurdlej_preds(preds: list) -> dict:
+    """Uniform mixture for the joint hurdle: exact for the gate probability
+    (mean of p_on), latent-moment-matched for the amount GP (the mixture of
+    the head's predictives is then approximated by pushing the matched
+    Gaussian latent through the head — same approximation as the gaussian
+    mixers above)."""
+    fmean, fvar = mixture_moments(
+        np.stack([p["fmean"] for p in preds]),
+        np.stack([p["fvar"] for p in preds]),
+    )
+    return {
+        "p_on": np.stack([p["p_on"] for p in preds]).mean(axis=0),
+        "fmean": fmean,
+        "fvar": fvar,
+    }
+
+
+def _avg_amount_model(models: list):
+    """Member 0's joint-hurdle model with the amount head's scalar parameter
+    replaced by the members' average (counterpart of _avg_noise_model for
+    models whose likelihood lives at ``amount_likelihood``)."""
+    field = "variance" if hasattr(models[0].amount_likelihood, "variance") else "shape"
+    avg = float(np.mean([
+        np.asarray(getattr(m.amount_likelihood, field).value) for m in models
+    ]))
+    lik0 = models[0].amount_likelihood
+    return models[0].replace(
+        amount_likelihood=lik0.replace(
+            **{field: getattr(lik0, field).replace_value(avg)}
+        )
+    )
+
+
 def mix_onoff_preds(preds: list) -> dict:
     """Uniform mixture of the gated predictive Φ(g)f: the total second moment
     is gfvar + gfmeanu + gfmean², so the total-variance identity applies to
@@ -176,7 +223,9 @@ def run_ensemble(
     ``member_*`` per-member metrics and ``ensemble_size``.
     """
     if kind not in _BUILDERS:
-        raise ValueError(f"unknown ensemble kind {kind!r} (onoff|svgp|classifier)")
+        raise ValueError(
+            f"unknown ensemble kind {kind!r} (onoff|svgp|classifier|hurdlej)"
+        )
     build, default_cfg = _BUILDERS[kind]
     cfg = cfg or default_cfg()
     if getattr(cfg, "optimizer", "adam") == "natgrad":
@@ -215,7 +264,19 @@ def run_ensemble(
     train_time = time.time() - t0
     trained = [r.model for r in res]
 
-    if kind == "svgp":
+    if kind == "hurdlej":
+        ptr = _stacked_predict(trained, _hurdlej_predict, [split.Xtrain] * size)
+        pte = _stacked_predict(trained, _hurdlej_predict, [split.Xtest] * size)
+        member_metrics = [
+            _hurdlej_metrics(trained[e], ptr[e], pte[e], split, lambda s: None)
+            for e in range(size)
+        ]
+        keep, (kptr, kpte) = _healthy(trained, [ptr, pte], res, log_fn, "ensemble")
+        results = _hurdlej_metrics(
+            _avg_amount_model(keep), mix_hurdlej_preds(kptr),
+            mix_hurdlej_preds(kpte), split, log_fn,
+        )
+    elif kind == "svgp":
         ptr = _stacked_predict(trained, _svgp_predict, [split.Xtrain] * size)
         pte = _stacked_predict(trained, _svgp_predict, [split.Xtest] * size)
         member_metrics = [
@@ -257,7 +318,10 @@ def run_ensemble(
     results["ensemble_size"] = size
     results["train_time_sec"] = train_time
     results["steps_per_sec"] = res[0].steps_per_sec
-    for key in ("test_rmse", "test_mae", "test_auc", "test_accuracy"):
+    for key in (
+        "test_rmse", "test_mae", "test_auc", "test_accuracy",
+        "test_hurdle_comb_rmse", "test_hurdle_nlpd", "test_gate_auc",
+    ):
         vals = [m[key] for m in member_metrics if key in m]
         if vals:
             results[f"member_{key}"] = vals
