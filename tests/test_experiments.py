@@ -133,6 +133,42 @@ def test_cv_splits_match_reference_protocol():
     np.testing.assert_allclose(np.sort(Xcat.ravel()), np.sort(Xall.ravel()))
 
 
+def test_forecast_splits_are_leakage_free_and_tile_the_horizon():
+    from zigp_tpu.io.datasets import make_forecast_splits
+
+    rng = np.random.RandomState(8)
+    split = _synthetic_split(rng, 400, 100)
+    splits = make_forecast_splits(split, 5)
+    assert len(splits) == 5
+    prev_train = 0
+    for s in splits:
+        # strict temporal ordering: every training point precedes every test
+        # point (the defining property of a forecast protocol)
+        assert s.Xtrain[:, 2].max() < s.Xtest[:, 2].min()
+        # expanding window: each origin trains on at least as much history
+        assert s.Xtrain.shape[0] >= prev_train
+        prev_train = s.Xtrain.shape[0]
+    # the test windows are disjoint and tile [start_frac, 1] of the range
+    t_all = np.concatenate([split.Xtrain, split.Xtest])[:, 2] / 1000.0
+    lo, hi = t_all.min(), t_all.max()
+    t_test = np.concatenate([s.Xtest[:, 2] for s in splits])
+    assert t_test.shape[0] == np.sum(t_all >= lo + 0.5 * (hi - lo))
+    # disjoint windows: each test time lands in exactly one fold, and the
+    # times are on the ÷1000 (kfold-convention) scale
+    assert t_test.shape[0] == np.unique(t_test).shape[0]
+    assert t_test.max() <= hi and t_test.min() >= lo
+
+
+def test_forecast_splits_reject_empty_windows():
+    from zigp_tpu.io.datasets import make_forecast_splits
+
+    rng = np.random.RandomState(9)
+    split = _synthetic_split(rng, 40, 10)
+    with np.testing.assert_raises(ValueError):
+        # start beyond the data range leaves every window empty
+        make_forecast_splits(split, 2, start_frac=1.5)
+
+
 def test_gaussian_nlpd_closed_form():
     """NLPD of N(0,1) at y=0 is ½log(2π); at y=1 adds ½."""
     from zigp_tpu.utils.metrics import gaussian_nlpd

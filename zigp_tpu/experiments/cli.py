@@ -317,6 +317,18 @@ def main(argv=None):
                       help="comma-separated: onoff,svgp,classifier,hurdle,"
                            "hurdlej,zi (hurdlej = jointly-trained hurdle)")
     p_cv.add_argument("--data", type=str, default=None)
+    p_cv.add_argument("--split", type=str, default="kfold",
+                      choices=("kfold", "forecast"),
+                      help="kfold = the reference's random 5-fold protocol "
+                           "(interpolation); forecast = rolling-origin "
+                           "temporal extrapolation (train on the past, test "
+                           "on the next time window)")
+    p_cv.add_argument("--origins", type=int, default=5,
+                      help="with --split forecast: number of rolling origins")
+    p_cv.add_argument("--horizon-frac", type=float, default=0.1,
+                      dest="horizon_frac",
+                      help="with --split forecast: test-window length as a "
+                           "fraction of the time range")
     p_cv.add_argument("--workdir", type=str, default="runs/cv_full")
     p_cv.add_argument("--iters", type=int, default=None)
     p_cv.add_argument("--batch", type=int, default=None)
@@ -493,7 +505,7 @@ def main(argv=None):
             kw.update(_kernel_flag_kw(cfg, args))
             return dataclasses.replace(cfg, **kw)
 
-        from ..io.datasets import load_pptr, make_cv_splits
+        from ..io.datasets import load_pptr, make_cv_splits, make_forecast_splits
 
         os.makedirs(args.workdir, exist_ok=True)
         log = _setup_logging(args.workdir, "cv")
@@ -508,8 +520,19 @@ def main(argv=None):
         base_svgp = tuned_svgp_config() if best else SvgpPptrConfig()
         base_clf = tuned_classifier_config() if best else ClassifierPptrConfig()
         variants = [m.strip() for m in args.models.split(",") if m.strip()]
+        if args.split == "forecast":
+            splits = make_forecast_splits(
+                load_pptr(args.data), args.origins,
+                horizon_frac=args.horizon_frac,
+            )
+            log(
+                f"forecast protocol: {args.origins} rolling origins, "
+                f"horizon {args.horizon_frac:.2f} of the time range"
+            )
+        else:
+            splits = make_cv_splits(load_pptr(args.data))
         kwargs = dict(
-            splits=make_cv_splits(load_pptr(args.data)),
+            splits=splits,
             onoff_cfg=_ckw(dataclasses.replace(base_onoff, log_every=0)),
             svgp_cfg=_ckw(dataclasses.replace(base_svgp, log_every=0)),
             clf_cfg=_ckw(dataclasses.replace(base_clf, log_every=0)),

@@ -21,6 +21,14 @@ def _agg(values: List[float]) -> Dict[str, float]:
     return {"mean": float(a.mean()), "std": float(a.std()), "folds": [float(v) for v in a]}
 
 
+def _record_exceedance(record, model: str, res: dict):
+    """Flatten the per-threshold exceedance scores into CV-aggregable
+    scalars (test_brier_τ / test_excauc_τ)."""
+    for tau, s in res.get("test_exceedance", {}).items():
+        record(model, f"test_brier_{tau}", s["brier"])
+        record(model, f"test_excauc_{tau}", s["auc"])
+
+
 def run_cv(
     models: List[str],
     *,
@@ -70,11 +78,16 @@ def run_cv(
             _abort_if_interrupted(reg, "svgp", k)
             record("svgp", "test_rmse", reg["test_rmse"])
             record("svgp", "test_mae", reg["test_mae"])
+            if "test_crps" in reg:
+                record("svgp", "test_crps", reg["test_crps"])
+                _record_exceedance(record, "svgp", reg)
         if "onoff" in models:
             res = run_onoff(split, onoff_cfg, workdir=fold_dir, log_fn=log_fn)
             _abort_if_interrupted(res, "onoff", k)
             record("onoff", "test_rmse", res["test_rmse"])
             record("onoff", "test_mae", res["test_mae"])
+            record("onoff", "test_crps", res["test_crps"])
+            _record_exceedance(record, "onoff", res)
             record("onoff", "steps_per_sec", res["steps_per_sec"])
         if "hurdle" in models:
             res = run_hurdle(split, clf, svgp_cfg, workdir=fold_dir, log_fn=log_fn)
@@ -82,6 +95,8 @@ def run_cv(
             record("hurdle", "test_rmse", res["test_hurdle_comb_rmse"])
             record("hurdle", "test_mae", res["test_hurdle_comb_mae"])
             record("hurdle", "test_nlpd", res["test_hurdle_nlpd"])
+            record("hurdle", "test_crps", res["test_crps"])
+            _record_exceedance(record, "hurdle", res)
         if "hurdlej" in models:
             from .runners import run_hurdle_joint
 
@@ -90,6 +105,8 @@ def run_cv(
             record("hurdlej", "test_rmse", res["test_hurdle_comb_rmse"])
             record("hurdlej", "test_mae", res["test_hurdle_comb_mae"])
             record("hurdlej", "test_nlpd", res["test_hurdle_nlpd"])
+            record("hurdlej", "test_crps", res["test_crps"])
+            _record_exceedance(record, "hurdlej", res)
             record("hurdlej", "test_gate_auc", res["test_gate_auc"])
             record("hurdlej", "steps_per_sec", res["steps_per_sec"])
         if "zi" in models:

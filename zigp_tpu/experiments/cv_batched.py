@@ -53,10 +53,12 @@ from .builders import (
     build_svgp_pptr,
 )
 from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
+from .cv import _record_exceedance
 from .runners import (
     _classifier_metrics,
     _eval_hurdle,
     _hurdle_nlpd,
+    _hurdle_probabilistic_scores,
     _log_hyperparams,
     _onoff_metrics,
     _svgp_metrics,
@@ -373,6 +375,9 @@ def run_cv_batched(
             svgp_res[f] = _svgp_metrics(model, tr, te, split, log_fn)
             record("svgp", "test_rmse", svgp_res[f]["test_rmse"])
             record("svgp", "test_mae", svgp_res[f]["test_mae"])
+            if "test_crps" in svgp_res[f]:
+                record("svgp", "test_crps", svgp_res[f]["test_crps"])
+                _record_exceedance(record, "svgp", svgp_res[f])
 
     if "onoff" in models:
         cfg = onoff_cfg or OnOffPptrConfig()
@@ -404,6 +409,8 @@ def run_cv_batched(
             out = _onoff_metrics(model, te, split, log_fn)
             record("onoff", "test_rmse", out["test_rmse"])
             record("onoff", "test_mae", out["test_mae"])
+            record("onoff", "test_crps", out["test_crps"])
+            _record_exceedance(record, "onoff", out)
             record("onoff", "steps_per_sec", res[f * E].steps_per_sec)
 
     if "hurdle" in models:
@@ -486,6 +493,12 @@ def run_cv_batched(
             nlpd = _hurdle_nlpd(model, clf_res[f]["pred_test"]["pfmean"], split)
             log_fn(f"hurdle test nlpd: {nlpd}")
             record("hurdle", "test_nlpd", nlpd)
+            scores = _hurdle_probabilistic_scores(
+                model, clf_res[f]["pred_test"]["pfmean"], split
+            )
+            log_fn(f"hurdle test crps: {scores['test_crps']}")
+            record("hurdle", "test_crps", scores["test_crps"])
+            _record_exceedance(record, "hurdle", scores)
 
     if "hurdlej" in models:
         from .builders import build_hurdle_joint_pptr
@@ -528,6 +541,8 @@ def run_cv_batched(
             record("hurdlej", "test_rmse", out["test_hurdle_comb_rmse"])
             record("hurdlej", "test_mae", out["test_hurdle_comb_mae"])
             record("hurdlej", "test_nlpd", out["test_hurdle_nlpd"])
+            record("hurdlej", "test_crps", out["test_crps"])
+            _record_exceedance(record, "hurdlej", out)
             record("hurdlej", "test_gate_auc", out["test_gate_auc"])
 
     if "zi" in models:

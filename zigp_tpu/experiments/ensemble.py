@@ -205,6 +205,10 @@ def mix_onoff_preds(preds: list) -> dict:
     mix["gfmeanu"] = np.zeros_like(gfvar_tot)
     mix["fmean"] = np.stack([p["fmean"] for p in preds]).mean(axis=0)
     mix["pgmean"] = np.stack([p["pgmean"] for p in preds]).mean(axis=0)
+    # the member predictions ride along: the proper-scoring block samples the
+    # mixture exactly from them (metrics.sample_gated_mixture) — the gated
+    # mixture has no single (f, g) moment-pair representation
+    mix["member_preds"] = [dict(p) for p in preds]
     return mix
 
 

@@ -421,12 +421,30 @@ def _onoff_metrics(model, pred_test: dict, split: Split, log_fn) -> dict:
     )
     log_fn(f"test nlpd: {test_nlpd}")
 
+    # proper scores on the FULL gated predictive y* = Φ(g*)·f* + ε — CRPS and
+    # per-threshold exceedance forecasts, via host float64 draws from the
+    # predictive marginals (metrics.sample_gated_predictive; seeded, so the
+    # scores are deterministic). The reference can only report point metrics.
+    if "member_preds" in pred_test:  # ensemble mixture — sample it exactly
+        samples = metrics.sample_gated_mixture(
+            pred_test["member_preds"], noise_var=noise, num_samples=256, seed=0
+        )
+    else:
+        samples = metrics.sample_gated_predictive(
+            pred_test, noise_var=noise, num_samples=256, seed=0
+        )
+    test_crps = metrics.crps_from_samples(samples, split.Ytest)
+    test_exceedance = metrics.exceedance_summary(samples, split.Ytest)
+    log_fn(f"test crps: {test_crps}")
+
     return {
         "test_rmse": test_rmse,
         "test_mae": test_mae,
         "test_rmse_hard": test_rmse_hard,
         "test_mae_hard": test_mae_hard,
         "test_nlpd": test_nlpd,
+        "test_crps": test_crps,
+        "test_exceedance": test_exceedance,
         "pred_test": pred_test,
     }
 
@@ -540,10 +558,21 @@ def _svgp_metrics(model, pred_train: dict, pred_test: dict, split: Split, log_fn
     else:
         test_rmse = metrics.rmse(pred_test["fmean"], split.Ytest)
         test_mae = metrics.mae(pred_test["fmean"], split.Ytest)
+        noise = float(np.asarray(lik.variance.value))
         test_nlpd = metrics.gaussian_nlpd(
-            pred_test["fmean"], pred_test["fvar"], split.Ytest,
-            noise_var=float(np.asarray(lik.variance.value)),
+            pred_test["fmean"], pred_test["fvar"], split.Ytest, noise_var=noise
         )
+        # the Gaussian predictive has closed-form CRPS and exceedance tails
+        extras = {
+            "test_crps": metrics.crps_gaussian(
+                pred_test["fmean"], pred_test["fvar"], split.Ytest,
+                noise_var=noise,
+            ),
+            "test_exceedance": metrics.exceedance_summary_gaussian(
+                pred_test["fmean"], pred_test["fvar"], split.Ytest,
+                noise_var=noise,
+            ),
+        }
     log_fn(f"test rmse: {test_rmse}")
     log_fn(f"test nlpd: {test_nlpd}")
 
@@ -666,6 +695,12 @@ def run_hurdle(
         reg["model"], clf_results["pred_test"]["pfmean"], split
     )
     log_fn(f"hurdle test nlpd: {results['test_hurdle_nlpd']}")
+    results.update(
+        _hurdle_probabilistic_scores(
+            reg["model"], clf_results["pred_test"]["pfmean"], split
+        )
+    )
+    log_fn(f"hurdle test crps: {results['test_crps']}")
     results["interrupted"] = bool(reg.get("interrupted", False))
     _maybe_pickle(results, workdir, "results_hurdle.pickle")
     results["model"] = reg["model"]
@@ -707,6 +742,29 @@ def _hurdle_nlpd(model, pfmean_test, split: Split) -> float:
             fm, fv, y[pos], noise_var=float(np.asarray(lik.variance.value))
         )
     return metrics.hurdle_nlpd(pfmean_test, cond, y)
+
+
+def _hurdle_probabilistic_scores(model, pfmean_test, split: Split) -> dict:
+    """CRPS + exceedance of the two-stage hurdle's mixed predictive over the
+    FULL test set: gate probability from the classifier, amount head predicted
+    at every test point (its density conditioned on 'on'), combined by
+    metrics.sample_hurdle_predictive. The proper-scoring companion of
+    _hurdle_nlpd."""
+
+    def predict(X):
+        fm, fv = model.predict_f(X)
+        return {"fmean": fm, "fvar": fv}
+
+    pred = predict_batched(predict, split.Xtest)
+    head, head_kw = _amount_head_kw(model.likelihood)
+    samples = metrics.sample_hurdle_predictive(
+        pfmean_test, pred["fmean"], pred["fvar"],
+        head=head, num_samples=256, seed=0, **head_kw,
+    )
+    return {
+        "test_crps": metrics.crps_from_samples(samples, split.Ytest),
+        "test_exceedance": metrics.exceedance_summary(samples, split.Ytest),
+    }
 
 
 def _eval_hurdle(
@@ -783,6 +841,18 @@ def run_hurdle_joint(
     return results
 
 
+def _amount_head_kw(lik):
+    """(head_name, sampler kwargs) of an amount likelihood, for
+    metrics.sample_hurdle_predictive."""
+    from ..likelihoods import Gamma, LogNormal
+
+    if isinstance(lik, LogNormal):
+        return "lognormal", {"noise_var": float(np.asarray(lik.variance.value))}
+    if isinstance(lik, Gamma):
+        return "gamma", {"shape": float(np.asarray(lik.shape.value))}
+    return "gaussian", {"noise_var": float(np.asarray(lik.variance.value))}
+
+
 def _amount_ymean(lik, fmean, fvar):
     """y-scale predictive mean of the amount head (numpy float64 — see
     metrics.lognormal_mean_var for why eval-side moments avoid float32)."""
@@ -848,6 +918,16 @@ def _hurdlej_metrics(model, pred_train: dict, pred_test: dict, split: Split, log
             fm, fv, y[pos], noise_var=float(np.asarray(lik.variance.value))
         )
 
+    # proper scores on the mixed predictive (exact atom at 0 + amount head):
+    # CRPS + exceedance via host float64 draws (seeded — deterministic)
+    head, head_kw = _amount_head_kw(lik)
+    samples = metrics.sample_hurdle_predictive(
+        pred_test["p_on"], pred_test["fmean"], pred_test["fvar"],
+        head=head, num_samples=256, seed=0, **head_kw,
+    )
+    test_crps = metrics.crps_from_samples(samples, split.Ytest)
+    test_exceedance = metrics.exceedance_summary(samples, split.Ytest)
+
     results = {
         "pred_train": pred_train,
         "pred_test": pred_test,
@@ -857,6 +937,8 @@ def _hurdlej_metrics(model, pred_train: dict, pred_test: dict, split: Split, log
         "test_hurdle_prob_rmse": metrics.rmse(pred_test["comb_prob"], split.Ytest),
         "test_hurdle_prob_mae": metrics.mae(pred_test["comb_prob"], split.Ytest),
         "test_hurdle_nlpd": metrics.hurdle_nlpd(pred_test["p_on"], cond, y),
+        "test_crps": test_crps,
+        "test_exceedance": test_exceedance,
         "test_gate_accuracy": metrics.accuracy(
             pred_test["p_on"], binarize_targets(split.Ytest)
         ),

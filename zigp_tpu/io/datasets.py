@@ -65,6 +65,46 @@ def make_cv_splits(
     return splits
 
 
+def make_forecast_splits(
+    data: Split,
+    n_origins: int = 5,
+    *,
+    horizon_frac: float = 0.1,
+    start_frac: float = 0.5,
+    time_scale: float = 1000.0,
+) -> List[Split]:
+    """Rolling-origin temporal-extrapolation splits: fold k trains on every
+    point strictly before its origin time and tests on the following window
+    of ``horizon_frac`` of the time range — a true FORECAST protocol (past →
+    future), unlike the reference's random KFold (scripts/create_cvsplits.py),
+    whose test points are interpolated between observed times.
+
+    With the defaults the 5 origins sit at 50/60/70/80/90 % of the time range,
+    the windows tile its second half, and the training set expands with each
+    origin (the standard rolling-origin evaluation design). Time is rescaled
+    ÷1000 to match ``make_cv_splits``.
+    """
+    Xraw = np.concatenate([data.Xtrain, data.Xtest]).copy()
+    Yraw = np.concatenate([data.Ytrain, data.Ytest])
+    Xraw[:, 2] = Xraw[:, 2] / time_scale
+    t = Xraw[:, 2]
+    lo, hi = float(t.min()), float(t.max())
+    span = hi - lo
+    splits = []
+    for k in range(n_origins):
+        t0 = lo + (start_frac + k * horizon_frac) * span
+        t1 = t0 + horizon_frac * span
+        train = t < t0
+        test = (t >= t0) & ((t < t1) if k < n_origins - 1 else (t <= hi))
+        if not train.any() or not test.any():
+            raise ValueError(
+                f"forecast origin {k}: empty train ({train.sum()}) or test "
+                f"({test.sum()}) window — check start_frac/horizon_frac"
+            )
+        splits.append(Split(Xraw[train], Yraw[train], Xraw[test], Yraw[test]))
+    return splits
+
+
 def kron_inducing_init(
     Xtrain: np.ndarray,
     num_spatial: int = 10,

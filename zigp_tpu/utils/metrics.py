@@ -174,6 +174,207 @@ def gaussian_nlpd_pointwise(mean, var, actual, *, noise_var: float = 0.0) -> np.
     return 0.5 * np.log(2.0 * np.pi * var) + 0.5 * (y - mean) ** 2 / var
 
 
+# --- CRPS (continuous ranked probability score) -----------------------------
+#
+# A strictly proper scoring rule on the FULL predictive distribution —
+# standard in precipitation forecasting, where the predictive is mixed
+# (mass at zero + a right-skewed density). The reference reports clipped
+# point metrics only (scripts/onoff.py:471-481); CRPS is what its intended
+# application domain actually scores models with.
+
+
+def crps_gaussian_pointwise(mean, var, actual, *, noise_var: float = 0.0) -> np.ndarray:
+    """Per-point CRPS of the Gaussian predictive N(mean, var + noise_var):
+    the Gneiting-Raftery closed form σ·[z(2Φ(z)−1) + 2φ(z) − 1/√π]."""
+    from scipy.special import ndtr
+
+    mu = np.asarray(mean, dtype=np.float64).reshape(-1)
+    s2 = np.asarray(var, dtype=np.float64).reshape(-1) + float(noise_var)
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    s = np.sqrt(np.maximum(s2, 0.0))
+    out = np.abs(y - mu)  # σ → 0 limit: a point mass at mu
+    ok = s > 0
+    z = (y[ok] - mu[ok]) / s[ok]
+    phi = np.exp(-0.5 * z**2) / np.sqrt(2.0 * np.pi)
+    out[ok] = s[ok] * (z * (2.0 * ndtr(z) - 1.0) + 2.0 * phi - 1.0 / np.sqrt(np.pi))
+    return out
+
+
+def crps_gaussian(mean, var, actual, *, noise_var: float = 0.0) -> float:
+    """Mean of ``crps_gaussian_pointwise``."""
+    return float(np.mean(crps_gaussian_pointwise(mean, var, actual, noise_var=noise_var)))
+
+
+def crps_from_samples_pointwise(samples, actual) -> np.ndarray:
+    """Per-point CRPS from predictive draws, (S, N) or (S, N, 1) → (N,).
+
+    The *fair* (unbiased-in-expectation) estimator
+    CRPS ≈ (1/S)Σₛ|xₛ−y| − (1/(2S(S−1)))Σ_{s≠t}|xₛ−xₜ|, with the pairwise
+    term computed in O(S log S) per point via the sorted-sample identity
+    Σ_{s<t}(x₍ₜ₎−x₍ₛ₎) = Σₖ(2k−S+1)·x₍ₖ₎ (k 0-indexed ascending). Works for
+    ANY predictive a model can sample — the gated on/off predictive and the
+    hurdle's mixed zero-atom measure included."""
+    x = np.asarray(samples, dtype=np.float64)
+    x = x.reshape(x.shape[0], -1)  # (S, N)
+    S = x.shape[0]
+    if S < 2:
+        raise ValueError("crps_from_samples needs at least 2 samples")
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    term1 = np.mean(np.abs(x - y[None, :]), axis=0)
+    xs = np.sort(x, axis=0)
+    k = np.arange(S, dtype=np.float64)
+    pair_sum = np.sum((2.0 * k - S + 1.0)[:, None] * xs, axis=0)
+    term2 = pair_sum / (S * (S - 1.0))
+    return term1 - term2
+
+
+def crps_from_samples(samples, actual) -> float:
+    """Mean of ``crps_from_samples_pointwise``."""
+    return float(np.mean(crps_from_samples_pointwise(samples, actual)))
+
+
+# --- host-side predictive samplers (numpy float64) ---------------------------
+#
+# Eval-side mirrors of the models' device samplers (models/onoff.py:
+# gated_y_samples, models/kron.py:KronHurdleSVGP.predict_y_samples), run in
+# numpy float64 on the host where the metric blocks already live: CRPS /
+# exceedance need hundreds of draws per test point and float64 tails.
+
+
+def sample_gated_predictive(
+    pred: dict, *, noise_var: float, num_samples: int = 256, seed: int = 0
+) -> np.ndarray:
+    """(S, N) draws of the on/off model's gated predictive
+    y* = Φ(g*)·f* + ε from an OnOffPrediction dict's marginal moments
+    (keys fmean/fvar/gmean/gvar — what ``KronOnOffSVGP.predict`` returns)."""
+    from scipy.special import ndtr
+
+    rng = np.random.RandomState(seed)
+    fm = np.asarray(pred["fmean"], dtype=np.float64).reshape(-1)
+    fv = np.maximum(np.asarray(pred["fvar"], dtype=np.float64).reshape(-1), 0.0)
+    gm = np.asarray(pred["gmean"], dtype=np.float64).reshape(-1)
+    gv = np.maximum(np.asarray(pred["gvar"], dtype=np.float64).reshape(-1), 0.0)
+    n = fm.shape[0]
+    f = fm[None] + np.sqrt(fv)[None] * rng.randn(num_samples, n)
+    g = gm[None] + np.sqrt(gv)[None] * rng.randn(num_samples, n)
+    eps = rng.randn(num_samples, n)
+    return ndtr(g) * f + np.sqrt(float(noise_var)) * eps
+
+
+def sample_gated_mixture(
+    member_preds, *, noise_var: float, num_samples: int = 256, seed: int = 0
+) -> np.ndarray:
+    """(S, N) iid draws from a uniform MIXTURE of gated predictives (seed
+    ensembles): each draw picks a member uniformly, then samples its gated
+    predictive. The mixture of Φ(g)·f predictives has no single (f, g)
+    moment-pair representation, so moment matching (the mixers' approach for
+    the point metrics) cannot feed ``sample_gated_predictive`` — this samples
+    the mixture exactly instead."""
+    rng = np.random.RandomState(seed)
+    E = len(member_preds)
+    n = np.asarray(member_preds[0]["fmean"]).reshape(-1).shape[0]
+    idx = rng.randint(E, size=num_samples)
+    out = np.empty((num_samples, n), dtype=np.float64)
+    for e, pred in enumerate(member_preds):
+        rows = np.flatnonzero(idx == e)
+        if rows.size:
+            out[rows] = sample_gated_predictive(
+                pred, noise_var=noise_var, num_samples=rows.size, seed=seed + 1 + e
+            )
+    return out
+
+
+def sample_hurdle_predictive(
+    p_on,
+    fmean,
+    fvar,
+    *,
+    head: str,
+    num_samples: int = 256,
+    seed: int = 0,
+    noise_var: float | None = None,
+    shape: float | None = None,
+) -> np.ndarray:
+    """(S, N) draws of the hurdle's mixed predictive: an exact atom at y = 0
+    with probability 1−p_on, else an amount draw from the head's
+    latent-marginal predictive (``head`` ∈ gaussian/lognormal/gamma, matching
+    ``likelihoods.{Gaussian,LogNormal,Gamma}.sample_y`` semantics)."""
+    rng = np.random.RandomState(seed)
+    p = np.asarray(p_on, dtype=np.float64).reshape(-1)
+    mu = np.asarray(fmean, dtype=np.float64).reshape(-1)
+    v = np.maximum(np.asarray(fvar, dtype=np.float64).reshape(-1), 0.0)
+    n = mu.shape[0]
+    if head in ("gaussian", "lognormal"):
+        # y|f ~ N(f, σ²) (or log y|f): the latent marginal collapses to one
+        # Gaussian with variance fvar + σ²
+        s2 = v + float(noise_var)
+        z = mu[None] + np.sqrt(s2)[None] * rng.randn(num_samples, n)
+        amount = np.exp(z) if head == "lognormal" else z
+    elif head == "gamma":
+        a = float(shape)
+        f = mu[None] + np.sqrt(v)[None] * rng.randn(num_samples, n)
+        amount = rng.standard_gamma(a, size=(num_samples, n)) * np.exp(f) / a
+    else:
+        raise ValueError(f"unknown amount head: {head!r}")
+    on = rng.rand(num_samples, n) < p[None]
+    return np.where(on, amount, 0.0)
+
+
+# --- exceedance probabilities P(y > τ) ---------------------------------------
+
+
+def brier(prob, actual_binary) -> float:
+    """Brier score (mean squared error of the event probability) — a proper
+    score for the exceedance forecast P(y > τ)."""
+    p = np.asarray(prob, dtype=np.float64).reshape(-1)
+    o = np.asarray(actual_binary, dtype=np.float64).reshape(-1)
+    return float(np.mean((p - o) ** 2))
+
+
+def exceedance_summary(samples, actual, thresholds=(0.1, 1.0, 5.0)) -> dict:
+    """Per-threshold exceedance forecast quality from predictive draws:
+    p̂ᵢ(τ) = mean(xᵢₛ > τ) scored with the Brier score and rank AUC against
+    the observed event 1[yᵢ > τ], plus the event base rate. The applied
+    deliverable of a precipitation model — 'probability of more than τ mm' —
+    which point predictions cannot express."""
+    x = np.asarray(samples, dtype=np.float64)
+    x = x.reshape(x.shape[0], -1)
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    out = {}
+    for tau in thresholds:
+        p_hat = np.mean(x > float(tau), axis=0)
+        event = (y > float(tau)).astype(np.float64)
+        out[str(tau)] = {
+            "brier": brier(p_hat, event),
+            "auc": roc_auc(p_hat, event.astype(np.int64)),
+            "base_rate": float(np.mean(event)),
+        }
+    return out
+
+
+def exceedance_summary_gaussian(
+    mean, var, actual, thresholds=(0.1, 1.0, 5.0), *, noise_var: float = 0.0
+) -> dict:
+    """``exceedance_summary`` with the Gaussian predictive's exact tail
+    P(y > τ) = Φ̄((τ − μ)/σ) instead of sample counts."""
+    from scipy.special import ndtr
+
+    mu = np.asarray(mean, dtype=np.float64).reshape(-1)
+    s2 = np.asarray(var, dtype=np.float64).reshape(-1) + float(noise_var)
+    s = np.sqrt(np.maximum(s2, 1e-12))
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    out = {}
+    for tau in thresholds:
+        p_hat = ndtr((mu - float(tau)) / s)
+        event = (y > float(tau)).astype(np.float64)
+        out[str(tau)] = {
+            "brier": brier(p_hat, event),
+            "auc": roc_auc(p_hat, event.astype(np.int64)),
+            "base_rate": float(np.mean(event)),
+        }
+    return out
+
+
 def hurdle_nlpd(p_on, cond_nlpd_pos, actual, *, eps: float = 1e-6) -> float:
     """Mean NLPD of the hurdle's mixed discrete–continuous predictive:
     an atom 1−p at y = 0 and density p·q(y | on) on y > 0, i.e.
