@@ -1,8 +1,10 @@
 """Multi-host scaffolding (VERDICT r2 #7): single-host behavior is exercised
-unconditionally; the real multi-process CPU smoke test is env-guarded
-(ZIGP_MULTIHOST_SMOKE=1) because it spawns coordinated subprocesses."""
+unconditionally, and the 2-process CPU distributed smoke runs in the DEFAULT
+suite (VERDICT r3 #7 — no magic env var): it needs no TPU, binds a free
+port, and budgets seconds."""
 
 import os
+import socket
 import subprocess
 import sys
 import textwrap
@@ -37,48 +39,65 @@ def test_multihost_mesh_rejects_model_axis_crossing_hosts(monkeypatch):
 _SMOKE = textwrap.dedent(
     """
     import sys
+    import numpy as np
     import jax
     jax.config.update("jax_platforms", "cpu")
     from zigp_tpu.parallel.distributed import initialize, make_multihost_mesh
 
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
-    assert initialize("localhost:12973", nproc, pid) is True
+    port = sys.argv[3]
+    assert initialize(f"localhost:{port}", nproc, pid) is True
     assert jax.process_count() == nproc
     mesh = make_multihost_mesh()
-    assert mesh.shape["data"] == nproc * jax.local_device_count()
+    n_dev = nproc * jax.local_device_count()
+    assert mesh.shape["data"] == n_dev
 
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
 
-    # one global psum across both processes' devices
-    x = jnp.ones((8,))
-    y = jax.jit(
-        lambda v: jax.lax.psum(v, "data"),
-        in_shardings=NamedSharding(mesh, P("data")),
-        out_shardings=NamedSharding(mesh, P()),
+    # one REAL global psum across both processes' devices: each process
+    # contributes its local half of a global ones vector; every device must
+    # see the full-axis sum n_dev.
+    sh = NamedSharding(mesh, P("data"))
+    local = np.ones((2 * jax.local_device_count(),), np.float32)
+    x = jax.make_array_from_process_local_data(
+        sh, local, global_shape=(2 * n_dev,)
     )
-    print("SMOKE-OK", pid)
+    f = jax.jit(
+        shard_map(
+            lambda v: jax.lax.psum(v, "data"),
+            mesh=mesh, in_specs=P("data"), out_specs=P(),
+        )
+    )
+    out = np.asarray(f(x).addressable_data(0))
+    assert out.shape == (2,) and np.allclose(out, n_dev), out
+    print("SMOKE-OK", pid, float(out[0]))
     """
 )
 
 
-@pytest.mark.skipif(
-    not os.environ.get("ZIGP_MULTIHOST_SMOKE"),
-    reason="multi-process CPU smoke test: set ZIGP_MULTIHOST_SMOKE=1",
-)
 def test_two_process_cpu_smoke(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _SMOKE, str(pid), "2"],
+            [sys.executable, "-c", _SMOKE, str(pid), "2", str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=180)[0].decode() for p in procs]
+    try:
+        outs = [p.communicate(timeout=180)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"SMOKE-OK {pid}" in out

@@ -121,8 +121,11 @@ def _common(p):
                         "three-factor lat⊗lon⊗time decomposition (axis-wise "
                         "linspace knots; not expressible in the reference)")
     p.add_argument("--preset", type=str, default="reference",
-                   choices=("reference", "best"),
-                   help="reference = the paper's config; best = RESULTS.md ablated config")
+                   choices=("reference", "reference-stable", "best"),
+                   help="reference = the paper's config (unwhitened — svgp/"
+                        "hurdle fold 3 diverges, RESULTS.md); reference-stable"
+                        " = same config with whiten=True only; best = "
+                        "RESULTS.md ablated config")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint in the workdir and continue")
     p.add_argument("--sampler", type=str, default=None,
@@ -252,6 +255,13 @@ def main(argv=None):
     p_cv.add_argument("--out", type=str, default="runs/cv")
     p_cv.add_argument("--data", type=str, default=None)
 
+    sub.add_parser(
+        "selfcheck",
+        help="on-device numerics self-check: Pallas kernels + f32 ELBO vs "
+             "CPU-f64 oracles, Pallas-vs-XLA scanned step (seconds; run "
+             "after any kernel/jaxlib change)",
+    )
+
     for name in ("onoff", "svgp", "classifier", "hurdle", "zi"):
         p_var = sub.add_parser(name)
         _common(p_var)
@@ -336,10 +346,13 @@ def main(argv=None):
                       help="steps per dispatch for every variant (see the "
                            "per-fold commands)")
     p_cv.add_argument("--preset", type=str, default="reference",
-                      choices=("reference", "best"),
-                      help="reference = the paper's per-variant configs; best "
-                           "= the RESULTS.md tuned/champion configs (onoff "
-                           "champion preset, tuned svgp/classifier)")
+                      choices=("reference", "reference-stable", "best"),
+                      help="reference = the paper's per-variant configs "
+                           "(unwhitened — svgp/hurdle fold 3 diverges, "
+                           "RESULTS.md); reference-stable = same configs with "
+                           "whiten=True only; best = the RESULTS.md tuned/"
+                           "champion configs (onoff champion preset, tuned "
+                           "svgp/classifier)")
     p_cv.add_argument("--solve-precision", type=str, default=None,
                       dest="solve_precision",
                       choices=("highest", "high", "mixed"),
@@ -425,6 +438,12 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    if args.cmd == "selfcheck":
+        from .selfcheck import run_selfcheck
+
+        run_selfcheck()
+        return 0
+
     if args.cmd == "toy":
         from .configs import ToyOnOffConfig
         from .toy import run_toy
@@ -453,14 +472,6 @@ def main(argv=None):
         return 0
 
     if args.cmd == "cv":
-        from .configs import (
-            ClassifierPptrConfig,
-            OnOffPptrConfig,
-            SvgpPptrConfig,
-            best_onoff_config,
-            tuned_classifier_config,
-            tuned_svgp_config,
-        )
         from .cv import run_cv
 
         def _ckw(cfg):
@@ -515,11 +526,28 @@ def main(argv=None):
 
             linalg.set_solve_precision(args.solve_precision)
             log(f"solve precision: {args.solve_precision}")
-        best = args.preset == "best"
-        base_onoff = best_onoff_config() if best else OnOffPptrConfig()
-        base_svgp = tuned_svgp_config() if best else SvgpPptrConfig()
-        base_clf = tuned_classifier_config() if best else ClassifierPptrConfig()
+        from .configs import REFERENCE_PRESET_WARNING, preset_configs
+
+        bases = preset_configs(args.preset)
+        base_onoff, base_svgp, base_clf = (
+            bases["onoff"], bases["svgp"], bases["classifier"]
+        )
         variants = [m.strip() for m in args.models.split(",") if m.strip()]
+        if (
+            args.preset == "reference"
+            and {"svgp", "hurdle"} & set(variants)
+            and not args.whiten
+        ):
+            log(REFERENCE_PRESET_WARNING)
+        if args.split == "forecast" and args.batched:
+            # Rolling origins have ragged train sizes and per-fold num_data (a
+            # static pytree field) — the batched stack's stack_pytrees would
+            # fail mid-run with a confusing treedef/shape error (ADVICE r3).
+            raise SystemExit(
+                "error: --split forecast is not supported with --batched "
+                "(rolling origins have unequal train sizes; the stacked "
+                "trainer needs equal-shape folds) — drop --batched"
+            )
         if args.split == "forecast":
             splits = make_forecast_splits(
                 load_pptr(args.data), args.origins,
@@ -539,10 +567,8 @@ def main(argv=None):
             workdir=args.workdir,
             log_fn=log,
         )
-        from .configs import HurdleJointConfig
-
         kwargs["hurdlej_cfg"] = _ckw(
-            dataclasses.replace(HurdleJointConfig(), log_every=0)
+            dataclasses.replace(bases["hurdlej"], log_every=0)
         )
         if args.batched:
             from .cv_batched import run_cv_batched
@@ -631,73 +657,44 @@ def main(argv=None):
                 kw[mk] = getattr(args, mk)
         return dataclasses.replace(cfg, **kw)
 
-    best = getattr(args, "preset", "reference") == "best"
+    from .configs import REFERENCE_PRESET_WARNING, preset_configs
+
+    _preset = getattr(args, "preset", "reference")
+    _bases = preset_configs(_preset)
+    if (
+        _preset == "reference"
+        and args.cmd in ("svgp", "hurdle")
+        and not getattr(args, "whiten", False)
+        and not (args.cmd == "hurdle" and getattr(args, "joint", False))
+    ):
+        log(REFERENCE_PRESET_WARNING)
     if args.cmd == "ensemble":
-        from .configs import (
-            ClassifierPptrConfig,
-            OnOffPptrConfig,
-            SvgpPptrConfig,
-            best_onoff_config,
-            tuned_classifier_config,
-            tuned_svgp_config,
-        )
         from .configs import HurdleJointConfig
         from .ensemble import run_ensemble
 
-        cfg = {
-            "onoff": best_onoff_config() if best else OnOffPptrConfig(),
-            "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
-            "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
-            "hurdlej": HurdleJointConfig(),
-        }[args.model]
+        cfg = _bases[args.model]
         run_ensemble(
             split, args.model, _cfgkw(cfg), size=args.size,
             workdir=workdir, log_fn=log,
         )
         return 0
     if args.cmd == "predict":
-        from .configs import (
-            ClassifierPptrConfig,
-            OnOffPptrConfig,
-            SvgpPptrConfig,
-            best_onoff_config,
-            tuned_classifier_config,
-            tuned_svgp_config,
-        )
         from .runners import run_predict
 
         from .configs import HurdleJointConfig
 
-        cfg = {
-            "onoff": best_onoff_config() if best else OnOffPptrConfig(),
-            "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
-            "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
-            "hurdlej": HurdleJointConfig(),
-        }[args.model]
+        cfg = _bases[args.model]
         run_predict(
             split, args.model, _cfgkw(cfg), workdir=workdir, log_fn=log,
             samples=args.samples,
         )
         return 0
     if args.cmd == "export":
-        from .configs import (
-            ClassifierPptrConfig,
-            OnOffPptrConfig,
-            SvgpPptrConfig,
-            best_onoff_config,
-            tuned_classifier_config,
-            tuned_svgp_config,
-        )
         from .runners import run_export
 
         from .configs import HurdleJointConfig
 
-        cfg = {
-            "onoff": best_onoff_config() if best else OnOffPptrConfig(),
-            "svgp": tuned_svgp_config() if best else SvgpPptrConfig(),
-            "classifier": tuned_classifier_config() if best else ClassifierPptrConfig(),
-            "hurdlej": HurdleJointConfig(),
-        }[args.model]
+        cfg = _bases[args.model]
         out = run_export(
             split, args.model, _cfgkw(cfg), workdir=workdir,
             out=args.out, batch_size=args.fixed_batch, log_fn=log,
@@ -705,30 +702,26 @@ def main(argv=None):
         print(f"artifact: {out}")
         return 0
     if args.cmd == "onoff":
-        from .configs import OnOffPptrConfig, best_onoff_config
         from .runners import run_onoff
 
-        cfg = best_onoff_config() if best else OnOffPptrConfig()
+        cfg = _bases["onoff"]
         run_onoff(split, _cfgkw(cfg), workdir=workdir, log_fn=log, resume=args.resume)
     elif args.cmd == "svgp":
-        from .configs import SvgpPptrConfig, tuned_svgp_config
         from .runners import run_svgp
 
-        cfg = tuned_svgp_config() if best else SvgpPptrConfig()
+        cfg = _bases["svgp"]
         run_svgp(split, _cfgkw(cfg), workdir=workdir, log_fn=log, resume=args.resume)
     elif args.cmd == "classifier":
-        from .configs import ClassifierPptrConfig, tuned_classifier_config
         from .runners import run_classifier
 
-        cfg = tuned_classifier_config() if best else ClassifierPptrConfig()
+        cfg = _bases["classifier"]
         run_classifier(split, _cfgkw(cfg), workdir=workdir, log_fn=log, resume=args.resume)
     elif args.cmd == "hurdle":
         if getattr(args, "joint", False):
-            from .configs import HurdleJointConfig
             from .runners import run_hurdle_joint
 
             run_hurdle_joint(
-                split, _cfgkw(HurdleJointConfig()), workdir=workdir,
+                split, _cfgkw(_bases["hurdlej"]), workdir=workdir,
                 log_fn=log, resume=args.resume,
             )
         else:

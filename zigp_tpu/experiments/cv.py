@@ -17,8 +17,47 @@ from .runners import run_classifier, run_hurdle, run_onoff, run_svgp, run_zero_i
 
 
 def _agg(values: List[float]) -> Dict[str, float]:
+    """NaN-aware fold aggregate: exceedance AUC is undefined (NaN) on folds
+    where a threshold sees a single class (e.g. no events above 5.0 mm in a
+    short forecast window, ADVICE r3) — such folds are excluded from
+    mean/std but kept in ``folds`` so the list stays one-entry-per-fold."""
     a = np.asarray(values, dtype=np.float64)
-    return {"mean": float(a.mean()), "std": float(a.std()), "folds": [float(v) for v in a]}
+    finite = a[np.isfinite(a)]
+    mean = float(finite.mean()) if finite.size else float("nan")
+    std = float(finite.std()) if finite.size else float("nan")
+    out = {"mean": mean, "std": std, "folds": [float(v) for v in a]}
+    if finite.size != a.size:
+        out["n_finite"] = int(finite.size)
+    return out
+
+
+def aggregate_summary(
+    summary: Dict[str, Dict[str, List[float]]],
+    workdir: Optional[str],
+    log_fn: Callable[[str], None],
+) -> dict:
+    """Fold-lists → {mean, std, folds} aggregates + cv_summary.json + log.
+
+    Metrics that are NaN on EVERY fold (a threshold degenerate across the
+    whole protocol) are dropped rather than reported as NaN aggregates.
+    Shared by the sequential (run_cv) and batched (run_cv_batched) drivers.
+    """
+    aggregates = {
+        model: {
+            metric: _agg(vals)
+            for metric, vals in metrics.items()
+            if np.isfinite(vals).any()
+        }
+        for model, metrics in summary.items()
+    }
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+        with open(os.path.join(workdir, "cv_summary.json"), "w") as f:
+            json.dump(aggregates, f, indent=2)
+    for model, metrics in aggregates.items():
+        for metric, agg in metrics.items():
+            log_fn(f"{model}.{metric}: {agg['mean']:.4f} ± {agg['std']:.4f}")
+    return aggregates
 
 
 def _record_exceedance(record, model: str, res: dict):
@@ -86,8 +125,9 @@ def run_cv(
             _abort_if_interrupted(res, "onoff", k)
             record("onoff", "test_rmse", res["test_rmse"])
             record("onoff", "test_mae", res["test_mae"])
-            record("onoff", "test_crps", res["test_crps"])
-            _record_exceedance(record, "onoff", res)
+            if "test_crps" in res:
+                record("onoff", "test_crps", res["test_crps"])
+                _record_exceedance(record, "onoff", res)
             record("onoff", "steps_per_sec", res["steps_per_sec"])
         if "hurdle" in models:
             res = run_hurdle(split, clf, svgp_cfg, workdir=fold_dir, log_fn=log_fn)
@@ -95,8 +135,9 @@ def run_cv(
             record("hurdle", "test_rmse", res["test_hurdle_comb_rmse"])
             record("hurdle", "test_mae", res["test_hurdle_comb_mae"])
             record("hurdle", "test_nlpd", res["test_hurdle_nlpd"])
-            record("hurdle", "test_crps", res["test_crps"])
-            _record_exceedance(record, "hurdle", res)
+            if "test_crps" in res:
+                record("hurdle", "test_crps", res["test_crps"])
+                _record_exceedance(record, "hurdle", res)
         if "hurdlej" in models:
             from .runners import run_hurdle_joint
 
@@ -105,8 +146,9 @@ def run_cv(
             record("hurdlej", "test_rmse", res["test_hurdle_comb_rmse"])
             record("hurdlej", "test_mae", res["test_hurdle_comb_mae"])
             record("hurdlej", "test_nlpd", res["test_hurdle_nlpd"])
-            record("hurdlej", "test_crps", res["test_crps"])
-            _record_exceedance(record, "hurdlej", res)
+            if "test_crps" in res:
+                record("hurdlej", "test_crps", res["test_crps"])
+                _record_exceedance(record, "hurdlej", res)
             record("hurdlej", "test_gate_auc", res["test_gate_auc"])
             record("hurdlej", "steps_per_sec", res["steps_per_sec"])
         if "zi" in models:
@@ -116,15 +158,4 @@ def run_cv(
             record("zi", "test_rmse_indc", res["test_zi_indc_reg_rmse"])
             record("zi", "test_mae_indc", res["test_zi_indc_reg_mae"])
 
-    aggregates = {
-        model: {metric: _agg(vals) for metric, vals in metrics.items()}
-        for model, metrics in summary.items()
-    }
-    if workdir:
-        os.makedirs(workdir, exist_ok=True)
-        with open(os.path.join(workdir, "cv_summary.json"), "w") as f:
-            json.dump(aggregates, f, indent=2)
-    for model, metrics in aggregates.items():
-        for metric, agg in metrics.items():
-            log_fn(f"{model}.{metric}: {agg['mean']:.4f} ± {agg['std']:.4f}")
-    return aggregates
+    return aggregate_summary(summary, workdir, log_fn)

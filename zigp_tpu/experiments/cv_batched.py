@@ -33,7 +33,6 @@ monitor/histogram callbacks (use the sequential driver for those).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Callable, Dict, List, Optional
 
@@ -53,7 +52,7 @@ from .builders import (
     build_svgp_pptr,
 )
 from .configs import ClassifierPptrConfig, OnOffPptrConfig, SvgpPptrConfig
-from .cv import _record_exceedance
+from .cv import _record_exceedance, aggregate_summary
 from .runners import (
     _classifier_metrics,
     _eval_hurdle,
@@ -84,11 +83,6 @@ def _stacked_predict(models: list, predict_fn, Xs_list: list) -> List[dict]:
     return [
         {k: v[: lens[f]] for k, v in p.items()} for f, p in enumerate(preds)
     ]
-
-
-def _agg(values: List[float]) -> Dict[str, float]:
-    a = np.asarray(values, dtype=np.float64)
-    return {"mean": float(a.mean()), "std": float(a.std()), "folds": [float(v) for v in a]}
 
 
 def _train_stack(
@@ -554,15 +548,4 @@ def run_cv_batched(
             record("zi", "test_rmse_indc", out["test_zi_indc_reg_rmse"])
             record("zi", "test_mae_indc", out["test_zi_indc_reg_mae"])
 
-    aggregates = {
-        model: {metric: _agg(vals) for metric, vals in metrics.items()}
-        for model, metrics in summary.items()
-    }
-    if workdir:
-        os.makedirs(workdir, exist_ok=True)
-        with open(os.path.join(workdir, "cv_summary.json"), "w") as f:
-            json.dump(aggregates, f, indent=2)
-    for model, metrics in aggregates.items():
-        for metric, agg in metrics.items():
-            log_fn(f"{model}.{metric}: {agg['mean']:.4f} ± {agg['std']:.4f}")
-    return aggregates
+    return aggregate_summary(summary, workdir, log_fn)

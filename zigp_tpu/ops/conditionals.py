@@ -59,7 +59,7 @@ def conditional(
     if not whiten:
         A = linalg.tri_solve(Lm.T, A, lower=False)
 
-    fmean = A.T @ f  # (N, L)
+    fmean = linalg.bdot(A.T, f)  # (N, L)
     L_latent = f.shape[1]
 
     if full_cov:
@@ -72,11 +72,13 @@ def conditional(
             LTA = A[None] * q_sqrt.T[:, :, None]  # (L, M, N)
         elif q_sqrt.ndim == 3:
             Lq = jnp.tril(jnp.transpose(q_sqrt, (2, 0, 1)))  # (L, M, M)
-            LTA = jnp.einsum("lmk,mn->lkn", Lq, A)  # Lqᵀ A per latent
+            LTA = jnp.einsum("lmk,mn->lkn", Lq, A,
+                             precision=linalg.bulk_precision())  # Lqᵀ A per latent
         else:
             raise ValueError(f"Bad q_sqrt ndim: {q_sqrt.ndim}")
         if full_cov:
-            fvar = fvar + jnp.einsum("lmn,lmk->lnk", LTA, LTA)
+            fvar = fvar + jnp.einsum("lmn,lmk->lnk", LTA, LTA,
+                                     precision=linalg.bulk_precision())
         else:
             fvar = fvar + jnp.sum(jnp.square(LTA), axis=1)
 
@@ -239,9 +241,11 @@ def _factored_contract(
     t = w.reshape(tuple(sizes))  # (M_1, ..., M_P)
     for p, F in enumerate(factors):
         if p == 0:
-            t = jnp.einsum("i...,ib->b...", t, F)
+            t = jnp.einsum("i...,ib->b...", t, F,
+                           precision=linalg.bulk_precision())
         else:
-            t = jnp.einsum("bi...,ib->b...", t, F)
+            t = jnp.einsum("bi...,ib->b...", t, F,
+                           precision=linalg.bulk_precision())
     return t  # (B,)
 
 
@@ -255,7 +259,9 @@ def _factored_contract_pair(
     t = w.reshape(tuple(sizes))
     for p, F in enumerate(factors):
         if p == 0:
-            t = jnp.einsum("i...,ib,ic->bc...", t, F, F)
+            t = jnp.einsum("i...,ib,ic->bc...", t, F, F,
+                           precision=linalg.bulk_precision())
         else:
-            t = jnp.einsum("bci...,ib,ic->bc...", t, F, F)
+            t = jnp.einsum("bci...,ib,ic->bc...", t, F, F,
+                           precision=linalg.bulk_precision())
     return t  # (B, B)

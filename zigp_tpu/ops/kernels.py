@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.parameters import Parameter, positive_param
+from . import linalg
 
 
 def _on_tpu() -> bool:
@@ -328,8 +329,10 @@ class Linear:
     def K(self, X, X2=None):
         X = self._slice(X)
         X2 = X if X2 is None else self._slice(X2)
-        return jnp.einsum("nd,d,md->nm", X, self.variances.value, X2)
+        return jnp.einsum("nd,d,md->nm", X, self.variances.value, X2,
+                          precision=linalg.bulk_precision())
 
     def Kdiag(self, X):
         X = self._slice(X)
-        return jnp.einsum("nd,d,nd->n", X, self.variances.value, X)
+        return jnp.einsum("nd,d,nd->n", X, self.variances.value, X,
+                          precision=linalg.bulk_precision())

@@ -105,6 +105,16 @@ def bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(a, b, precision=_BULK_PRECISION)
 
 
+def bulk_precision():
+    """The bulk-class matmul precision, read at trace time — pass as the
+    ``precision=`` of einsums that belong to the batch-scaled contraction
+    class (same policy as ``bdot``). NEVER leave such einsums at the TPU
+    default: bf16 products in the factored mean contraction turn the
+    unwhitened α-cancellation into O(100) mean errors at the production
+    gram conditioning (found by `experiments selfcheck`, round 4)."""
+    return _BULK_PRECISION
+
+
 # Above this factor size the single-program Pallas kernel's sequential column
 # loop loses to alternatives (measured on v5e at the 105×250 scale config:
 # n=250 via the sequential kernel costs ~25 % of step throughput; n=100 wins

@@ -1,11 +1,15 @@
 """Pallas TPU kernels for the hot ops. All kernels run in interpret mode on
 CPU for testing (pass interpret=True).
 
-Production kernels (dispatched from ops.linalg / ops.kernels behind measured
-size gates):
+Production kernels (dispatched from ops.linalg behind measured size gates):
 
 - ``chol_inv_pallas`` / ``chol_inv_blocked`` — fused Cholesky + triangular
   inverse, the train step's solve-elimination path (linalg.chol_inv).
+
+Opt-in (``use_pallas=True`` on ops.kernels gram builds; no production path
+enables it by default — measured disposition in RESULTS.md: XLA fusion
+already absorbs the gram build at the shipped shapes):
+
 - ``rbf_gram`` — fused RBF gram build.
 
 EXPERIMENTAL (tested, not dispatched anywhere): ``small_cholesky`` /
