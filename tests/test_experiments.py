@@ -101,6 +101,13 @@ def test_classifier_svgp_hurdle_zi_pipeline(rng, tmp_path):
     # product-composite prediction is zero wherever the classifier says off
     off = (clf["pred_test"]["pfmean"] <= 0.5).reshape(-1)
     assert np.allclose(zi["pred_test_zi_indc"].reshape(-1)[off], 0.0)
+    # round 4: the Gaussian-head svgp stamps noise_variance, and zi scores
+    # its implied mixed measure (atom at 0 + Gaussian amount) properly
+    assert "noise_variance" in reg and reg["noise_variance"] > 0
+    assert np.isfinite(zi["test_crps"])
+    assert set(zi["test_exceedance"]) == {"0.1", "1.0", "5.0"}
+    for s in zi["test_exceedance"].values():
+        assert np.isfinite(s["brier"])
 
 
 def test_predict_batched_padding(rng):

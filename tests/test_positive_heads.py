@@ -296,3 +296,6 @@ def test_svgp_metrics_lognormal_extras(rng):
     assert np.isfinite(res["test_nlpd"])
     # predictive mean exceeds the median under the lognormal's right skew
     assert (res["pred_test"]["ymean"] >= res["pred_test"]["ymedian"] - 1e-12).all()
+    # round 4: positive heads report sample-based proper scores too
+    assert np.isfinite(res["test_crps"])
+    assert set(res["test_exceedance"]) == {"0.1", "1.0", "5.0"}

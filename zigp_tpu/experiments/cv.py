@@ -157,5 +157,8 @@ def run_cv(
             record("zi", "test_mae_prob", res["test_zi_prob_reg_mae"])
             record("zi", "test_rmse_indc", res["test_zi_indc_reg_rmse"])
             record("zi", "test_mae_indc", res["test_zi_indc_reg_mae"])
+            if "test_crps" in res:
+                record("zi", "test_crps", res["test_crps"])
+                _record_exceedance(record, "zi", res)
 
     return aggregate_summary(summary, workdir, log_fn)

@@ -547,5 +547,8 @@ def run_cv_batched(
             record("zi", "test_mae_prob", out["test_zi_prob_reg_mae"])
             record("zi", "test_rmse_indc", out["test_zi_indc_reg_rmse"])
             record("zi", "test_mae_indc", out["test_zi_indc_reg_mae"])
+            if "test_crps" in out:
+                record("zi", "test_crps", out["test_crps"])
+                _record_exceedance(record, "zi", out)
 
     return aggregate_summary(summary, workdir, log_fn)

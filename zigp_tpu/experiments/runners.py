@@ -555,6 +555,25 @@ def _svgp_metrics(model, pred_train: dict, pred_test: dict, split: Split, log_fn
             test_nlpd = metrics.gamma_nlpd(
                 fm, fv, ypos, shape=float(np.asarray(lik.shape.value))
             )
+        # Proper scores of the head's FULL predictive over the whole test
+        # set (zeros included — the head assigns them vanishing density, and
+        # CRPS/Brier score that honestly; NLPD above stays positives-only
+        # because the log-density at y=0 is -inf). Sample-based: 256 seeded
+        # draws/point through the same semantics as likelihoods.*.sample_y.
+        head = "lognormal" if isinstance(lik, LogNormal) else "gamma"
+        head_kw = (
+            {"noise_var": float(np.asarray(lik.variance.value))}
+            if isinstance(lik, LogNormal)
+            else {"shape": float(np.asarray(lik.shape.value))}
+        )
+        n_test = np.asarray(pred_test["fmean"]).reshape(-1).shape[0]
+        samples = metrics.sample_hurdle_predictive(
+            np.ones(n_test), pred_test["fmean"], pred_test["fvar"],
+            head=head, num_samples=256, seed=0, **head_kw,
+        )
+        extras["test_crps"] = metrics.crps_from_samples(samples, split.Ytest)
+        extras["test_exceedance"] = metrics.exceedance_summary(samples, split.Ytest)
+        extras.update(head_kw)
     else:
         test_rmse = metrics.rmse(pred_test["fmean"], split.Ytest)
         test_mae = metrics.mae(pred_test["fmean"], split.Ytest)
@@ -562,7 +581,9 @@ def _svgp_metrics(model, pred_train: dict, pred_test: dict, split: Split, log_fn
         test_nlpd = metrics.gaussian_nlpd(
             pred_test["fmean"], pred_test["fvar"], split.Ytest, noise_var=noise
         )
-        # the Gaussian predictive has closed-form CRPS and exceedance tails
+        # the Gaussian predictive has closed-form CRPS and exceedance tails;
+        # noise_var is stamped so post-hoc consumers (the zi composite's
+        # mixed-measure scores) can rebuild the predictive from the pickle
         extras = {
             "test_crps": metrics.crps_gaussian(
                 pred_test["fmean"], pred_test["fvar"], split.Ytest,
@@ -572,6 +593,7 @@ def _svgp_metrics(model, pred_train: dict, pred_test: dict, split: Split, log_fn
                 pred_test["fmean"], pred_test["fvar"], split.Ytest,
                 noise_var=noise,
             ),
+            "noise_variance": noise,
         }
     log_fn(f"test rmse: {test_rmse}")
     log_fn(f"test nlpd: {test_nlpd}")
@@ -989,6 +1011,23 @@ def run_zero_inflated(
         "train_zi_indc_reg_mae": metrics.mae(train.pred_indicator, split.Ytrain),
         "test_zi_indc_reg_mae": metrics.mae(test.pred_indicator, split.Ytest),
     }
+    if "noise_variance" in reg_results and "fvar" in reg_results["pred_test"]:
+        # Proper scores of the zi product read as the mixed measure it
+        # implies: an atom at 0 w.p. 1−p_clf, else the Gaussian-head svgp
+        # predictive — the distributional counterpart of the reference's
+        # point product p·μ (scripts/zero_inflated.py:55-63).
+        samples = metrics.sample_hurdle_predictive(
+            np.asarray(clf_results["pred_test"]["pfmean"]).reshape(-1),
+            reg_results["pred_test"]["fmean"],
+            reg_results["pred_test"]["fvar"],
+            head="gaussian",
+            noise_var=float(reg_results["noise_variance"]),
+            num_samples=256,
+            seed=0,
+        )
+        results["test_crps"] = metrics.crps_from_samples(samples, split.Ytest)
+        results["test_exceedance"] = metrics.exceedance_summary(samples, split.Ytest)
+        log_fn(f"zi test crps: {results['test_crps']}")
     log_fn(f"zi prob test rmse: {results['test_zi_prob_reg_rmse']}")
     _maybe_pickle(results, workdir, "results_zi.pickle")
     return results
