@@ -195,3 +195,78 @@ class TestExceedance:
         event = (y > 0).astype(float)
         clim = metrics.brier(np.full_like(y, event.mean()), event)
         assert out["0.0"]["brier"] < clim
+
+
+class TestExactTails:
+    """Round 4: exact exceedance tails (GH/closed-form) vs large-sample MC."""
+
+    def test_gated_tail_matches_mc(self):
+        rng = np.random.RandomState(7)
+        n = 1500
+        pred = {
+            "fmean": rng.randn(n) * 2 + 1,
+            "fvar": rng.rand(n) * 0.5,
+            "gmean": rng.randn(n),
+            "gvar": rng.rand(n) * 0.8,
+        }
+        noise = 0.04
+        S = 4000
+        f = pred["fmean"][None] + np.sqrt(pred["fvar"])[None] * rng.randn(S, n)
+        g = pred["gmean"][None] + np.sqrt(pred["gvar"])[None] * rng.randn(S, n)
+        y = ndtr(g) * f + np.sqrt(noise) * rng.randn(S, n)
+        for tau in (0.1, 1.0):
+            exact = metrics.gated_exceedance_prob(pred, tau, noise_var=noise)
+            mc = np.mean(y > tau, axis=0)
+            assert np.max(np.abs(exact - mc)) < 0.03, tau
+
+    def test_gated_mixture_is_mean_of_member_tails(self):
+        rng = np.random.RandomState(8)
+        n = 50
+        members = [
+            {"fmean": rng.randn(n), "fvar": rng.rand(n) * 0.3,
+             "gmean": rng.randn(n), "gvar": rng.rand(n) * 0.3}
+            for _ in range(3)
+        ]
+        y = rng.rand(n)
+        out = metrics.exceedance_summary_gated(members, y, thresholds=(0.5,), noise_var=0.01)
+        tails = np.mean(
+            [metrics.gated_exceedance_prob(m, 0.5, noise_var=0.01) for m in members], axis=0
+        )
+        event = (y > 0.5).astype(float)
+        assert out["0.5"]["brier"] == pytest.approx(metrics.brier(tails, event))
+
+    @pytest.mark.parametrize(
+        "head,kw",
+        [("gaussian", {"noise_var": 0.09}),
+         ("lognormal", {"noise_var": 0.25}),
+         ("gamma", {"shape": 2.0})],
+    )
+    def test_hurdle_tail_matches_sampler(self, head, kw):
+        rng = np.random.RandomState(9)
+        n = 800
+        p = rng.rand(n)
+        mu = rng.randn(n) * 0.5
+        v = rng.rand(n) * 0.3
+        exact = metrics.hurdle_exceedance_prob(p, mu, v, 1.0, head=head, **kw)
+        samples = metrics.sample_hurdle_predictive(
+            p, mu, v, head=head, num_samples=4000, seed=1, **kw
+        )
+        mc = np.mean(samples > 1.0, axis=0)
+        assert np.max(np.abs(exact - mc)) < 0.035, head
+        # the zero atom caps the tail at p_on
+        assert np.all(exact <= p + 1e-12)
+
+    def test_gated_tail_resolves_rare_threshold(self):
+        # the round-4 motivation: a 256-draw estimate of P(y > 5) is exactly
+        # 0 for every point when the tail is ~1e-4; the GH tail still ranks
+        rng = np.random.RandomState(10)
+        n = 300
+        pred = {
+            "fmean": rng.rand(n) * 1.0,
+            "fvar": np.full(n, 1.0),
+            "gmean": rng.randn(n) * 0.5,
+            "gvar": np.full(n, 0.2),
+        }
+        exact = metrics.gated_exceedance_prob(pred, 5.0, noise_var=0.01)
+        assert np.all(exact >= 0) and np.all(exact <= 1)
+        assert np.unique(exact).size > n // 2  # informative, not constant

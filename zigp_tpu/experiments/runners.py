@@ -429,12 +429,18 @@ def _onoff_metrics(model, pred_test: dict, split: Split, log_fn) -> dict:
         samples = metrics.sample_gated_mixture(
             pred_test["member_preds"], noise_var=noise, num_samples=256, seed=0
         )
+        exc_pred = list(pred_test["member_preds"])
     else:
         samples = metrics.sample_gated_predictive(
             pred_test, noise_var=noise, num_samples=256, seed=0
         )
+        exc_pred = pred_test
     test_crps = metrics.crps_from_samples(samples, split.Ytest)
-    test_exceedance = metrics.exceedance_summary(samples, split.Ytest)
+    # exceedance via the EXACT gated tails (GH over g) — the 256-draw
+    # estimate cannot resolve τ=5 mm events (round-4 upgrade)
+    test_exceedance = metrics.exceedance_summary_gated(
+        exc_pred, split.Ytest, noise_var=noise
+    )
     log_fn(f"test crps: {test_crps}")
 
     return {
@@ -572,7 +578,10 @@ def _svgp_metrics(model, pred_train: dict, pred_test: dict, split: Split, log_fn
             head=head, num_samples=256, seed=0, **head_kw,
         )
         extras["test_crps"] = metrics.crps_from_samples(samples, split.Ytest)
-        extras["test_exceedance"] = metrics.exceedance_summary(samples, split.Ytest)
+        extras["test_exceedance"] = metrics.exceedance_summary_hurdle(
+            np.ones(n_test), pred_test["fmean"], pred_test["fvar"],
+            split.Ytest, head=head, **head_kw,
+        )
         extras.update(head_kw)
     else:
         test_rmse = metrics.rmse(pred_test["fmean"], split.Ytest)
@@ -785,7 +794,11 @@ def _hurdle_probabilistic_scores(model, pfmean_test, split: Split) -> dict:
     )
     return {
         "test_crps": metrics.crps_from_samples(samples, split.Ytest),
-        "test_exceedance": metrics.exceedance_summary(samples, split.Ytest),
+        # exact mixed-measure tails (closed-form/GH), not sample counts
+        "test_exceedance": metrics.exceedance_summary_hurdle(
+            pfmean_test, pred["fmean"], pred["fvar"], split.Ytest,
+            head=head, **head_kw,
+        ),
     }
 
 
@@ -948,7 +961,10 @@ def _hurdlej_metrics(model, pred_train: dict, pred_test: dict, split: Split, log
         head=head, num_samples=256, seed=0, **head_kw,
     )
     test_crps = metrics.crps_from_samples(samples, split.Ytest)
-    test_exceedance = metrics.exceedance_summary(samples, split.Ytest)
+    test_exceedance = metrics.exceedance_summary_hurdle(
+        pred_test["p_on"], pred_test["fmean"], pred_test["fvar"],
+        split.Ytest, head=head, **head_kw,
+    )
 
     results = {
         "pred_train": pred_train,
@@ -1026,7 +1042,13 @@ def run_zero_inflated(
             seed=0,
         )
         results["test_crps"] = metrics.crps_from_samples(samples, split.Ytest)
-        results["test_exceedance"] = metrics.exceedance_summary(samples, split.Ytest)
+        results["test_exceedance"] = metrics.exceedance_summary_hurdle(
+            clf_results["pred_test"]["pfmean"],
+            reg_results["pred_test"]["fmean"],
+            reg_results["pred_test"]["fvar"],
+            split.Ytest, head="gaussian",
+            noise_var=float(reg_results["noise_variance"]),
+        )
         log_fn(f"zi test crps: {results['test_crps']}")
     log_fn(f"zi prob test rmse: {results['test_zi_prob_reg_rmse']}")
     _maybe_pickle(results, workdir, "results_zi.pickle")

@@ -375,6 +375,103 @@ def exceedance_summary_gaussian(
     return out
 
 
+def gated_exceedance_prob(pred: dict, tau: float, *, noise_var: float, num_gh: int = 64):
+    """Exact P(y* > τ) of the gated predictive y* = Φ(g*)·f* + ε, (N,).
+
+    Conditional on g, y* ~ N(a·fμ, a²·fσ² + σ²) with a = Φ(g); the g
+    marginal is integrated by Gauss-Hermite quadrature, so rare thresholds
+    (τ = 5 mm) resolve exactly where a 256-draw sample estimate returns a
+    constant 0 (round-4 fix of the degenerate onoff τ=5 AUC)."""
+    from scipy.special import ndtr
+
+    fm = np.asarray(pred["fmean"], dtype=np.float64).reshape(-1)
+    fv = np.maximum(np.asarray(pred["fvar"], dtype=np.float64).reshape(-1), 0.0)
+    gm = np.asarray(pred["gmean"], dtype=np.float64).reshape(-1)
+    gv = np.maximum(np.asarray(pred["gvar"], dtype=np.float64).reshape(-1), 0.0)
+    x, w = np.polynomial.hermite.hermgauss(num_gh)
+    g = gm[:, None] + np.sqrt(2.0 * gv)[:, None] * x[None, :]  # (N, K)
+    a = ndtr(g)
+    s = np.sqrt(a**2 * fv[:, None] + float(noise_var))
+    tails = ndtr((a * fm[:, None] - float(tau)) / s)
+    return tails @ (w / np.sqrt(np.pi))
+
+
+def exceedance_summary_gated(
+    pred, actual, thresholds=(0.1, 1.0, 5.0), *, noise_var: float, num_gh: int = 64
+) -> dict:
+    """``exceedance_summary`` with the gated predictive's exact tails
+    (``gated_exceedance_prob``). ``pred`` may be a single prediction dict or
+    a list of member dicts (seed ensemble) — a uniform mixture's tail is
+    exactly the mean of the member tails."""
+    members = pred if isinstance(pred, (list, tuple)) else [pred]
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    out = {}
+    for tau in thresholds:
+        p_hat = np.mean(
+            [gated_exceedance_prob(m, tau, noise_var=noise_var, num_gh=num_gh)
+             for m in members],
+            axis=0,
+        )
+        event = (y > float(tau)).astype(np.float64)
+        out[str(tau)] = {
+            "brier": brier(p_hat, event),
+            "auc": roc_auc(p_hat, event.astype(np.int64)),
+            "base_rate": float(np.mean(event)),
+        }
+    return out
+
+
+def hurdle_exceedance_prob(
+    p_on, fmean, fvar, tau: float, *, head: str,
+    noise_var: float | None = None, shape: float | None = None, num_gh: int = 64,
+):
+    """Exact P(y > τ) of the hurdle's mixed predictive (τ ≥ 0): the zero
+    atom never exceeds, so P = p_on · P(amount > τ) with the amount head's
+    own tail — closed-form for gaussian/lognormal (the latent marginal is
+    one Gaussian), Gauss-Hermite over f for the gamma head."""
+    from scipy.special import gammaincc, ndtr
+
+    p = np.asarray(p_on, dtype=np.float64).reshape(-1)
+    mu = np.asarray(fmean, dtype=np.float64).reshape(-1)
+    v = np.maximum(np.asarray(fvar, dtype=np.float64).reshape(-1), 0.0)
+    tau = float(tau)
+    if head in ("gaussian", "lognormal"):
+        s = np.sqrt(v + float(noise_var))
+        t = np.log(tau) if head == "lognormal" else tau
+        amount_tail = ndtr((mu - t) / np.maximum(s, 1e-12))
+    elif head == "gamma":
+        a = float(shape)
+        x, w = np.polynomial.hermite.hermgauss(num_gh)
+        f = mu[:, None] + np.sqrt(2.0 * v)[:, None] * x[None, :]
+        # amount | f ~ Gamma(a, rate = a e^{-f}): P(> τ) = Q(a, a τ e^{-f})
+        amount_tail = gammaincc(a, a * tau * np.exp(-f)) @ (w / np.sqrt(np.pi))
+    else:
+        raise ValueError(f"unknown amount head: {head!r}")
+    return p * amount_tail
+
+
+def exceedance_summary_hurdle(
+    p_on, fmean, fvar, actual, thresholds=(0.1, 1.0, 5.0), *, head: str,
+    noise_var: float | None = None, shape: float | None = None, num_gh: int = 64,
+) -> dict:
+    """``exceedance_summary`` with the hurdle mixed measure's exact tails
+    (``hurdle_exceedance_prob``)."""
+    y = np.asarray(actual, dtype=np.float64).reshape(-1)
+    out = {}
+    for tau in thresholds:
+        p_hat = hurdle_exceedance_prob(
+            p_on, fmean, fvar, tau, head=head,
+            noise_var=noise_var, shape=shape, num_gh=num_gh,
+        )
+        event = (y > float(tau)).astype(np.float64)
+        out[str(tau)] = {
+            "brier": brier(p_hat, event),
+            "auc": roc_auc(p_hat, event.astype(np.int64)),
+            "base_rate": float(np.mean(event)),
+        }
+    return out
+
+
 def hurdle_nlpd(p_on, cond_nlpd_pos, actual, *, eps: float = 1e-6) -> float:
     """Mean NLPD of the hurdle's mixed discrete–continuous predictive:
     an atom 1−p at y = 0 and density p·q(y | on) on y > 0, i.e.
