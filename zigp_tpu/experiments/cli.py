@@ -122,10 +122,15 @@ def _common(p):
                         "linspace knots; not expressible in the reference)")
     p.add_argument("--preset", type=str, default="reference",
                    choices=("reference", "reference-stable", "best"),
-                   help="reference = the paper's config (unwhitened — svgp/"
-                        "hurdle fold 3 diverges, RESULTS.md); reference-stable"
-                        " = same config with whiten=True only; best = "
-                        "RESULTS.md ablated config")
+                   help="reference = the paper's exact config (unwhitened; "
+                        "kept for protocol fidelity — the pre-round-4 fold-3 "
+                        "divergence was the bf16 bug, fixed); "
+                        "reference-stable = same config with whiten=True "
+                        "only; best = RESULTS.md ablated config — selected "
+                        "by interpolation (KFold) CV; under the forecast "
+                        "(extrapolation) protocol it measures WORSE than "
+                        "reference (results/cv_forecast_best_r4.json), so "
+                        "prefer --preset reference with --split forecast")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint in the workdir and continue")
     p.add_argument("--sampler", type=str, default=None,
@@ -353,12 +358,15 @@ def main(argv=None):
                            "per-fold commands)")
     p_cv.add_argument("--preset", type=str, default="reference",
                       choices=("reference", "reference-stable", "best"),
-                      help="reference = the paper's per-variant configs "
-                           "(unwhitened — svgp/hurdle fold 3 diverges, "
-                           "RESULTS.md); reference-stable = same configs with "
+                      help="reference = the paper's exact per-variant configs "
+                           "(unwhitened; kept for protocol fidelity — the "
+                           "pre-round-4 fold-3 divergence was the bf16 bug, "
+                           "fixed); reference-stable = same configs with "
                            "whiten=True only; best = the RESULTS.md tuned/"
                            "champion configs (onoff champion preset, tuned "
-                           "svgp/classifier)")
+                           "svgp/classifier) — selected by interpolation "
+                           "(KFold) CV; for --split forecast prefer the "
+                           "reference preset (cv_forecast_best_r4.json)")
     p_cv.add_argument("--solve-precision", type=str, default=None,
                       dest="solve_precision",
                       choices=("highest", "high", "mixed"),

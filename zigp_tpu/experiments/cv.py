@@ -25,7 +25,13 @@ def _agg(values: List[float]) -> Dict[str, float]:
     finite = a[np.isfinite(a)]
     mean = float(finite.mean()) if finite.size else float("nan")
     std = float(finite.std()) if finite.size else float("nan")
-    out = {"mean": mean, "std": std, "folds": [float(v) for v in a]}
+    # NaN folds serialize as null: bare NaN literals are not RFC-8259 JSON
+    # and break external consumers of cv_summary.json (ADVICE r4)
+    out = {
+        "mean": mean,
+        "std": std,
+        "folds": [float(v) if np.isfinite(v) else None for v in a],
+    }
     if finite.size != a.size:
         out["n_finite"] = int(finite.size)
     return out

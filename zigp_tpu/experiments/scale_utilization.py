@@ -70,12 +70,15 @@ def probe(batches=(4096, 8192, 16384, 32768), num_inner=50, num_blocks=3, log_fn
         rate = sorted(rates)[1]
         fps = flops / num_inner
         achieved = fps * rate
+        # null (not 0.0) when cost analysis is unavailable (ADVICE r4)
         row = {
             "batch": B,
             "steps_per_sec": round(rate, 2),
-            "flops_per_step": fps,
-            "achieved_tflops": round(achieved / 1e12, 4),
-            "mfu_f32_effective": round(achieved / V5E_PEAK_F32_EFFECTIVE, 5),
+            "flops_per_step": fps if flops else None,
+            "achieved_tflops": round(achieved / 1e12, 4) if flops else None,
+            "mfu_f32_effective": (
+                round(achieved / V5E_PEAK_F32_EFFECTIVE, 5) if flops else None
+            ),
             "arithmetic_intensity": round(flops / bytes_acc, 2) if bytes_acc else None,
             "samples_per_sec": round(rate * B, 1),
             "final_block_loss": float(losses[-1]),

@@ -283,6 +283,49 @@ def run_selfcheck(log_fn=print) -> dict:
         "err": err_s,
     }
 
+    # 6. tensor-parallel predict+KL vs the single-chip path, on-device.
+    # The shard_fn einsums are the same batch-scaled contraction class the
+    # round-4 fix pinned in conditionals.py — an unpinned (bf16) einsum here
+    # shows as ~4e-3 relative drift (ADVICE r4). A 1-device mesh exercises
+    # the exact same einsums/precision as a real pod slice.
+    from ..models import KronGP
+    from ..ops.kernels import RBF
+    from ..parallel import make_mesh
+    from ..parallel.tp import tp_whitened_kron_predict_and_kl
+
+    rng = np.random.RandomState(17)
+    Zsp = np.stack([59.8 + 10.3 * rng.rand(8), 20.0 + 11.0 * rng.rand(8)], 1)
+    Zs_tp = [Zsp, np.linspace(*_TSPAN, 64)[:, None]]
+    gp = KronGP.create(
+        [RBF.create([8.0, 8.0], 20.0), RBF.create([0.02], 20.0)],
+        Zs_tp, jitter=1e-5, whiten=True, seed=17,
+        # non-trivial variational mean so the contractions carry signal
+        q_mu_init=rng.randn(8 * 64, 1),
+    )
+    Xtp, _ = _elbo_batch(256, seed=17)
+    Xtp = jnp.asarray(Xtp, jnp.float32)
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    mu_tp, var_tp, kl_tp = jax.jit(
+        lambda q_mu, q_sqrt, x: tp_whitened_kron_predict_and_kl(
+            mesh1, gp.kernels, [Z.value for Z in gp.Zs], q_mu, q_sqrt, x,
+            gp.input_masks, jitter=gp.jitter,
+        )
+    )(gp.q_mu.value, gp.q_sqrt.value, Xtp)
+    mu_ref, var_ref = jax.jit(lambda m, x: m.predict_f(x))(gp, Xtp)
+    kl_ref = float(jax.jit(lambda m: m.prior_kl())(gp))
+    err_mu = _rel(mu_tp, mu_ref)
+    err_var = _rel(var_tp, var_ref)
+    err_kl = abs(float(kl_tp) - kl_ref) / max(abs(kl_ref), 1e-30)
+    log_fn(
+        f"selfcheck tp-vs-single: mu {err_mu:.3e} var {err_var:.3e} kl {err_kl:.3e}"
+    )
+    # both paths carry HIGHEST pins → agreement is f32 reduction-order only
+    # (~1e-6); an unpinned bf16 einsum is ~4e-3 → gate at 5e-4
+    _check(log_fn, "tp predict mean", err_mu, 5e-4)
+    _check(log_fn, "tp predict var", err_var, 5e-4)
+    _check(log_fn, "tp kl", err_kl, 5e-4)
+    results["tp"] = {"err_mu": err_mu, "err_var": err_var, "err_kl": err_kl}
+
     log_fn("selfcheck: ALL PASS")
     return results
 

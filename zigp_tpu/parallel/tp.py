@@ -175,14 +175,22 @@ def tp_whitened_kron_predict_and_kl(
     W = q_mu.reshape(Ms, Mt)
     Ssq = jnp.square(q_sqrt).reshape(Ms, Mt)
 
+    # Batch-scaled contraction class — same precision policy as the
+    # single-chip conditionals (bdot/bulk_precision): TPU-default bf16
+    # products here gave ~4e-3 relative drift vs the single-chip HIGHEST
+    # path (ADVICE r4). Captured at trace time like every other pin.
+    prec = linalg.bulk_precision()
+
     def shard_fn(W_s, Ssq_s, Vs_rows):
         # W_s: (Ms/n, Mt) local rows; Vs_rows: (Ms/n, B)
-        t_mu = jnp.einsum("ij,ib->bj", W_s, Vs_rows)  # (B, Mt) partial
-        mu_part = jnp.einsum("bj,jb->b", t_mu, Vt)
+        t_mu = jnp.einsum("ij,ib->bj", W_s, Vs_rows, precision=prec)  # (B, Mt) partial
+        mu_part = jnp.einsum("bj,jb->b", t_mu, Vt, precision=prec)
         mu = jax.lax.psum(mu_part, "model")
 
-        t_c2 = jnp.einsum("ij,ib->bj", Ssq_s, jnp.square(Vs_rows))
-        c2 = jax.lax.psum(jnp.einsum("bj,jb->b", t_c2, jnp.square(Vt)), "model")
+        t_c2 = jnp.einsum("ij,ib->bj", Ssq_s, jnp.square(Vs_rows), precision=prec)
+        c2 = jax.lax.psum(
+            jnp.einsum("bj,jb->b", t_c2, jnp.square(Vt), precision=prec), "model"
+        )
 
         # whitened KL partial sums: ½(Σm² − M − Σlog s² + Σ s²)
         kl_part = 0.5 * (

@@ -32,15 +32,20 @@ Supported families:
 - diagonal covariance (dense OnOffSVGP and KronGP ``q_cov="diag"``): the full
   (m, s) natural-gradient step above.
 - Kronecker-factored full covariance (``q_cov="kron"``): the covariance lives
-  on the ⊗-factored manifold where the joint Fisher has no closed dual, so
-  the trainer takes the *exact* natural-gradient step on the mean block —
-  for fixed S the Fisher of m is S⁻¹, giving m ← m − γ S ∇_m L, with
-  S = ⊗_p C_p C_pᵀ applied factored (never materialized) — and leaves the
-  covariance factors to Adam. Same alternating split, mean-block exactness.
-  Stable and convergent at small/medium scale (tests), but measured worse
-  than plain Adam at the production pptr config (RESULTS.md: S is
-  non-stationary under the factors' Adam updates, so no fixed γ suits the
-  S-preconditioned mean step) — for production natgrad use the diag family.
+  on the ⊗-factored manifold where the joint Fisher has no closed dual. Two
+  steps are provided: (a) the *mean-block* natural step
+  (``natgrad_update_mean_kron``; m ← m − γ S ∇_m L with S = ⊗_p C_p C_pᵀ
+  applied factored, covariance factors to Adam) — stable but measured worse
+  than plain Adam at the production pptr config (S is non-stationary under
+  the factors' Adam updates); and (b) the *joint block-coordinate* step
+  (``natgrad_update_block_kron``; exact (m, C_p) natural step per Kronecker
+  factor, alternating factors; CLI ``--natgrad-joint``) — the best measured
+  equal-steps optimizer at the reference 50k budget: post-precision-fix CV
+  RMSE 0.5687 / MAE 0.1054 / CRPS 0.2010 vs Adam's 0.5693 / 0.1241 / 0.2022
+  (results/cv_natgrad_r4.json; RESULTS.md "Natural gradients" — its MAE
+  matches the 150k champion at a third of the steps, while Adam keeps the
+  better exceedance AUCs). For production natgrad use the joint block step;
+  the diag family is the fallback for models without the kron covariance.
 """
 
 from __future__ import annotations
