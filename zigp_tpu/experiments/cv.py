@@ -125,6 +125,8 @@ def run_cv(
             record("svgp", "test_mae", reg["test_mae"])
             if "test_crps" in reg:
                 record("svgp", "test_crps", reg["test_crps"])
+                if "test_crps_mc" in reg:
+                    record("svgp", "test_crps_mc", reg["test_crps_mc"])
                 _record_exceedance(record, "svgp", reg)
         if "onoff" in models:
             res = run_onoff(split, onoff_cfg, workdir=fold_dir, log_fn=log_fn)
@@ -133,6 +135,8 @@ def run_cv(
             record("onoff", "test_mae", res["test_mae"])
             if "test_crps" in res:
                 record("onoff", "test_crps", res["test_crps"])
+                if "test_crps_mc" in res:
+                    record("onoff", "test_crps_mc", res["test_crps_mc"])
                 _record_exceedance(record, "onoff", res)
             record("onoff", "steps_per_sec", res["steps_per_sec"])
         if "hurdle" in models:
@@ -143,6 +147,8 @@ def run_cv(
             record("hurdle", "test_nlpd", res["test_hurdle_nlpd"])
             if "test_crps" in res:
                 record("hurdle", "test_crps", res["test_crps"])
+                if "test_crps_mc" in res:
+                    record("hurdle", "test_crps_mc", res["test_crps_mc"])
                 _record_exceedance(record, "hurdle", res)
         if "hurdlej" in models:
             from .runners import run_hurdle_joint
@@ -154,6 +160,8 @@ def run_cv(
             record("hurdlej", "test_nlpd", res["test_hurdle_nlpd"])
             if "test_crps" in res:
                 record("hurdlej", "test_crps", res["test_crps"])
+                if "test_crps_mc" in res:
+                    record("hurdlej", "test_crps_mc", res["test_crps_mc"])
                 _record_exceedance(record, "hurdlej", res)
             record("hurdlej", "test_gate_auc", res["test_gate_auc"])
             record("hurdlej", "steps_per_sec", res["steps_per_sec"])
@@ -165,6 +173,8 @@ def run_cv(
             record("zi", "test_mae_indc", res["test_zi_indc_reg_mae"])
             if "test_crps" in res:
                 record("zi", "test_crps", res["test_crps"])
+                if "test_crps_mc" in res:
+                    record("zi", "test_crps_mc", res["test_crps_mc"])
                 _record_exceedance(record, "zi", res)
 
     return aggregate_summary(summary, workdir, log_fn)

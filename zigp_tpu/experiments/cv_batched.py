@@ -371,6 +371,8 @@ def run_cv_batched(
             record("svgp", "test_mae", svgp_res[f]["test_mae"])
             if "test_crps" in svgp_res[f]:
                 record("svgp", "test_crps", svgp_res[f]["test_crps"])
+                if "test_crps_mc" in svgp_res[f]:
+                    record("svgp", "test_crps_mc", svgp_res[f]["test_crps_mc"])
                 _record_exceedance(record, "svgp", svgp_res[f])
 
     if "onoff" in models:
@@ -404,6 +406,8 @@ def run_cv_batched(
             record("onoff", "test_rmse", out["test_rmse"])
             record("onoff", "test_mae", out["test_mae"])
             record("onoff", "test_crps", out["test_crps"])
+            if "test_crps_mc" in out:
+                record("onoff", "test_crps_mc", out["test_crps_mc"])
             _record_exceedance(record, "onoff", out)
             record("onoff", "steps_per_sec", res[f * E].steps_per_sec)
 
@@ -492,6 +496,8 @@ def run_cv_batched(
             )
             log_fn(f"hurdle test crps: {scores['test_crps']}")
             record("hurdle", "test_crps", scores["test_crps"])
+            if "test_crps_mc" in scores:
+                record("hurdle", "test_crps_mc", scores["test_crps_mc"])
             _record_exceedance(record, "hurdle", scores)
 
     if "hurdlej" in models:
@@ -536,6 +542,8 @@ def run_cv_batched(
             record("hurdlej", "test_mae", out["test_hurdle_comb_mae"])
             record("hurdlej", "test_nlpd", out["test_hurdle_nlpd"])
             record("hurdlej", "test_crps", out["test_crps"])
+            if "test_crps_mc" in out:
+                record("hurdlej", "test_crps_mc", out["test_crps_mc"])
             _record_exceedance(record, "hurdlej", out)
             record("hurdlej", "test_gate_auc", out["test_gate_auc"])
 
@@ -549,6 +557,8 @@ def run_cv_batched(
             record("zi", "test_mae_indc", out["test_zi_indc_reg_mae"])
             if "test_crps" in out:
                 record("zi", "test_crps", out["test_crps"])
+                if "test_crps_mc" in out:
+                    record("zi", "test_crps_mc", out["test_crps_mc"])
                 _record_exceedance(record, "zi", out)
 
     return aggregate_summary(summary, workdir, log_fn)
