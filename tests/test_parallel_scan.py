@@ -250,3 +250,76 @@ def test_fit_scanned_mesh_ckpt_restore_replaces(rng, tmp_path):
                        mesh_tp=True, optimizer=opt, opt_state=s,
                        start_step=step)
     assert np.isfinite(float(res2.losses[-1])) if res2.losses else True
+
+
+@requires_8
+def test_alternating_dp_matches_single_device(rng):
+    """Round 5 (VERDICT r4 #3): the block-coordinate trainer under a
+    data-parallel mesh — fit_scanned(alternating=K, mesh=...) — reproduces
+    the single-device alternating trajectory (same sampler key stream)."""
+    from zigp_tpu.io.native import make_dataset
+
+    N = 64
+    X = rng.rand(N, 3)
+    Y = np.maximum(rng.randn(N, 1), 0.0)
+    kw = dict(num_iter=12, batch_size=16, num_inner=4, sampler="device",
+              alternating=2, sampler_seed=3, log_fn=lambda s: None)
+
+    res1 = fit_scanned(_onoff(N=N), make_dataset(X, Y), **kw)
+    mesh = make_mesh(n_data=8)
+    res2 = fit_scanned(_onoff(N=N), make_dataset(X, Y), mesh=mesh, **kw)
+    assert np.isfinite(res2.final_loss)
+    np.testing.assert_allclose(res1.final_loss, res2.final_loss, rtol=1e-9)
+    _assert_trees_close(res1.model, res2.model)
+
+
+@requires_8
+def test_alternating_rejects_tp_mesh(rng):
+    from zigp_tpu.io.native import make_dataset
+
+    X = rng.rand(32, 3)
+    Y = np.maximum(rng.randn(32, 1), 0.0)
+    mesh = make_mesh(n_data=4, n_model=2)
+    with pytest.raises(ValueError, match="data-parallel"):
+        fit_scanned(
+            _onoff(N=32), make_dataset(X, Y), num_iter=4, batch_size=8,
+            num_inner=4, sampler="device", alternating=2, mesh=mesh,
+            mesh_tp=True, log_fn=lambda s: None,
+        )
+
+
+def _hurdlej(N=64):
+    from zigp_tpu.likelihoods import Bernoulli, LogNormal
+    from zigp_tpu.models import KronHurdleSVGP
+
+    r = np.random.RandomState(13)
+    Zs = [r.rand(8, 2), np.linspace(0, 1, 6)[:, None]]
+    ks = lambda v: [RBF.create([1.0, 1.0], v), RBF.create([0.3], v)]
+    return KronHurdleSVGP.create(
+        ks(1.0), Zs, ks(1.0), [Z.copy() for Z in Zs],
+        Bernoulli.create(), LogNormal.create(0.1),
+        num_data=N, jitter=1e-6, seed=4,
+    )
+
+
+@requires_8
+def test_hurdlej_scan_dp_matches_single_device(rng):
+    """Round 5 (VERDICT r4 #3): the joint hurdle (the study's probabilistic
+    champion) under scanned data parallelism matches single-device."""
+    Xs, Ys = _blocks(rng)
+
+    model = _hurdlej()
+    opt = make_optimizer(model, default_lr=1e-2)
+    state = opt.init(model)
+    m1, s1, losses1 = make_scan_train_step(opt)(model, state, Xs, Ys)
+
+    mesh = make_mesh(n_data=8)
+    model = _hurdlej()
+    opt = make_optimizer(model, default_lr=1e-2)
+    state = opt.init(model)
+    model = replicate(mesh, model)
+    state = replicate(mesh, state)
+    m2, s2, losses2 = make_scan_sharded_train_step(opt, mesh)(model, state, Xs, Ys)
+
+    np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses2), rtol=1e-9)
+    _assert_trees_close(m1, m2)

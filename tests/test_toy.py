@@ -32,12 +32,24 @@ def test_toy_short_lbfgs_improves_elbo():
 @pytest.mark.slow
 def test_toy_converged_elbo_beats_reference():
     """Reference: 8000 L-BFGS iters -> ELBO 488.713 (not converged). Our
-    converged run must match or beat it."""
+    converged run must match or beat it.
+
+    Tolerances are pinned tight because scipy's DEFAULT ftol (factr≈1e7 →
+    ~2.2e-9 relative F-change) declares convergence long before this
+    objective is stationary: measured round 5, the default-options run
+    stops at iter ~6.8k / ELBO 483.1 ("RELATIVE REDUCTION OF F <=
+    FACTR*EPSMCH") while the same trajectory under ftol 1e-17 reaches
+    518.8 at the 60k cap — the 483 stop is premature termination, not a
+    worse optimum. (The production toy config takes the maxcor=100 path,
+    tested below.)"""
     from zigp_tpu.training.scipy_opt import scipy_optimize
 
     model, x, y = build_toy_model(ToyOnOffConfig(seed=0))
     X, Y = jnp.asarray(x), jnp.asarray(y)
-    m2, res = scipy_optimize(model, lambda m: m.loss(X, Y), maxiter=60000, maxfun=60000)
+    m2, res = scipy_optimize(
+        model, lambda m: m.loss(X, Y), maxiter=60000, maxfun=120000,
+        options={"ftol": 1e-17, "gtol": 1e-12},
+    )
     elbo = float(m2.elbo(X, Y))
     assert elbo >= REFERENCE_TOY_ELBO - 0.5, f"converged ELBO {elbo} below reference"
 

@@ -121,6 +121,7 @@ def make_alternating_device_step(
         ]
     ] = None,
     unroll: int = 8,
+    mesh=None,
 ):
     """Device-sampling alternating step, fit_scanned-compatible.
 
@@ -136,6 +137,14 @@ def make_alternating_device_step(
     ``opt_factories``: per-partition ``(q_factory, h_factory)`` in the
     make_optimizer ``opt_factory`` convention — schedules should be sized to
     each partition's own update count (q: num_iter·(K−1)/K, h: num_iter/K).
+
+    ``mesh``: data-parallel execution (VERDICT r4 #3) — the per-step
+    minibatch is constrained to the mesh ``data`` axis, parameters stay
+    replicated (pass model/opt_state through ``parallel.replicate`` first);
+    XLA partitions the batch-dim contractions of both the hyper and the
+    q-only steps and inserts the gradient psums. The index stream is
+    identical to the single-device sampler, so the trajectory matches a
+    single-chip run up to reduction order.
     """
     if hyper_every < 2:
         raise ValueError(f"hyper_every must be >= 2 (got {hyper_every})")
@@ -147,6 +156,20 @@ def make_alternating_device_step(
     Xtrain = jnp.asarray(Xtrain)
     Ytrain = jnp.asarray(Ytrain)
     N = Xtrain.shape[0]
+    batch_spec = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        n_data = mesh.shape["data"]
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch size {batch_size} not divisible by data axis {n_data}"
+            )
+        # (groups, hyper_every, B, ·): shard the per-step batch rows
+        batch_spec = NamedSharding(mesh, _P(None, None, "data", None))
+        rep = NamedSharding(mesh, _P())
+        Xtrain = jax.device_put(Xtrain, rep)
+        Ytrain = jax.device_put(Ytrain, rep)
     opt_q, opt_h, opt_state0 = init_alt_optimizers(
         model, learning_rate=learning_rate, opt_factories=opt_factories
     )
@@ -157,6 +180,7 @@ def make_alternating_device_step(
             model, opt_state, block_key, num_inner,
             Xtrain=Xtrain, Ytrain=Ytrain, nrows=N, batch_size=batch_size,
             hyper_every=hyper_every, opt_q=opt_q, opt_h=opt_h, unroll=unroll,
+            batch_spec=batch_spec,
         )
 
     return step, opt_state0
@@ -165,9 +189,12 @@ def make_alternating_device_step(
 def _alternating_dispatch(
     model, opt_state, block_key, num_inner, *,
     Xtrain, Ytrain, nrows, batch_size, hyper_every, opt_q, opt_h, unroll,
+    batch_spec=None,
 ):
     """One traced alternating dispatch: the group structure shared by the
-    single-member step and the batched (vmapped-over-members) step."""
+    single-member step and the batched (vmapped-over-members) step.
+    ``batch_spec``: optional NamedSharding for the staged (groups,
+    hyper_every, B, ·) block — the data-parallel mesh path."""
     if num_inner % hyper_every:
         raise ValueError(
             f"num_inner ({num_inner}) must divide by hyper_every "
@@ -182,6 +209,9 @@ def _alternating_dispatch(
     groups = num_inner // hyper_every
     Xs = Xtrain[idx].reshape(groups, hyper_every, batch_size, *Xtrain.shape[1:])
     Ys = Ytrain[idx].reshape(groups, hyper_every, batch_size, *Ytrain.shape[1:])
+    if batch_spec is not None:
+        Xs = jax.lax.with_sharding_constraint(Xs, batch_spec)
+        Ys = jax.lax.with_sharding_constraint(Ys, batch_spec)
 
     def outer(carry, xy):
         q, h, h_state, q_state = carry

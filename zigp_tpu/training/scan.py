@@ -231,16 +231,27 @@ def fit_scanned(
         # replace the joint one.
         from .alternating import make_alternating_device_step
 
-        if not device_mode or mesh is not None or loss_fn is not None:
+        if not device_mode or loss_fn is not None:
             raise ValueError(
-                "alternating training requires sampler='device', no mesh, "
-                "and the model's own loss (loss_fn=None)"
+                "alternating training requires sampler='device' and the "
+                "model's own loss (loss_fn=None)"
+            )
+        if mesh_tp:
+            raise ValueError(
+                "alternating training supports data-parallel meshes only "
+                "(mesh_tp=False)"
             )
         if num_inner % alternating:
             raise ValueError(
                 f"scan_inner ({num_inner}) must divide by hyper_every "
                 f"({alternating})"
             )
+        if mesh is not None:
+            # data-parallel block-coordinate training (VERDICT r4 #3):
+            # replicate params, shard the staged batch over 'data'
+            from ..parallel import replicate
+
+            model = replicate(mesh, model)
         Xd, Yd = data.arrays
         step, opt_state0 = make_alternating_device_step(
             model,
@@ -250,16 +261,24 @@ def fit_scanned(
             hyper_every=alternating,
             learning_rate=learning_rate,
             opt_factories=alt_opt_factories,
+            mesh=mesh,
         )
         if opt_state is None:
             opt_state = opt_state0
+        elif mesh is not None:
+            from ..parallel import replicate
+
+            opt_state = replicate(mesh, opt_state)
     elif optimizer is None:
         optimizer = make_optimizer(model, default_lr=learning_rate)
     if opt_state is None:
         opt_state = optimizer.init(model)
     place = None
     if alternating:
-        pass  # step already built above
+        if mesh is not None:  # keep NaN-restore re-placement consistent
+            from ..parallel import replicate
+
+            place = replicate
     elif mesh is not None:
         from ..parallel import replicate
         from ..parallel.step import (
