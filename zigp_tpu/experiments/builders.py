@@ -133,20 +133,33 @@ def make_factor_kernels(
     ]
 
 
+def _exog_kernels(X, *, lr=None):
+    """One extra RBF factor over the forecast-covariate columns when the
+    inputs carry them (io.datasets.augment_forecast_covariates, D > 3).
+    Unit lengthscales/variance: the history columns are z-scored and the
+    diurnal pair is bounded, and in a ⊗-product the factor variance
+    multiplies the others' — init at 1 leaves the pair's scale untouched."""
+    d = np.asarray(X).shape[1] - 3
+    if d <= 0:
+        return []
+    return [RBF.create([1.0] * d, 1.0, lr=lr)]
+
+
 def build_onoff_pptr(cfg: OnOffPptrConfig, split: Split) -> KronOnOffSVGP:
     Zs = kron_inducing_init(
         split.Xtrain, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed,
         spatial_factors=cfg.grid.spatial_factors,
+        num_exog=getattr(cfg.grid, "num_exog", 8),
     )
     spans = _axis_spans(split.Xtrain)
     fkerns = make_factor_kernels(
         cfg.fk_spatial, cfg.fk_temporal, cfg.grid.spatial_factors,
         lr=cfg.kern_lr, axis_spans=spans,
-    )
+    ) + _exog_kernels(split.Xtrain, lr=cfg.kern_lr)
     gkerns = make_factor_kernels(
         cfg.gk_spatial, cfg.gk_temporal, cfg.grid.spatial_factors,
         lr=cfg.kern_lr, axis_spans=spans,
-    )
+    ) + _exog_kernels(split.Xtrain, lr=cfg.kern_lr)
     return KronOnOffSVGP.create(
         fkerns,
         Zs,
@@ -217,6 +230,7 @@ def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> Kr
     Zs = kron_inducing_init(
         X, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed,
         spatial_factors=cfg.grid.spatial_factors,
+        num_exog=getattr(cfg.grid, "num_exog", 8),
     )
     likelihood, mean_const = make_regression_likelihood(cfg, Y)
     k_spatial, k_temporal = cfg.k_spatial, cfg.k_temporal
@@ -228,7 +242,7 @@ def build_svgp_pptr(cfg: SvgpPptrConfig, split: Split, *, subset_idx=None) -> Kr
     kerns = make_factor_kernels(
         k_spatial, k_temporal, cfg.grid.spatial_factors,
         lr=cfg.lr, axis_spans=_axis_spans(X),
-    )
+    ) + _exog_kernels(X, lr=cfg.lr)
     return KronSVGP.create(
         kerns,
         Zs,
@@ -248,11 +262,12 @@ def build_classifier_pptr(cfg: ClassifierPptrConfig, split: Split) -> KronSVGP:
     Zs = kron_inducing_init(
         split.Xtrain, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed,
         spatial_factors=cfg.grid.spatial_factors,
+        num_exog=getattr(cfg.grid, "num_exog", 8),
     )
     kerns = make_factor_kernels(
         cfg.k_spatial, cfg.k_temporal, cfg.grid.spatial_factors,
         lr=cfg.lr, axis_spans=_axis_spans(split.Xtrain),
-    )
+    ) + _exog_kernels(split.Xtrain, lr=cfg.lr)
     return KronSVGP.create(
         kerns,
         Zs,
@@ -278,6 +293,7 @@ def build_hurdle_joint_pptr(cfg, split: Split) -> "KronHurdleSVGP":
     Zs = kron_inducing_init(
         X, cfg.grid.num_spatial, cfg.grid.num_temporal, seed=cfg.seed,
         spatial_factors=cfg.grid.spatial_factors,
+        num_exog=getattr(cfg.grid, "num_exog", 8),
     )
     spans = _axis_spans(X)
     Ypos = np.asarray(Y, dtype=np.float64).reshape(-1)
@@ -292,11 +308,11 @@ def build_hurdle_joint_pptr(cfg, split: Split) -> "KronHurdleSVGP":
     fkerns = make_factor_kernels(
         k_spatial, k_temporal, cfg.grid.spatial_factors,
         lr=cfg.lr, axis_spans=spans,
-    )
+    ) + _exog_kernels(X, lr=cfg.lr)
     gkerns = make_factor_kernels(
         cfg.gk_spatial, cfg.gk_temporal, cfg.grid.spatial_factors,
         lr=cfg.lr, axis_spans=spans,
-    )
+    ) + _exog_kernels(X, lr=cfg.lr)
     return KronHurdleSVGP.create(
         fkerns,
         Zs,

@@ -350,6 +350,19 @@ def main(argv=None):
                       dest="horizon_frac",
                       help="with --split forecast: test-window length as a "
                            "fraction of the time range")
+    p_cv.add_argument("--covariates", action="store_true",
+                      help="with --split forecast: append forecast-computable "
+                           "exogenous covariates (same-hour persistence, "
+                           "recent station wetness, diurnal phase — D 3 -> 8, "
+                           "leak-proof: features from pre-origin train data "
+                           "only) and give every model an extra exogenous "
+                           "Kronecker factor (--num-exog knots)")
+    p_cv.add_argument("--num-exog", type=int, default=8, dest="num_exog",
+                      help="inducing knots of the exogenous covariate factor")
+    p_cv.add_argument("--lr-schedule", type=str, default=None,
+                      dest="lr_schedule", choices=("constant", "cosine"),
+                      help="learning-rate schedule for every variant that "
+                           "supports it (constant = reference)")
     p_cv.add_argument("--workdir", type=str, default="runs/cv_full")
     p_cv.add_argument("--iters", type=int, default=None)
     p_cv.add_argument("--batch", type=int, default=None)
@@ -531,8 +544,18 @@ def main(argv=None):
                 kw["natgrad_kron_joint"] = True
             if args.whiten:
                 kw["whiten"] = True
+            if getattr(args, "lr_schedule", None) is not None and hasattr(
+                cfg, "lr_schedule"
+            ):
+                kw["lr_schedule"] = (
+                    "" if args.lr_schedule == "constant" else args.lr_schedule
+                )
             if getattr(args, "grid", None) and hasattr(cfg, "grid"):
                 kw["grid"] = _parse_grid(args.grid)
+            if getattr(args, "covariates", False) and hasattr(cfg, "grid"):
+                kw["grid"] = dataclasses.replace(
+                    kw.get("grid", cfg.grid), num_exog=args.num_exog
+                )
             kw.update(_kernel_flag_kw(cfg, args))
             return dataclasses.replace(cfg, **kw)
 
@@ -568,14 +591,25 @@ def main(argv=None):
                 "(rolling origins have unequal train sizes; the stacked "
                 "trainer needs equal-shape folds) — drop --batched"
             )
+        if getattr(args, "covariates", False) and args.split != "forecast":
+            raise SystemExit(
+                "error: --covariates requires --split forecast (the features "
+                "are defined relative to a forecast origin)"
+            )
         if args.split == "forecast":
             splits = make_forecast_splits(
                 load_pptr(args.data), args.origins,
                 horizon_frac=args.horizon_frac,
+                covariates=getattr(args, "covariates", False),
             )
             log(
                 f"forecast protocol: {args.origins} rolling origins, "
                 f"horizon {args.horizon_frac:.2f} of the time range"
+                + (
+                    f", exogenous covariates on ({args.num_exog} knots)"
+                    if getattr(args, "covariates", False)
+                    else ""
+                )
             )
         else:
             splits = make_cv_splits(load_pptr(args.data))

@@ -25,6 +25,9 @@ class KronGridConfig:
     num_spatial: int = 10
     num_temporal: int = 100
     spatial_factors: Tuple[int, int] | None = None
+    # knots of the appended exogenous factor when the inputs carry forecast
+    # covariates (D > 3, io.datasets.augment_forecast_covariates)
+    num_exog: int = 8
 
 
 @dataclass

@@ -25,12 +25,14 @@ import time
 import numpy as np
 
 
-def build_config(config: str):
+def build_config(config: str, *, batch_override: int | None = None):
     """(model, (X, Y) train arrays, batch_size, cfg) for a named bench config.
 
     - ``flagship``: onoff 10x100, B=1000 (the bench.py configuration);
     - ``champion``: onoff 32x200 kron-cov whitened, B=4000 (quality headline);
     - ``scale``: onoff 105x250, B=1000 (26k-inducing scale tier).
+    ``batch_override`` overrides the config's batch size (the large-batch
+    scale sweeps: 8192-32768).
     """
     from ..io.datasets import load_pptr, make_cv_splits
     from .builders import build_onoff_pptr
@@ -51,7 +53,7 @@ def build_config(config: str):
     else:
         raise ValueError(f"unknown config {config!r}")
     model = build_onoff_pptr(cfg, split)
-    return model, (split.Xtrain, split.Ytrain), batch, cfg
+    return model, (split.Xtrain, split.Ytrain), int(batch_override) if batch_override else batch, cfg
 
 
 def prepare_step(model, arrays, batch, cfg, step_factory=None):

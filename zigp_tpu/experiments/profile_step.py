@@ -26,6 +26,7 @@ import time
 def profile_step(
     config: str = "flagship",
     *,
+    batch: int | None = None,
     num_inner: int = 100,
     num_blocks: int = 3,
     solve_precision: str | None = None,
@@ -42,7 +43,9 @@ def profile_step(
     if solve_precision:
         linalg.set_solve_precision(solve_precision)
     try:
-        step, model, opt_state = measure.prepare_step(*measure.build_config(config))
+        step, model, opt_state = measure.prepare_step(
+            *measure.build_config(config, batch_override=batch)
+        )
         model, opt_state, losses = step(
             model, opt_state, measure.block_key(0), num_inner
         )
@@ -68,6 +71,7 @@ def profile_step(
     summary = xprof.summarize_trace(logdir)
     summary.update(
         config=config,
+        batch=batch,
         solve_precision=solve_precision or "highest",
         steps=steps,
         steps_per_sec=round(steps / wall, 1),
@@ -91,6 +95,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--config", type=str, default="flagship",
                     choices=("flagship", "champion", "scale"))
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the config's batch size")
     ap.add_argument("--inner", type=int, default=100)
     ap.add_argument("--blocks", type=int, default=3)
     ap.add_argument("--solve-precision", type=str, default=None,
@@ -101,6 +107,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
     profile_step(
         args.config,
+        batch=args.batch,
         num_inner=args.inner,
         num_blocks=args.blocks,
         solve_precision=args.solve_precision,

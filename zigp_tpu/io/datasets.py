@@ -72,6 +72,7 @@ def make_forecast_splits(
     horizon_frac: float = 0.1,
     start_frac: float = 0.5,
     time_scale: float = 1000.0,
+    covariates: bool = False,
 ) -> List[Split]:
     """Rolling-origin temporal-extrapolation splits: fold k trains on every
     point strictly before its origin time and tests on the following window
@@ -83,6 +84,10 @@ def make_forecast_splits(
     the windows tile its second half, and the training set expands with each
     origin (the standard rolling-origin evaluation design). Time is rescaled
     ÷1000 to match ``make_cv_splits``.
+
+    ``covariates=True`` appends the forecast-computable exogenous features
+    (``augment_forecast_covariates``; D 3 → 8) with each fold's own origin
+    as the test-side information cutoff.
     """
     Xraw = np.concatenate([data.Xtrain, data.Xtest]).copy()
     Yraw = np.concatenate([data.Ytrain, data.Ytest])
@@ -101,8 +106,131 @@ def make_forecast_splits(
                 f"forecast origin {k}: empty train ({train.sum()}) or test "
                 f"({test.sum()}) window — check start_frac/horizon_frac"
             )
-        splits.append(Split(Xraw[train], Yraw[train], Xraw[test], Yraw[test]))
+        Xtr, Ytr = Xraw[train], Yraw[train]
+        Xte, Yte = Xraw[test], Yraw[test]
+        if covariates:
+            Xtr, Xte = augment_forecast_covariates(
+                Xtr, Ytr, Xte, t0, time_scale=time_scale
+            )
+        splits.append(Split(Xtr, Ytr, Xte, Yte))
     return splits
+
+
+def augment_forecast_covariates(
+    Xtrain: np.ndarray,
+    Ytrain: np.ndarray,
+    Xtest: np.ndarray,
+    cutoff: float,
+    *,
+    time_scale: float = 1000.0,
+    wet_window: int = 72,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Append FORECAST-COMPUTABLE exogenous covariates to the input rows
+    (VERDICT r4 #4 "needs exogenous forcing"): the reference's D=3 input
+    convention (onofftf/utils_pptr.py:4-123 — lat, lon, time only) gives a
+    pure interpolant no information about *when* rain happens beyond the
+    GP's temporal correlation length; these features carry the recent
+    station history and the diurnal cycle into the inputs.
+
+    Five appended columns (D: 3 → 8):
+
+    0. ``lag24``: the station's most recent observation at the same
+       hour-of-day strictly before the information cutoff (seasonal
+       persistence; log1p amount scale)
+    1. ``wet_frac``: fraction of wet hours in the station's last
+       ``wet_window`` hours before the cutoff
+    2. ``wet_amount``: log1p mean rain over that window
+    3/4. ``sin/cos`` of the diurnal phase 2π·hour/24 (always available)
+
+    LEAK-PROOF BY CONSTRUCTION: the (station, hour) table is built from
+    ``(Xtrain, Ytrain)`` only — test targets never enter. Train rows use a
+    per-row cutoff (strictly before their own hour: honest in-sample
+    autoregression); test rows use ``cutoff`` (the forecast origin, in the
+    ÷``time_scale`` units of the split) — exactly the information a real
+    forecaster issuing the whole window at the origin has. History columns
+    are z-scored by the train rows' statistics.
+    """
+    Xtr = np.asarray(Xtrain, dtype=np.float64)
+    Ytr = np.asarray(Ytrain, dtype=np.float64).reshape(-1)
+    Xte = np.asarray(Xtest, dtype=np.float64)
+
+    # (station, hour) table from TRAIN data only
+    coords = np.round(Xtr[:, :2], 6)
+    uniq, sid_tr = np.unique(coords, axis=0, return_inverse=True)
+    S = uniq.shape[0]
+    hr_tr = np.round(Xtr[:, 2] * time_scale).astype(np.int64)
+    h0, h1 = int(hr_tr.min()), int(hr_tr.max())
+    H = h1 - h0 + 1
+    ytab = np.full((S, H), np.nan)
+    ytab[sid_tr, hr_tr - h0] = Ytr
+    obs = np.isfinite(ytab)
+    yz = np.where(obs, ytab, 0.0)
+    cum_n = np.concatenate([np.zeros((S, 1)), np.cumsum(obs, axis=1)], axis=1)
+    cum_wet = np.concatenate(
+        [np.zeros((S, 1)), np.cumsum(yz > 0, axis=1)], axis=1
+    )
+    cum_amt = np.concatenate([np.zeros((S, 1)), np.cumsum(yz, axis=1)], axis=1)
+    station_wet_mean = np.where(
+        cum_n[:, -1] > 0, cum_wet[:, -1] / np.maximum(cum_n[:, -1], 1), 0.0
+    )
+    station_amt_mean = np.where(
+        cum_n[:, -1] > 0, cum_amt[:, -1] / np.maximum(cum_n[:, -1], 1), 0.0
+    )
+
+    def features(X, cut_hours):
+        n = X.shape[0]
+        c2 = np.round(np.asarray(X[:, :2], dtype=np.float64), 6)
+        # map rows to station ids (stations unseen in train get the global
+        # fallback features — cannot happen for pptr but kept total)
+        key = {tuple(u): i for i, u in enumerate(uniq)}
+        sid = np.array([key.get(tuple(r), -1) for r in c2], dtype=np.int64)
+        hrs = np.round(X[:, 2] * time_scale).astype(np.int64)
+        cut = np.asarray(cut_hours, dtype=np.int64)
+
+        known = sid >= 0
+        sid_s = np.where(known, sid, 0)
+
+        # --- lag24: latest pre-cutoff same-hour-of-day observation --------
+        # h' = h − 24k with h' ≤ cut−1, k ≥ 1; up to 4 backoff attempts
+        lag = np.full(n, np.nan)
+        k0 = np.maximum(np.ceil((hrs - (cut - 1)) / 24.0), 1.0).astype(np.int64)
+        for extra in range(4):
+            hp = hrs - 24 * (k0 + extra)
+            valid = known & np.isnan(lag) & (hp >= h0) & (hp <= h1)
+            idx = np.clip(hp - h0, 0, H - 1)
+            got = valid & obs[sid_s, idx]
+            lag[got] = ytab[sid_s[got], idx[got]]
+        lag = np.where(np.isnan(lag), station_amt_mean[sid_s], lag)
+        lag = np.log1p(np.maximum(lag, 0.0))
+
+        # --- recent-window wetness / amount over [cut−W, cut) -------------
+        hi = np.clip(cut - h0, 0, H)
+        lo = np.clip(cut - wet_window - h0, 0, H)
+        n_obs = cum_n[sid_s, hi] - cum_n[sid_s, lo]
+        wet = cum_wet[sid_s, hi] - cum_wet[sid_s, lo]
+        amt = cum_amt[sid_s, hi] - cum_amt[sid_s, lo]
+        wet_frac = np.where(n_obs > 0, wet / np.maximum(n_obs, 1), station_wet_mean[sid_s])
+        wet_amt = np.log1p(
+            np.where(n_obs > 0, amt / np.maximum(n_obs, 1), station_amt_mean[sid_s])
+        )
+
+        # --- diurnal phase -------------------------------------------------
+        phase = 2.0 * np.pi * (hrs % 24) / 24.0
+        return np.stack([lag, wet_frac, wet_amt, np.sin(phase), np.cos(phase)], 1)
+
+    cut_hour = int(np.floor(cutoff * time_scale))
+    f_tr = features(Xtr, hr_tr)           # per-row cutoff: strictly before
+    f_te = features(Xte, np.full(Xte.shape[0], cut_hour))
+
+    # z-score the history columns by the TRAIN statistics (sin/cos stay raw)
+    mu = f_tr[:, :3].mean(axis=0)
+    sd = np.maximum(f_tr[:, :3].std(axis=0), 1e-6)
+    f_tr[:, :3] = (f_tr[:, :3] - mu) / sd
+    f_te[:, :3] = (f_te[:, :3] - mu) / sd
+    return (
+        np.concatenate([Xtr, f_tr], axis=1),
+        np.concatenate([Xte, f_te], axis=1),
+    )
 
 
 def kron_inducing_init(
@@ -112,6 +240,7 @@ def kron_inducing_init(
     *,
     seed: int = 0,
     spatial_factors: tuple | None = None,
+    num_exog: int = 8,
 ) -> List[np.ndarray]:
     """Reference inducing-grid init (scripts/onoff.py:67-68): kmeans centres
     over (lat, lon) and a linspace over the time column.
@@ -120,10 +249,30 @@ def kron_inducing_init(
     itself: axis-wise linspace knots over lat and lon (same convention as
     the time axis), returning THREE one-column factors lat ⊗ lon ⊗ time —
     the reference's graph hard-codes two factors and cannot express this.
+
+    When ``Xtrain`` has more than 3 columns (forecast covariates,
+    ``augment_forecast_covariates``) an EXOGENOUS factor is appended:
+    ``num_exog`` kmeans centres over the covariate columns — the grid
+    becomes spatial ⊗ time ⊗ exog.
     """
     from scipy.cluster.vq import kmeans
 
     np.random.seed(seed)
+
+    def _kmeans_knots(cols, k):
+        Z = kmeans(np.asarray(cols, dtype=np.float64), k)[0]
+        if Z.shape[0] < k:
+            # scipy kmeans drops empty clusters, so some seeds return fewer
+            # than k centres — a shape hazard for anything that stacks models
+            # across seeds (training.batched). Top up with random rows
+            # (deterministic under the same seed); a no-op at k returned.
+            extra = cols[np.random.choice(cols.shape[0], k - Z.shape[0], replace=False)]
+            Z = np.concatenate([Z, np.asarray(extra, dtype=np.float64)], axis=0)
+        return Z
+
+    exog = (
+        [_kmeans_knots(Xtrain[:, 3:], num_exog)] if Xtrain.shape[1] > 3 else []
+    )
     if spatial_factors is not None:
         n_lat, n_lon = spatial_factors
         Z_t = np.linspace(Xtrain[:, 2].min(), Xtrain[:, 2].max(), num_temporal)
@@ -131,20 +280,10 @@ def kron_inducing_init(
             np.linspace(Xtrain[:, 0].min(), Xtrain[:, 0].max(), n_lat)[:, None],
             np.linspace(Xtrain[:, 1].min(), Xtrain[:, 1].max(), n_lon)[:, None],
             Z_t[:, None],
-        ]
-    Z_s = kmeans(Xtrain[:, 0:2], num_spatial)[0]
-    if Z_s.shape[0] < num_spatial:
-        # scipy kmeans drops empty clusters, so some seeds return fewer than
-        # k centres — a shape hazard for anything that stacks models across
-        # seeds (training.batched). Top up with random training points
-        # (deterministic under the same seed); a no-op when kmeans returns k.
-        extra = Xtrain[
-            np.random.choice(Xtrain.shape[0], num_spatial - Z_s.shape[0], replace=False),
-            0:2,
-        ]
-        Z_s = np.concatenate([Z_s, extra], axis=0)
+        ] + exog
+    Z_s = _kmeans_knots(Xtrain[:, 0:2], num_spatial)
     Z_t = np.linspace(Xtrain[:, 2].min(), Xtrain[:, 2].max(), num_temporal)[:, None]
-    return [Z_s, Z_t]
+    return [Z_s, Z_t] + exog
 
 
 @dataclass
