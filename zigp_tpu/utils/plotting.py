@@ -140,19 +140,28 @@ def plot_inducing_monitor(
     ax1.set_title("mean target per time index")
 
     for ax, gp, name in ((ax2, model.f, "u_fm"), (ax3, model.g, "u_gm")):
-        # last factor = temporal, product of the rest = spatial sites (holds
-        # for the 2-factor reference layout AND the 3-factor lat⊗lon⊗time
-        # grid: q_mu is row-major over factors, last factor fastest)
+        # temporal factor = the one consuming input column 2 (its mask is
+        # (2,)). The reference layout puts it last, but an appended
+        # exogenous factor (forecast covariates) comes AFTER it — selecting
+        # by mask keeps the monitor correct for 2-, 3- and exog-factor
+        # grids. q_mu is row-major over factors; move the temporal axis
+        # last and slice.
         sizes = gp.factor_sizes
-        Ms, Mt = int(np.prod(sizes[:-1])), sizes[-1]
-        u = np.asarray(gp.q_mu.value).ravel()
-        zt = np.asarray(gp.Zs[-1].value).ravel()
+        t_idx = len(sizes) - 1
+        for i, mask in enumerate(getattr(gp, "input_masks", ()) or ()):
+            if tuple(mask) == (2,):
+                t_idx = i
+                break
+        Mt = sizes[t_idx]
+        U = np.asarray(gp.q_mu.value).ravel().reshape(tuple(sizes))
+        U = np.moveaxis(U, t_idx, -1).reshape(-1, Mt)
+        zt = np.asarray(gp.Zs[t_idx].value).ravel()
         srt = np.argsort(zt)
-        for m in range(Ms):
-            slice_m = u[m * Mt : (m + 1) * Mt]
-            ax.plot(np.round(zt[srt] * time_scale, 4), slice_m[srt], alpha=0.7)
+        # cap the plotted slices: an exog grid multiplies the site count
+        for m in range(min(U.shape[0], 128)):
+            ax.plot(np.round(zt[srt] * time_scale, 4), U[m][srt], alpha=0.7)
         ax.scatter(
-            np.round(zt[srt] * time_scale, 4), np.full(Mt, u.min()), color="#514A30", s=8
+            np.round(zt[srt] * time_scale, 4), np.full(Mt, U.min()), color="#514A30", s=8
         )
         ax.set_title(f"{name} temporal slices per station")
 
