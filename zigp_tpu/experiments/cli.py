@@ -363,6 +363,11 @@ def main(argv=None):
                       dest="lr_schedule", choices=("constant", "cosine"),
                       help="learning-rate schedule for every variant that "
                            "supports it (constant = reference)")
+    p_cv.add_argument("--indp-lr", type=float, default=None, dest="indp_lr",
+                      help="variational-parameter (q) learning rate for "
+                           "models that separate it from --kern-lr "
+                           "(onoff/hurdlej; reference 1e-3, champion 3e-3 — "
+                           "the large-batch scaling knob)")
     p_cv.add_argument("--workdir", type=str, default="runs/cv_full")
     p_cv.add_argument("--iters", type=int, default=None)
     p_cv.add_argument("--batch", type=int, default=None)
@@ -521,6 +526,10 @@ def main(argv=None):
                 cfg, "kern_lr"
             ):
                 kw["kern_lr"] = args.kern_lr
+            if getattr(args, "indp_lr", None) is not None and hasattr(
+                cfg, "indp_lr"
+            ):
+                kw["indp_lr"] = args.indp_lr
             if getattr(args, "recalibrate_noise", None) and hasattr(
                 cfg, "recalibrate_noise"
             ):
