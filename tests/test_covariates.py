@@ -24,7 +24,7 @@ def _synthetic_pptr(n_stations=6, n_hours=240, seed=0):
     lon = 22.0 + rng.rand(n_stations) * 5
     hours = 4000 + np.arange(n_hours)
     S, H = np.meshgrid(np.arange(n_stations), hours, indexing="ij")
-    X = np.stack([lat[S.ravel()], lon[S.ravel()], hours[S.ravel() * 0 + (S.ravel() * 0 + H.ravel() - 4000)] * 0 + H.ravel()], 1).astype(np.float64)
+    X = np.stack([lat[S.ravel()], lon[S.ravel()], H.ravel()], 1).astype(np.float64)
     Y = np.maximum(rng.randn(X.shape[0], 1), 0.0)
     Y[rng.rand(*Y.shape) < 0.7] = 0.0
     return X, Y
