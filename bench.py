@@ -34,6 +34,8 @@ import time
 
 import numpy as np
 
+from zigp_tpu.experiments.measure import analytic_matmul_flops
+
 # v5e MXU peak: 197 TFLOP/s bf16; ops/linalg pins every solve-replacing and
 # bulk contraction to Precision.HIGHEST (6-pass bf16 = exact f32 products),
 # so the achievable matmul peak under this repo's precision policy is /6.
@@ -174,25 +176,6 @@ def bench_tpu_scanned_steps_per_sec(
     )
 
 
-def analytic_matmul_flops(batch: int, num_spatial: int, num_temporal: int) -> float:
-    """Logical matmul FLOPs per train step of the paired-GP factored
-    conditional (fwd+bwd), the denominator-side of honest MFU accounting.
-
-    Per GP forward: V_p = L_p⁻¹Kmn_p and A_p = K_p⁻¹Kmn_p at 2·M_p²·B each
-    (both factors), plus the first-stage mean/c2 contractions at 2·Ms·Mt·B
-    each; reverse-mode doubles every matmul (dA = dC·Bᵀ, dB = Aᵀ·dC), so
-    total = 3× forward. Two GPs (f and g). Elementwise work (gram exps,
-    probit, Adam) is excluded — conservative.
-
-    Round-5 calibration (RESULTS.md "scale tier decomposition"): XLA
-    ``cost_analysis`` under-reports this model's logical FLOPs ~5× at the
-    scale shapes, which is what made BENCH_r04's scale MFU read 10-12%;
-    microbenched per-op rates put the dominant (250-class, HIGHEST) einsums
-    at 31.2 TF/s logical = 95% of the 6-pass effective peak, i.e. the step
-    is compute-bound under this accounting, not 12%-idle."""
-    Ms, Mt, B = num_spatial, num_temporal, batch
-    fwd_per_gp = 4 * B * (Ms * Ms + Mt * Mt) + 4 * B * Ms * Mt
-    return 3.0 * 2.0 * fwd_per_gp
 
 
 def bench_tpu_scale_config(X, Y, split, num_inner: int = 50, num_blocks: int = 4, batch: int = 8192):

@@ -25,6 +25,27 @@ import time
 import numpy as np
 
 
+def analytic_matmul_flops(batch: int, num_spatial: int, num_temporal: int) -> float:
+    """Logical matmul FLOPs per train step of the paired-GP factored
+    conditional (fwd+bwd), the denominator-side of honest MFU accounting (used by bench.py and scale_utilization).
+
+    Per GP forward: V_p = L_p⁻¹Kmn_p and A_p = K_p⁻¹Kmn_p at 2·M_p²·B each
+    (both factors), plus the first-stage mean/c2 contractions at 2·Ms·Mt·B
+    each; reverse-mode doubles every matmul (dA = dC·Bᵀ, dB = Aᵀ·dC), so
+    total = 3× forward. Two GPs (f and g). Elementwise work (gram exps,
+    probit, Adam) is excluded — conservative.
+
+    Round-5 calibration (RESULTS.md "scale tier decomposition"): XLA
+    ``cost_analysis`` under-reports this model's logical FLOPs ~5× at the
+    scale shapes, which is what made BENCH_r04's scale MFU read 10-12%;
+    microbenched per-op rates put the dominant (250-class, HIGHEST) einsums
+    at 31.2 TF/s logical = 95% of the 6-pass effective peak, i.e. the step
+    is compute-bound under this accounting, not 12%-idle."""
+    Ms, Mt, B = num_spatial, num_temporal, batch
+    fwd_per_gp = 4 * B * (Ms * Ms + Mt * Mt) + 4 * B * Ms * Mt
+    return 3.0 * 2.0 * fwd_per_gp
+
+
 def build_config(config: str, *, batch_override: int | None = None):
     """(model, (X, Y) train arrays, batch_size, cfg) for a named bench config.
 

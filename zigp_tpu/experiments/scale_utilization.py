@@ -19,7 +19,7 @@ accountings:
   round-4 artifacts, but measured (round 5) to under-report these shapes'
   logical matmul FLOPs ~5×;
 - ``*_analytic``: the calibrated logical-matmul model
-  (``bench.analytic_matmul_flops`` — V/A solves + first-stage factored
+  (``experiments.measure.analytic_matmul_flops`` — V/A solves + first-stage factored
   contractions, fwd + 2× reverse), vs the 6-pass f32-effective v5e peak
   (197/6 ≈ 32.8 TFLOP/s under Precision.HIGHEST; ``--solve-precision
   mixed`` drops the batch-scaled class to 3-pass, peak 65.7, and the MFU
@@ -53,17 +53,9 @@ def probe(
     from ..ops import linalg
     from ..training import make_optimizer
     from ..training.scan import make_device_sampling_scan_step
+    from .measure import analytic_matmul_flops
     from .builders import build_onoff_pptr
     from .configs import KronGridConfig, OnOffPptrConfig
-
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "zigp_bench", os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")
-    )
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
 
     if solve_precision:
         linalg.set_solve_precision(solve_precision)
@@ -108,7 +100,7 @@ def probe(
                 rates.append(num_blocks * num_inner / (time.time() - t0))
             rate = sorted(rates)[1]
             fps_ca = flops / num_inner
-            fps_an = bench.analytic_matmul_flops(B, 105, 250)
+            fps_an = analytic_matmul_flops(B, 105, 250)
             # null (not 0.0) when cost analysis is unavailable (ADVICE r4)
             row = {
                 "batch": B,
